@@ -1,0 +1,172 @@
+"""Sources & sinks (SURVEY.md §2-A).
+
+Reference analogs: Hive table scans over ORC/Parquet on HDFS/UFile,
+Sqoop/JDBC import from MySQL, ``INSERT OVERWRITE ... PARTITION (dt)``
+partitioned writes, and report exports back to MySQL (SURVEY.md §1.1).
+Spark-first mapping: ``spark.read.parquet`` with explicit schemas (column
+pruning + predicate pushdown reach the scan for free via Catalyst),
+``write.partitionBy`` with dynamic partition overwrite, and
+``read/write.jdbc`` for the OLTP edges.
+
+Scratch output for round-trip queries goes under ``<repo>/.scratch``
+(gitignored) — fixtures themselves are read-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..schemas import SCHEMAS
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SCRATCH_DIR = os.path.join(_REPO_ROOT, ".scratch")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load a fixture table with its declared schema (never inferred).
+
+    Passing the schema up front skips footer-based inference and pins the
+    engine to FIXTURES.md types; Catalyst still prunes columns and pushes
+    predicates into the parquet scan.
+    """
+    return spark.read.schema(SCHEMAS[table]).parquet(f"{sf_dir}/{table}.parquet")
+
+
+def scratch_path(*parts: str) -> str:
+    path = os.path.join(SCRATCH_DIR, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
+    """Stage a fixture parquet file into a directory for the file stream
+    source (Spark's FileStreamSource requires a directory path)."""
+    import shutil
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    dst_dir = os.path.join(SCRATCH_DIR, "stream_src", f"{table}_{tag}")
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, f"{table}.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(f"{sf_dir}/{table}.parquet", dst)
+    return dst_dir
+
+
+# --------------------------------------------------------------------------
+# §2-A queries
+# --------------------------------------------------------------------------
+
+
+@register("a_scan_parquet", oracle="SELECT * FROM region")
+def a_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table scan (Hive table scan analog)."""
+    return load(spark, sf_dir, "region")
+
+
+@register(
+    "a_scan_projected",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def a_scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan.
+
+    ``.explain`` shows ReadSchema with only 4 columns and PushedFilters
+    carrying both predicates into the parquet reader.
+    """
+    return (
+        load(spark, sf_dir, "customer")
+        .where((F.col("c_acctbal") > 1000.0) & (F.col("c_mktsegment") == "BUILDING"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register("a_sink_partitioned")
+def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + dynamic-partition overwrite + re-read.
+
+    The reference's idempotent daily reload idiom
+    (``INSERT OVERWRITE ... PARTITION (dt)``): writing the same month
+    twice must not duplicate data and must not clobber other months.
+    Rows-only check (round-trip row count equals source row count).
+    """
+    out = scratch_path("sink_partitioned", "orders")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "dt", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("dt").mode("overwrite").parquet(out)
+    # Dynamic overwrite of a single partition: rewrite one month only;
+    # with partitionOverwriteMode=dynamic the other months must survive.
+    one_month = orders.where(F.col("dt") == orders.select(F.min("dt")).first()[0])
+    one_month.write.partitionBy("dt").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select("o_orderkey", "o_custkey", F.col("dt").cast("string").alias("dt"))
+
+
+@register("a_sink_csv_json")
+def a_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON export / re-import round trip (report export analog).
+
+    Rows-only: returns the union of both round-trips; count must be
+    2x the exported subset.
+    """
+    src = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    csv_out = scratch_path("sink_csv", "lineitem")
+    json_out = scratch_path("sink_json", "lineitem")
+    src.write.mode("overwrite").option("header", True).csv(csv_out)
+    src.write.mode("overwrite").json(json_out)
+    back_csv = spark.read.schema(SCHEMAS["lineitem"]).option("header", True).csv(csv_out)
+    back_json = spark.read.schema(SCHEMAS["lineitem"]).json(json_out)
+    return back_csv.unionByName(back_json).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """Sqoop-import analog: snapshot an OLTP table over JDBC.
+
+    Partitioned pulls (``partitionColumn``/``numPartitions``) parallelize
+    the read across executors. No database is reachable offline, so this
+    code path ships untested against a live server (SURVEY.md §2-A
+    ``a_jdbc``: no declared query).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """Report-export analog: push an ADS aggregate to a dashboard DB."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+@register("a_stream_file_source")
+def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source Structured Streaming landing (Kafka/binlog analog).
+
+    Streams the events parquet through an availableNow trigger into a
+    memory sink, then returns the landed table. Rows-only check: batch
+    parity (landed row count == batch read count). The Kafka connector
+    jar is absent offline; the file source exercises the same
+    MicroBatchExecution path (SURVEY.md §3.4).
+    """
+    stream = spark.readStream.schema(SCHEMAS["events"]).parquet(stage_stream_dir(sf_dir))
+    name = "a_stream_file_source_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_id", "ts", "user_id", "event_type", "value")

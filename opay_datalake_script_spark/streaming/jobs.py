@@ -1,0 +1,9 @@
+"""Structured Streaming jobs with batch-parity forms (SURVEY.md §2-I)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load

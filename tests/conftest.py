@@ -1,0 +1,78 @@
+"""Shared test fixtures: one warm SparkSession, a DuckDB oracle connection,
+and the differential comparator that mirrors the driver's check
+(row-count + schema + order-insensitive value comparison) — SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from opay_datalake_script_spark import get_spark
+from opay_datalake_script_spark.schemas import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="opay-datalake-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Normalize one cell for order-insensitive set comparison."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        return v
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v
+    return v
+
+
+def normalized_rows(pdf):
+    """Columns sorted by name, rows as a sorted list of normalized tuples."""
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
+    """Differential check: Spark result vs DuckDB result, exact values."""
+    got = spark_df.toPandas()
+    want = oracle_con.sql(sql).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column names differ: spark={sorted(got.columns)} duckdb={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
+    g, w = normalized_rows(got), normalized_rows(want)
+    mismatches = [(a, b) for a, b in zip(g, w) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
