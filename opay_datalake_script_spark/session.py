@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read it as long and convert in io.load (ns -> us).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", "64g")
         .config("spark.ui.enabled", "false")

@@ -18,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import register
 from ..schemas import SCHEMAS
@@ -26,14 +27,49 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 SCRATCH_DIR = os.path.join(_REPO_ROOT, ".scratch")
 
 
+# Columns stored as TIMESTAMP(NANOS) in parquet. Spark cannot read nanos as
+# timestamps at all (PARQUET_TYPE_ILLEGAL); with
+# spark.sql.legacy.parquet.nanosAsLong=true they arrive as epoch-nanos longs
+# and are converted here via integer division (truncation toward zero for
+# positive epochs) — exactly how DuckDB, the correctness oracle, coerces
+# nanos to its native microsecond timestamps.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _read_schema(table: str) -> T.StructType:
+    nanos = _NANO_TS_COLS.get(table, ())
+    if not nanos:
+        return SCHEMAS[table]
+    return T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType)
+            for f in SCHEMAS[table].fields
+        ]
+    )
+
+
+def _convert_nanos(df: DataFrame, table: str) -> DataFrame:
+    for c in _NANO_TS_COLS.get(table, ()):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load a fixture table with its declared schema (never inferred).
 
     Passing the schema up front skips footer-based inference and pins the
     engine to FIXTURES.md types; Catalyst still prunes columns and pushes
-    predicates into the parquet scan.
+    predicates into the parquet scan. Nanosecond timestamp columns are
+    normalized to Spark's microsecond TimestampType.
     """
-    return spark.read.schema(SCHEMAS[table]).parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.schema(_read_schema(table)).parquet(f"{sf_dir}/{table}.parquet")
+    return _convert_nanos(df, table)
+
+
+def load_stream(spark: SparkSession, sf_dir: str, table: str = "events") -> DataFrame:
+    """Streaming twin of :func:`load` over a staged file-source directory."""
+    df = spark.readStream.schema(_read_schema(table)).parquet(stage_stream_dir(sf_dir, table))
+    return _convert_nanos(df, table)
 
 
 def scratch_path(*parts: str) -> str:
@@ -159,7 +195,7 @@ def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     jar is absent offline; the file source exercises the same
     MicroBatchExecution path (SURVEY.md §3.4).
     """
-    stream = spark.readStream.schema(SCHEMAS["events"]).parquet(stage_stream_dir(sf_dir))
+    stream = load_stream(spark, sf_dir, "events")
     name = "a_stream_file_source_sink"
     q = (
         stream.writeStream.format("memory")
