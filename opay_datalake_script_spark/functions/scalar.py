@@ -1,4 +1,16 @@
-"""Scalar-function surface (SURVEY.md §2-H)."""
+"""Scalar-function surface (SURVEY.md §2-H), grouped into themed
+oracle-checkable queries.
+
+Reference analogs: the HiveQL built-in surface the Opay scripts leaned on —
+string manipulation for report labels, date arithmetic on the ``dt``
+partition axis, ``get_json_object`` event-payload extraction (the central
+event-tracking idiom), ``lateral view explode`` for array expansion,
+``str_to_map`` config parsing, and md5/sha fingerprints for dedup.
+
+Everything stays JVM-side (pyspark.sql.functions -> codegen); dialect
+offsets vs DuckDB (dayofweek origin, BIGINT vs INT widths, floor/ceil
+return types) are aligned explicitly in the oracle SQL per SURVEY.md §5.3-7.
+"""
 
 from __future__ import annotations
 
@@ -7,3 +19,337 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.io import load
+
+
+@register(
+    "h_string",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, '#', p_type)                   AS brand_type,
+           concat_ws('|', p_brand, p_type, p_name)        AS joined,
+           substr(p_name, 1, 8)                           AS name8,
+           upper(p_brand)                                 AS up,
+           lower(p_type)                                  AS lo,
+           trim(concat(' ', p_name, ' '))                 AS trimmed,
+           CAST(length(p_name) AS BIGINT)                 AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')          AS size_pad,
+           rpad(p_brand, 12, '.')                         AS brand_pad,
+           CAST(strpos(p_name, 'a') AS BIGINT)            AS a_pos,
+           replace(p_type, ' ', '_')                      AS type_us,
+           reverse(p_brand)                               AS brand_rev,
+           string_split(p_name, ' ')                      AS name_tokens
+    FROM part
+    """,
+)
+def h_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: concat/substr/case/trim/pad/search/split."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+        F.concat_ws("|", "p_brand", "p_type", "p_name").alias("joined"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_brand").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.trim(F.concat(F.lit(" "), "p_name", F.lit(" "))).alias("trimmed"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad("p_brand", 12, ".").alias("brand_pad"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_us"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.split("p_name", " ").alias("name_tokens"),
+    )
+
+
+@register(
+    "h_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)      AS first_word,
+           regexp_replace(text, 'join', 'JOIN', 'g') AS join_upper,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+               AS novowel_len
+    FROM documents
+    WHERE regexp_matches(text, 'scan|filter')
+    """,
+)
+def h_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract/replace + rlike filter (RE2-safe patterns only —
+    Spark uses Java regex, DuckDB RE2; stick to the common subset)."""
+    d = load(spark, sf_dir, "documents")
+    return d.where(F.col("text").rlike("scan|filter")).select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", "join", "JOIN").alias("join_upper"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("novowel_len"),
+    )
+
+
+@register(
+    "h_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)             AS y,
+           CAST(month(o_orderdate) AS INTEGER)            AS m,
+           CAST(day(o_orderdate) AS INTEGER)              AS d,
+           strftime(o_orderdate, '%Y-%m')                 AS ym,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+                                                          AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+                AS INTEGER)                               AS days_to_98,
+           CAST(CAST(o_orderdate AS DATE) + 7 AS VARCHAR) AS plus_week,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER)    AS dow
+    FROM orders
+    """,
+)
+def h_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic battery. Dialect notes: Spark dayofweek is 1=Sunday,
+    DuckDB 0=Sunday -> oracle adds 1; Spark datediff(end, start) == DuckDB
+    date_diff('day', start, end)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        # DATE-typed outputs are emitted as ISO strings: pandas round-trips
+        # of DATE differ between Spark (date) and DuckDB (midnight ts).
+        F.trunc("o_orderdate", "month").cast("string").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_98"
+        ),
+        F.date_add(F.col("o_orderdate"), 7).cast("string").alias("plus_week"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@register(
+    "h_unix_ts",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT)             AS epoch_s,
+           strftime(ts, '%Y-%m-%d %H:%M:%S')            AS ts_str,
+           ts + INTERVAL 1 HOUR                         AS plus_hour
+    FROM events
+    """,
+)
+def h_unix_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch math: unix_timestamp truncates to seconds in both engines
+    (session TZ pinned to UTC so from_unixtime round-trips the naive ts)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.from_unixtime(F.unix_timestamp("ts")).alias("ts_str"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("plus_hour"),
+    )
+
+
+@register(
+    "h_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                         AS r1,
+           CAST(floor(l_extendedprice) AS BIGINT)            AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT)             AS ce,
+           abs(l_discount - 0.05)                            AS ab,
+           round(pow(l_quantity, 2), 6)                      AS p2,
+           round(sqrt(l_extendedprice), 6)                   AS sq,
+           round(exp(l_discount), 6)                         AS ex,
+           round(ln(l_extendedprice), 6)                     AS lg,
+           round(log10(l_extendedprice), 6)                  AS l10,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)           AS sg,
+           l_orderkey % 7                                    AS m7,
+           ((l_orderkey - l_partkey) % 5 + 5) % 5            AS pm5,
+           greatest(l_quantity, l_discount * 100)            AS gr,
+           least(l_quantity, l_tax * 100)                    AS le
+    FROM lineitem
+    """,
+)
+def h_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. floor/ceil return BIGINT in Spark but DOUBLE in
+    DuckDB (cast in oracle); pmod has no DuckDB twin -> ((a%b)+b)%b."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        (F.col("l_orderkey") % 7).alias("m7"),
+        F.pmod(F.col("l_orderkey") - F.col("l_partkey"), F.lit(5)).alias("pm5"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("gr"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("le"),
+    )
+
+
+@register(
+    "h_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'rich' ELSE 'normal' END AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT')    AS seg_or_default,
+           nullif(c_nationkey, 0)                                   AS nk_nullable,
+           coalesce(nullif(c_acctbal, c_acctbal), -1.0)             AS always_minus1
+    FROM customer
+    """,
+)
+def h_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """if/coalesce/nullif conditional battery."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 5000, "rich").otherwise("normal").alias("tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")
+        ).alias("seg_or_default"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_nullable"),
+        F.coalesce(F.nullif(F.col("c_acctbal"), F.col("c_acctbal")), F.lit(-1.0)).alias(
+            "always_minus1"
+        ),
+    )
+
+
+@register(
+    "h_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sk,
+           count(*) AS c
+    FROM events GROUP BY event_type
+    """,
+)
+def h_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON event-payload extraction + aggregation — the central reference
+    event-tracking idiom (get_json_object over the props string column)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sk"),
+        F.count("*").alias("c"),
+    )
+
+
+@register(
+    "h_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(props ->> '$.k' AS INTEGER) AS k_typed,
+           CAST(props ->> '$.k' AS BIGINT)  AS k_scalar
+    FROM events
+    """,
+)
+def h_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with from_json + schema (vs path extraction)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_scalar"),
+    )
+
+
+@register(
+    "h_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)          AS n_tokens,
+           list_contains(string_split(text, ' '), 'join')         AS has_join,
+           list_slice(string_split(text, ' '), 1, 3)              AS first3,
+           string_split(text, ' ')[2]                             AS second_token,
+           list_sort(list_distinct(string_split(text, ' ')))      AS vocab
+    FROM documents
+    """,
+)
+def h_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery over tokenized text (lateral-view-free ops;
+    explode/posexplode are exercised by k_tfidf_topterms and j_udtf)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.element_at(toks, 2).alias("second_token"),
+        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+    )
+
+
+@register(
+    "h_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def h_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW EXPLODE analog: one row per token."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@register(
+    "h_map",
+    oracle="""
+    SELECT doc_id,
+           lang   AS lang_from_map,
+           source AS src_from_map,
+           2      AS n_keys
+    FROM documents
+    """,
+)
+def h_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map config-string parsing (k1:v1,k2:v2 idiom): build the
+    string, parse it back, extract typed values."""
+    d = load(spark, sf_dir, "documents")
+    conf = F.concat(F.lit("lang:"), "lang", F.lit(",src:"), "source")
+    m = F.str_to_map(conf, F.lit(","), F.lit(":"))
+    return d.select(
+        "doc_id",
+        m.getItem("lang").alias("lang_from_map"),
+        m.getItem("src").alias("src_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "h_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+    FROM documents
+    """,
+)
+def h_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row fingerprints for dedup: md5 + sha2-256 (hex, lowercase in both)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    )
+
+
+@register("h_hash_engine")
+def h_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hashes (xxhash64 / crc32 / murmur3) — no DuckDB
+    equivalent, rows-only. These are the cheap shuffle-friendly
+    fingerprints for 100 TB dedup (no crypto overhead)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("h_xx64"),
+        F.crc32("text").alias("h_crc32"),
+        F.hash("text").alias("h_murmur3"),
+    )

@@ -1,9 +1,161 @@
-"""UDF/UDAF/UDTF surface (SURVEY.md §2-J)."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2-J).
+
+All Python execution is Arrow-vectorized (pandas batches over Arrow IPC);
+row-at-a-time Python UDFs never appear in a hot path. These are the escape
+hatches for semantics the built-in functions can't express — at 100 TB the
+batch shape matters: Series->Series scalar UDFs and mapInPandas stream
+whole Arrow record batches per partition, applyInPandas materializes one
+group per call (fine for bounded groups, never for a skewed power-law key).
+"""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import register
 from ..sources.io import load
+
+
+@F.pandas_udf(T.DoubleType())
+def _tiered_fee(total: pd.Series) -> pd.Series:
+    """Tiered transaction fee: 1% below 10k, then 50 + 0.5%, capped 2k."""
+    fee = total.where(total < 10_000.0, 50.0 + total * 0.005).where(
+        total >= 10_000.0, total * 0.01
+    )
+    return fee.clip(upper=2_000.0)
+
+
+@register(
+    "j_scalar_udf",
+    oracle="""
+    SELECT o_orderkey,
+           least(CASE WHEN o_totalprice < 10000 THEN o_totalprice * 0.01
+                      ELSE 50 + o_totalprice * 0.005 END, 2000.0) AS fee
+    FROM orders
+    """,
+)
+def j_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar vectorized UDF (Series -> Series over Arrow batches).
+
+    Row-level IEEE arithmetic: bit-identical to the CASE-based oracle,
+    no rounding needed.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", _tiered_fee("o_totalprice").alias("fee"))
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-segment z-score; ddof=1 matches SQL stddev_samp."""
+    mean = pdf["c_acctbal"].mean()
+    std = pdf["c_acctbal"].std(ddof=1)
+    out = pdf[["c_custkey", "c_mktsegment"]].copy()
+    out["z"] = ((pdf["c_acctbal"] - mean) / std).round(6)
+    return out
+
+
+@register(
+    "j_grouped_map",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS z
+    FROM customer
+    """,
+)
+def j_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pattern: applyInPandas normalizes each segment
+    (one pandas DataFrame per group in, one out)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        _zscore_group, schema="c_custkey long, c_mktsegment string, z double"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _weighted_mean(price: pd.Series, weight: pd.Series) -> float:
+    return float((price * weight).sum() / weight.sum())
+
+
+@register(
+    "j_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice * (o_orderkey % 10 + 1))
+                 / sum(o_orderkey % 10 + 1), 6) AS wmean
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def j_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-agg pandas UDF (Series -> scalar):
+    weighted mean with a synthetic deterministic weight."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "w", (F.col("o_orderkey") % 10 + 1).cast("double")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.round(_weighted_mean("o_totalprice", "w"), 6).alias("wmean"))
+    )
+
+
+@register(
+    "j_udtf",
+    oracle="""
+    SELECT event_id, 'k' AS key, CAST(props ->> '$.k' AS BIGINT) AS value
+    FROM events WHERE event_id < 500
+    """,
+)
+def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one props JSON string in -> N (key, value) rows out
+    (the lateral-view payload-parsing idiom as a table function)."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, value bigint")
+    class ParseProps:
+        def eval(self, props: str):
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, int(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    load(spark, sf_dir, "events").where(F.col("event_id") < 500).createOrReplaceTempView(
+        "events_udtf_src"
+    )
+    return spark.sql(
+        """
+        SELECT e.event_id, p.key, p.value
+        FROM events_udtf_src e, LATERAL parse_props(e.props) p
+        """
+    )
+
+
+@register(
+    "j_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS bucket
+    FROM lineitem
+    """,
+)
+def j_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition transform: mapInPandas streams Arrow batches through
+    a Python iterator (the custom-operator escape hatch; here a computed
+    column + bucket label so it stays oracle-checkable)."""
+
+    def transform(batches):
+        for pdf in batches:
+            out = pdf[["l_orderkey", "l_linenumber"]].copy()
+            out["net"] = pdf["l_extendedprice"] * (1 - pdf["l_discount"])
+            out["bucket"] = (pdf["l_quantity"] > 25).map({True: "bulk", False: "small"})
+            yield out
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.mapInPandas(
+        transform, schema="l_orderkey long, l_linenumber int, net double, bucket string"
+    )

@@ -55,3 +55,280 @@ def d_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
         )
     )
+
+
+@register(
+    "d_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def d_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type. Spark plans this as a two-phase
+    expand+aggregate, so the distinct set never concentrates on one node."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register("d_approx_count_distinct")
+def d_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (rows-only: sketches are
+    engine-specific so values can never hash-match another engine).
+    The 100 TB path for distinct-user counts: one pass, fixed memory."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "d_agg_filtered_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+               AS finished_total,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2)
+               AS open_total,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(CASE WHEN ...) manual pivot — the reference's report-column
+    idiom (one pass, no PIVOT operator needed)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        ).alias("finished_total"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        ).alias("open_total"),
+        F.count(F.when(F.col("o_orderstatus") == "P", F.lit(1))).alias("n_pending"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "d_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class pivot on event_type with an explicit value list
+    (explicit values keep the plan deterministic and skip the extra
+    distinct-values job). Missing combinations coalesce to 0 to match
+    the FILTER-based oracle."""
+    piv = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "d_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS c,
+           round(sum(o_totalprice), 2) AS s
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level report in one pass (Hive GROUPING SETS idiom): detail,
+    subtotal and grand total share a single scan + shuffle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS c,
+               round(sum(o_totalprice), 2) AS s
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "d_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS c,
+           round(sum(o_totalprice), 2) AS s,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority with grouping_id disambiguation."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@register(
+    "d_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def d_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region -> nation (hierarchical subtotals)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "d_having",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n
+    FROM customer GROUP BY c_nationkey HAVING count(*) >= 50
+    """,
+)
+def d_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 50)
+    )
+
+
+@register(
+    "d_collect_list",
+    oracle="""
+    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenumbers
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def d_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group value list, sorted for determinism (collect_list order is
+    otherwise partition-dependent)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"))
+    )
+
+
+@register(
+    "d_collect_set",
+    oracle="""
+    SELECT o_orderpriority,
+           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct set, sorted for determinism."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+    )
+
+
+@register(
+    "d_string_agg",
+    oracle="""
+    SELECT n_name, string_agg(seg, ',' ORDER BY seg) AS segments
+    FROM (
+        SELECT DISTINCT n_name, c_mktsegment AS seg
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    GROUP BY n_name
+    """,
+)
+def d_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_concat idiom: sorted, comma-joined distinct values per group."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments")
+        )
+    )
+
+
+@register(
+    "d_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles (median/p90) of order totals."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        # 6dp, not 2: quantile interpolation midpoints of 2-decimal money
+        # hit exact .005 halves where engine rounding modes diverge.
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+    )
+
+
+@register(
+    "d_stats",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_pop(value), 6)     AS vp,
+           round(corr(value, CAST(props ->> '$.k' AS DOUBLE)), 6) AS cr
+    FROM events GROUP BY event_type
+    """,
+)
+def d_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics: stddev/variance/correlation per group."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_pop("value"), 6).alias("vp"),
+        F.round(F.corr(F.col("value"), k), 6).alias("cr"),
+    )

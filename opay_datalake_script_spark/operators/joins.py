@@ -1,9 +1,301 @@
-"""Join operators (SURVEY.md §2-C)."""
+"""Join operators (SURVEY.md §2-C).
+
+Reference analogs: Hive equi-joins (inner + LEFT OUTER dominate), LEFT
+SEMI JOIN as the EXISTS idiom, and auto-mapjoin of dimension tables —
+re-expressed as Spark joins where Catalyst/AQE pick the physical strategy
+(broadcast-hash for small sides, sort-merge for fact-fact). Scale notes
+inline per operator: at 100 TB the fact tables shuffle on their join keys
+once, dimensions always broadcast, and the non-equi joins are designed to
+keep one side tiny so broadcast-nested-loop stays bounded.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.io import load
+
+
+@register(
+    "c_join_inner",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderstatus,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi inner join; sort-merge at scale (both sides shuffle
+    on the key once; AQE converts to broadcast if one side turns out small)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderstatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@register(
+    "c_join_broadcast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_brand, p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def c_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive auto-mapjoin analog: explicit broadcast of the dimension side —
+    no shuffle of the fact table at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "p_type"
+    )
+
+
+@register(
+    "c_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def c_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: keep customers without orders (nulls on the right)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "c_join_right",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+    FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def c_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER: keep orders without lineitems."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "right").select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "c_join_full",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey, n_customers, n_suppliers
+    FROM cn FULL JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def c_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two aggregates keyed by nation."""
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "c_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def c_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI JOIN — Hive's EXISTS idiom: customers with >=1 order.
+    Semi join never duplicates the left side and only ships the key column
+    of the right side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "c_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def c_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI JOIN: customers with no orders (NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "c_join_cross",
+    oracle="""
+    SELECT r_name, status
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+    """,
+)
+def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dimension sets."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    statuses = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+    return r.crossJoin(statuses)
+
+
+@register(
+    "c_join_range",
+    oracle="""
+    SELECT s_suppkey, c_custkey,
+           round(s_acctbal, 2) AS s_bal, round(c_acctbal, 2) AS c_bal
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 1.0 AND s_acctbal + 1.0
+    """,
+)
+def c_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/band join (non-equi): physical plan is broadcast-nested-loop
+    with the small (supplier) side broadcast, so cost is |customer| x
+    |broadcast| per executor — the side to broadcast is chosen explicitly.
+    At 100 TB the scale path is bucketizing the band key into an equi-join
+    prefilter; here the small side keeps BNL bounded."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 1.0, s.s_acctbal + 1.0)
+    return c.join(F.broadcast(s), cond).select(
+        "s_suppkey",
+        "c_custkey",
+        F.round("s_acctbal", 2).alias("s_bal"),
+        F.round("c_acctbal", 2).alias("c_bal"),
+    )
+
+
+@register(
+    "c_join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purch AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts
+    FROM purch p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest prior-or-equal click
+    of the same user.
+
+    Spark has no native ASOF JOIN; the scalable formulation is union +
+    window (single shuffle on user_id, no range-join blowup): tag both
+    streams, sort by (ts, kind) within user, carry the last click forward
+    with last(ignorenulls), keep purchase rows. Clicks are first deduped to
+    one per (user, ts) — the same tie rule the oracle's ASOF uses.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            "click_id",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+    )
+    tagged = clicks.unionByName(purch)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("last_click_id").alias("click_id"),
+            F.col("last_click_ts").alias("click_ts"),
+        )
+    )
+
+
+@register(
+    "c_join_multiway",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join: revenue by nation in ASIA (TPC-H Q5 shape).
+
+    Fact tables (lineitem, orders) sort-merge on their keys; the dimension
+    chain (customer side: nation x region pre-joined, region filter applied
+    before the join) broadcasts. The region filter prunes before anything
+    heavy runs — Catalyst pushes it below the joins.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+            F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, o.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

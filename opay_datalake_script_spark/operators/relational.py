@@ -1,4 +1,13 @@
-"""Projection/filter/sort/set-op operators (SURVEY.md §2-B, §2-F, §2-G)."""
+"""Projection / filter / sort / set-op operators (SURVEY.md §2-B, §2-F, §2-G).
+
+Reference analogs: HiveQL SELECT-list arithmetic with aliases, compound
+WHERE predicates, CASE WHEN report bucketing, SELECT DISTINCT dimension
+extraction, UNION ALL of homogeneous extracts, and CLUSTER/SORT BY write
+locality (SURVEY.md §2 provenance column). All are single-pass Catalyst
+plans: projections and filters fuse into the parquet scan (predicate
+pushdown + column pruning), sorts use range partitioning, and global
+top-N plans as TakeOrderedAndProject (no full sort at scale).
+"""
 
 from __future__ import annotations
 
@@ -7,3 +16,273 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.io import load
+
+# ---------------------------------------------------------------------------
+# §2-B projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount)               AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           l_quantity * 2.0                                 AS qty_double
+    FROM lineitem
+    """,
+)
+def b_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with arithmetic + aliases (net price SELECT-list idiom).
+
+    Row-level IEEE arithmetic on identical inputs is bit-identical across
+    engines, so no rounding — round() itself is the only divergence risk
+    here (engines disagree on exact-half decimals; SURVEY.md §5.3)."""
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        (F.col("l_quantity") * 2.0).alias("qty_double"),
+    )
+
+
+@register(
+    "b_filter_compound",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           (nullif(c_mktsegment, 'FURNITURE') IS NOT DISTINCT FROM 'BUILDING')
+               AS is_building
+    FROM customer
+    WHERE c_acctbal BETWEEN 100.0 AND 9000.0
+      AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c_name LIKE '%1%'
+      AND NOT (c_nationkey = 3)
+      AND nullif(c_mktsegment, 'HOUSEHOLD') IS NOT NULL
+    """,
+)
+def b_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates: AND/OR/NOT, BETWEEN, IN, LIKE, IS NULL, <=>."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE"))
+    return (
+        c.where(
+            F.col("c_acctbal").between(100.0, 9000.0)
+            & F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+            & F.col("c_name").like("%1%")
+            & ~(F.col("c_nationkey") == 3)
+            & F.nullif(F.col("c_mktsegment"), F.lit("HOUSEHOLD")).isNotNull()
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            seg.eqNullSafe("BUILDING").alias("is_building"),
+        )
+    )
+
+
+@register(
+    "b_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000  THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS price_tier,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'other' END AS status_label
+    FROM orders
+    """,
+)
+def b_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing (report dimension derivation idiom)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("price_tier"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+    )
+
+
+@register(
+    "b_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INTEGER)        AS qty_int,
+           CAST(l_orderkey AS VARCHAR)        AS key_str,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+           CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip,
+           TRY_CAST(l_returnflag AS INTEGER)  AS flag_as_int
+    FROM lineitem
+    """,
+)
+def b_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit casts including failing-cast -> NULL (try_cast)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        # date -> string: DATE-typed result columns round-trip differently
+        # through pandas in Spark vs DuckDB (date vs midnight datetime);
+        # ISO strings compare identically.
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_date"),
+        F.col("l_quantity").cast("string").cast("double").alias("qty_roundtrip"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+    )
+
+
+@register(
+    "b_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def b_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT dimension extraction."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2-F sorts, limits, top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_order_multi",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (
+               ORDER BY (CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                              ELSE c_acctbal END) DESC NULLS LAST,
+                        c_custkey
+           ) AS rn
+    FROM customer
+    """,
+)
+def f_order_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with NULLS LAST, made hash-observable via row_number
+    over the same total order (order-insensitive hashing can't see a bare
+    ORDER BY)."""
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    masked = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    w = W.orderBy(masked.desc_nulls_last(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@register(
+    "f_top_n",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def f_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N with total order (tiebreaker key) — plans as
+    TakeOrderedAndProject: each partition keeps N rows, no full sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register("f_sort_within_partitions")
+def f_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY / SORT BY analog: co-partition by key then sort inside
+    each partition (write-locality idiom; partition-local order is not
+    SQL-observable -> rows-only check)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .repartition(8, "c_nationkey")
+        .sortWithinPartitions("c_nationkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2-G set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_union_all",
+    oracle="""
+    SELECT o_orderkey, o_custkey, 'finished' AS src FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of homogeneous extracts (by name, not position)."""
+    o = load(spark, sf_dir, "orders")
+    fin = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", F.lit("finished").alias("src")
+    )
+    opn = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", F.lit("open").alias("src")
+    )
+    return fin.unionByName(opn)
+
+
+@register(
+    "g_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def g_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup: nations having customers or suppliers."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "g_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both finished and open orders."""
+    o = load(spark, sf_dir, "orders")
+    f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_keys.intersect(o_keys)
+
+
+@register(
+    "g_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def g_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiplicity-preserving difference)."""
+    o = load(spark, sf_dir, "orders")
+    all_keys = o.select("o_custkey")
+    f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return all_keys.exceptAll(f_keys)

@@ -1,4 +1,15 @@
-"""Window-function operators (SURVEY.md §2-E)."""
+"""Window-function operators (SURVEY.md §2-E).
+
+E1 (`e_dedupe_latest`) is the reference's single most important idiom:
+Opay-style warehouses deduplicate MySQL binlog snapshots with
+``row_number() over (partition by pk order by update_time desc) = 1``
+(SURVEY.md §2-E). All windows here partition by a key, so at 100 TB each
+group sorts independently after one shuffle — no global sort anywhere.
+
+Determinism: every window ORDER BY carries a unique tiebreaker
+(event_id / orderkey) unless rank-ties are the point (e_rank_dense);
+ranking outputs are cast to long to match DuckDB's BIGINT.
+"""
 
 from __future__ import annotations
 
@@ -7,3 +18,268 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.io import load
+
+
+@register(
+    "e_dedupe_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def e_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest row per key — the binlog-snapshot dedup idiom.
+
+    One shuffle on user_id; per-group top-1 never materializes the full
+    sorted group at the driver. (At true binlog scale, pair with
+    partition pruning on the dt landing partition.)
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "e_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS drnk
+    FROM part
+    """,
+)
+def e_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank & dense_rank with ties (no tiebreaker on purpose: rank values
+    are deterministic functions of the order key even under ties)."""
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "e_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def e_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (report idiom). Spark pushes the rn<=3
+    filter into the window sort (WindowGroupLimit), so each group keeps
+    only 3 rows during the shuffle-sort — the plan that survives scale."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "e_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(ts)     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def e_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prior/next event per user (funnel / retention building block)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "e_rolling_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS sum7
+    FROM orders
+    """,
+)
+def e_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average/sum per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        # avg of 2-decimal money lands on exact .005 halves (e.g. sum of 2
+        # rows / 2) where engines' rounding modes diverge; 6dp is past the
+        # exact decimal width so rounding is unambiguous (SURVEY.md §5.3-1).
+        F.round(F.avg("o_totalprice").over(w), 6).alias("avg7"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum7"),
+    )
+
+
+@register(
+    "e_range_frame",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           count(*) OVER (
+               PARTITION BY p_brand ORDER BY p_size
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_close
+    FROM part
+    """,
+)
+def e_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: parts within 2 size units below, per brand."""
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, W.currentRow)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.count("*").over(w).alias("n_close"),
+    )
+
+
+@register(
+    "e_cumulative",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    """,
+)
+def e_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user over time."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "e_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def e_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of customers by balance."""
+    c = load(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+@register(
+    "e_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_total,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_total
+    FROM orders
+    """,
+)
+def e_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order value per customer with an explicit full frame
+    (the default frame would silently truncate last_value at CURRENT ROW)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+    )
+
+
+@register(
+    "e_sessionize_batch",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS sid
+        FROM g
+    )
+    SELECT user_id, sid, count(*) AS n, min(ts) AS s, max(ts) AS e
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def e_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: lag -> gap flag -> cumulative sum
+    session id -> per-session aggregates. Two stacked windows over the same
+    (user_id) partitioning, so Spark reuses one shuffle+sort for both."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Compare gaps at microsecond precision (casting to long would truncate
+    # to seconds and flip sessions whose gap straddles the 30-min boundary
+    # by a fraction of a second — the oracle compares exact intervals).
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return sessions.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e")
+    )

@@ -1,9 +1,250 @@
-"""Structured Streaming jobs with batch-parity forms (SURVEY.md §2-I)."""
+"""Structured Streaming jobs with batch-parity design (SURVEY.md §2-I).
+
+Reference analog: Kafka binlog + event-tracking streams landed in
+micro-batches by Airflow tasks (SURVEY.md §0.3). Design rule (SURVEY.md
+§5.4): every streaming aggregation has an identical batch formulation on
+the same events table. The *batch* form is what's declared here and
+hash-checked against DuckDB; `run_streaming_twin` executes the streaming
+formulation (file source -> availableNow trigger -> memory sink) and the
+pytest parity harness asserts streaming output == batch output.
+
+At scale: these are the operators whose state lives in the StateStore
+(RocksDB on a real cluster); watermarks bound state growth, and
+session/tumbling windows shard by (group key, window) so state is
+shuffle-partitioned like any aggregation.
+"""
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.io import load
+from ..sources.io import load, load_stream, scratch_path
+
+
+# ---------------------------------------------------------------------------
+# Batch forms (declared, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "i_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+           count(*) AS c, round(sum(value), 2) AS v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def i_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums per event type (batch form).
+
+    F.window aligns buckets to the epoch exactly like DuckDB time_bucket
+    for sub-day intervals; the struct's start is projected as the bucket.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("window.start").alias("w"), "event_type", "c", "v")
+    )
+
+
+@register(
+    "i_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - g.k * INTERVAL '15 minutes' AS w,
+           event_type, count(*) AS c, round(sum(value), 2) AS v
+    FROM events CROSS JOIN generate_series(0, 3) AS g(k)
+    GROUP BY 1, 2
+    """,
+)
+def i_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (batch form). Each event
+    lands in 4 overlapping windows; the oracle expands the 4 bucket starts
+    explicitly via generate_series."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("window.start").alias("w"), "event_type", "c", "v")
+    )
+
+
+@register(
+    "i_session",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS sid
+        FROM g
+    )
+    SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
+           count(*) AS n, round(sum(value), 2) AS v
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def i_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (batch form of
+    F.session_window). Spark closes a session when the next event is >=
+    gap after the previous (strictly-less extends), and reports
+    end = last_ts + gap — the oracle replicates both rules.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n",
+            "v",
+        )
+    )
+
+
+@register("i_watermark_late")
+def i_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation. In batch execution the watermark
+    is a no-op (nothing is late against a complete table), so this is
+    rows-only here; the real late-data drop semantics are asserted by the
+    streaming harness test with a constructed out-of-order batch sequence.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("w"), "event_type", "c")
+    )
+
+
+@register(
+    "i_stream_dedupe",
+    oracle="""
+    SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def i_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event dedup (batch form): replay the feed twice, keep
+    one row per event_id. Streaming twin uses
+    withWatermark().dropDuplicates() so dedup state expires with the
+    watermark instead of growing forever."""
+    ev = load(spark, sf_dir, "events")
+    return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+@register(
+    "i_stateful_counter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def i_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals (batch form). The streaming twin maintains
+    the same counters across micro-batches via transformWithStateInPandas
+    (tested in the parity harness)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@register("i_foreach_batch_sink")
+def i_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch incremental load (the Airflow daily-partition analog):
+    foreachBatch writes each micro-batch into a dt-partitioned parquet
+    table with idempotent dynamic overwrite, then the landed table is
+    re-read. Rows-only (sink round-trip)."""
+    out = scratch_path("foreach_batch", "events_by_day")
+    ckpt = scratch_path("foreach_batch", f"ckpt_{uuid.uuid4().hex}")
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .write.partitionBy("dt")
+            .mode("overwrite")
+            .parquet(out)
+        )
+
+    q = (
+        load_stream(spark, sf_dir, "events")
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "value", F.col("dt").cast("string").alias("dt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins (used by the pytest parity harness, not declared)
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_twin(
+    spark: SparkSession, sf_dir: str, build, name_prefix: str = "twin"
+) -> DataFrame:
+    """Run `build(streaming_events_df) -> DataFrame` as a streaming query
+    over the staged file source with an availableNow trigger and a memory
+    sink; return the landed result table."""
+    stream = load_stream(spark, sf_dir, "events")
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_tumbling(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("window.start").alias("w"), "event_type", "c", "v")
+    )
+
+
+def streaming_session(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n",
+            "v",
+        )
+    )
+
+
+def streaming_counter(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
