@@ -39,10 +39,10 @@ def _normalized_matrix(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     "k_similarity_topk",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    ORDER BY round(list_cosine_similarity(a.embedding, b.embedding), 6) DESC,
-             a.vec_id, b.vec_id
+    ORDER BY sim DESC, a.vec_id, b.vec_id
     LIMIT 10
     """,
 )
@@ -88,10 +88,10 @@ def k_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "k_knn_query",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id, label,
-           round(list_cosine_similarity(embedding, q.qv), 6) AS sim
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS sim
     FROM embeddings CROSS JOIN q
     WHERE vec_id <> 0
     ORDER BY sim DESC, vec_id
@@ -124,9 +124,11 @@ def k_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k_embed_near_dup",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.9
     """,
 )
 def k_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,9 +1,215 @@
-"""Text analysis operators (SURVEY.md §2-K: stats, tf-idf, curation)."""
+"""Text analysis operators (SURVEY.md §2-K): corpus statistics, language
+curation, TF-IDF top terms, quality scoring, language-ID heuristic,
+token counting, and document fingerprinting.
+
+All token work uses split/explode + built-in functions (JVM-side); the
+only shuffles key on (lang, term) or doc_id — uniform keys, map-side
+partial aggregation everywhere.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.io import load
+
+
+@register(
+    "k_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def k_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, avg chars, avg token count."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+    )
+
+
+@register(
+    "k_lang_partition",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def k_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation cut: per (language, source) inventory — the
+    partition-pruning axis a 100 TB corpus would be laid out on
+    (write.partitionBy('lang') -> scan only the language you train on)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "k_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT lang, term, count(*) AS tf
+        FROM tok GROUP BY lang, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, score FROM (
+        SELECT lang, term, score,
+               row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def k_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per language: explode -> tf per (lang, term),
+    df per term, idf = ln(N/df), window top-k. The df side is tiny
+    (vocabulary) so it broadcasts into the scoring join."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "lang",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "term", "score")
+    )
+
+
+@register(
+    "k_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS ttr,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+               AS avg_token_len,
+           (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.2) AS passes
+    FROM documents
+    """,
+)
+def k_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals (length band, type-token ratio, mean token
+    length) + a pass/fail gate — the pre-training filter idiom."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
+        (n_tok.between(20, 1000) & (ttr > 0.2)).alias("passes"),
+    )
+
+
+@register(
+    "k_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_intersect(string_split(text, ' '),
+                   ['join', 'filter', 'window', 'scan'])) AS en_hits,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           (CAST(en_hits AS DOUBLE) / n_tokens > 0.01) AS guessed_en
+    FROM scored
+    """,
+)
+def k_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit-rate (an n-gram/stopword
+    profile in miniature — deterministic, so fully oracle-checkable)."""
+    d = load(spark, sf_dir, "documents")
+    markers = F.array(*[F.lit(m) for m in ["join", "filter", "window", "scan"]])
+    toks = F.split("text", " ")
+    hits = F.size(F.array_intersect(F.array_distinct(toks), markers))
+    # NOTE: array_intersect(distinct_tokens, markers) counts distinct hits,
+    # matching DuckDB list_intersect set semantics.
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        ((hits.cast("double") / F.size(toks)) > 0.01).alias("guessed_en"),
+    )
+
+
+@register(
+    "k_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def k_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cost-estimation
+    primitive for training-data budgeting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        # idx=0 = whole match (Spark defaults to group 1, which this
+        # group-free alternation pattern doesn't have)
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register("k_fingerprint")
+def k_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 5-token shingles -> xxhash64 rolling-hash
+    analog -> min-hash fingerprint per doc (winnowing-style). Rows-only
+    (xxhash64 has no DuckDB twin). The fingerprint column is what a
+    100 TB near-dup pass would band-join on."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("min_shingle_hash"),
+        F.array_max(hashes).alias("max_shingle_hash"),
+        F.size(hashes).alias("n_shingles"),
+    )

@@ -1,0 +1,47 @@
+"""Physical-plan inspection helpers: assert the plan Catalyst produced is
+the plan we want (pushdown reached the scan, the dimension broadcast, the
+top-k avoided a global sort). Used by tests/test_plans.py — the 100 TB
+discipline made executable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if the parquet scan carries at least one pushed filter."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and "[]" not in line.replace(" ", ""):
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names the parquet scan actually reads (pruning check)."""
+    import re
+
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(f.split(":")[0] for f in m.group(1).split(",") if f)
+    return cols
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange")

@@ -1,0 +1,47 @@
+"""Physical-plan quality gates: after correctness, assert the plan shape
+that survives a 100x scale-up (pushdown reached the scan, dimensions
+broadcast, top-k avoided global sort, scans are column-pruned).
+"""
+
+from __future__ import annotations
+
+from opay_datalake_script_spark.plans.inspect import (
+    has_pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+from .conftest import SF_DIR
+
+load_all_queries()
+
+
+def test_scan_projected_pushes_filters_and_prunes(spark):
+    df = QUERIES["a_scan_projected"](spark, SF_DIR)
+    assert has_pushed_filters(df), "predicates must reach the parquet scan"
+    cols = set(read_schema_columns(df))
+    assert "c_name" in cols and "c_acctbal" in cols
+    assert "c_nationkey" not in cols, "unused columns must be pruned from the scan"
+
+
+def test_flagship_prunes_to_needed_columns(spark):
+    df = QUERIES["d_agg_basic"](spark, SF_DIR)
+    cols = set(read_schema_columns(df))
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        "pricing summary reads only flag/status/qty/price/discount/shipdate"
+    )
+    assert has_pushed_filters(df), "shipdate filter must be pushed to parquet"
+
+
+def test_broadcast_join_is_broadcast(spark):
+    assert uses_broadcast_join(QUERIES["c_join_broadcast"](spark, SF_DIR))
+
+
+def test_multiway_star_broadcasts_dims(spark):
+    assert uses_broadcast_join(QUERIES["c_join_multiway"](spark, SF_DIR))
+
+
+def test_top_n_avoids_global_sort(spark):
+    assert uses_take_ordered(QUERIES["f_top_n"](spark, SF_DIR))

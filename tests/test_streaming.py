@@ -1,0 +1,182 @@
+"""Streaming parity harness (SURVEY.md §5.4): every §2-I streaming twin
+must produce exactly the batch formulation's output over the same files;
+watermark late-data semantics are asserted with a constructed out-of-order
+micro-batch sequence.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+from opay_datalake_script_spark.sources.io import SCRATCH_DIR
+from opay_datalake_script_spark.streaming import jobs
+
+from .conftest import SF_DIR, normalized_rows
+
+load_all_queries()
+
+
+def _assert_same(df_a, df_b):
+    a, b = normalized_rows(df_a.toPandas()), normalized_rows(df_b.toPandas())
+    assert len(a) == len(b)
+    assert a == b
+
+
+def test_streaming_tumbling_parity(spark):
+    batch = QUERIES["i_tumbling"](spark, SF_DIR)
+    stream = jobs.run_streaming_twin(spark, SF_DIR, jobs.streaming_tumbling, "tumb")
+    _assert_same(batch, stream)
+
+
+def test_streaming_session_parity(spark):
+    batch = QUERIES["i_session"](spark, SF_DIR)
+    stream = jobs.run_streaming_twin(spark, SF_DIR, jobs.streaming_session, "sess")
+    _assert_same(batch, stream)
+
+
+def test_streaming_counter_parity(spark):
+    batch = QUERIES["i_stateful_counter"](spark, SF_DIR)
+    stream = jobs.run_streaming_twin(spark, SF_DIR, jobs.streaming_counter, "cnt")
+    _assert_same(batch, stream)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Files become micro-batches (maxFilesPerTrigger=1 under one
+    availableNow run — the memory sink cannot restart from a checkpoint, so
+    a single query must see them all). Since Spark 3.4 late-event filtering
+    uses the PREVIOUS batch's watermark (eviction uses the current one), so
+    the late row arrives two files after the one that advanced the clock:
+    b1 sets watermark 12:00, b2 is a spacer batch, b3's 09:00 row is then
+    judged against 12:00 and must be dropped from the append output."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(SCRATCH_DIR, "late_src")
+    ckpt = os.path.join(SCRATCH_DIR, "late_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+
+    def write_batch(name, rows, mtime):
+        tmp = os.path.join(SCRATCH_DIR, "late_tmp", name)
+        spark.createDataFrame(rows, "event_id long, ts timestamp, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{name}.parquet")
+                shutil.copy(os.path.join(tmp, f), dst)
+                os.utime(dst, (mtime, mtime))  # file source orders by mtime
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    write_batch("b1", [(1, t0, 1.0), (2, t0 + dt.timedelta(hours=1), 1.0)], mtime=1000)
+    # b2: spacer batch so b1's watermark becomes the late-event filter value
+    write_batch("b2", [(3, t0 + dt.timedelta(hours=2), 1.0)], mtime=2000)
+    # b3: one on-time row + one row 3 hours before the 12:00 watermark
+    write_batch(
+        "b3",
+        [
+            (5, t0 + dt.timedelta(hours=3), 1.0),
+            (4, t0 - dt.timedelta(hours=3), 99.0),  # late: before watermark
+        ],
+        mtime=3000,
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("w"), "c")
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = {r["w"] for r in spark.table("late_out").collect()}
+    assert out, "on-time windows should have been emitted"
+    assert t0 - dt.timedelta(hours=3) not in out, "late row should have been dropped"
+
+
+def test_stateful_counter_across_batches(spark):
+    """transformWithStateInPandas (or applyInPandasWithState fallback):
+    per-user counters must accumulate across two micro-batches."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = os.path.join(SCRATCH_DIR, "state_src")
+    ckpt = os.path.join(SCRATCH_DIR, "state_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+
+    schema = "user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(SCRATCH_DIR, "state_tmp", name)
+        )
+        tmp = os.path.join(SCRATCH_DIR, "state_tmp", name)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, f), os.path.join(src, f"{name}.parquet"))
+
+    def count_state(key, pdfs, state):
+        prev = state.get[0] if state.exists else 0
+        n = sum(len(p) for p in pdfs)
+        state.update((prev + n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [prev + n]})
+
+    write_file("s1", [(1, 1.0), (1, 2.0), (2, 1.0)])
+    write_file("s2", [(1, 5.0), (3, 1.0)])
+    os.utime(os.path.join(src, "s1.parquet"), (1000, 1000))
+    os.utime(os.path.join(src, "s2.parquet"), (2000, 2000))
+
+    # one availableNow run; maxFilesPerTrigger=1 makes each file its own
+    # micro-batch, so state must carry user 1's count from batch 1 to 2
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            count_state,
+            outputStructType="user_id long, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1, "expected two micro-batches"
+
+    # update-mode memory sink appends each batch's emissions; the counter
+    # is monotone so the final value per user is the max emission
+    rows = {}
+    for r in spark.table("state_out").collect():
+        rows[r["user_id"]] = max(r["n"], rows.get(r["user_id"], 0))
+    assert rows[1] == 3  # 2 from batch 1 + 1 from batch 2
+    assert rows[3] == 1
