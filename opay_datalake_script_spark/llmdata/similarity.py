@@ -69,16 +69,22 @@ def k_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids, mat = _normalized_matrix(pdf)
             sims = mat @ b_mat.value.T  # (block, n) BLAS product
-            rows_a = np.repeat(ids, len(b_ids.value))
-            rows_b = np.tile(b_ids.value, len(ids))
+            # mask the lower triangle (unordered-pair dedupe), then take the
+            # block-local top-k straight off the score matrix — never
+            # materializing the O(block*n) candidate pairs as a DataFrame
+            sims[ids[:, None] >= b_ids.value[None, :]] = -np.inf
             flat = sims.ravel()
-            keep = rows_a < rows_b  # dedupe unordered pairs
-            cand = pd.DataFrame(
-                {"vec_a": rows_a[keep], "vec_b": rows_b[keep], "sim": flat[keep]}
+            kk = min(k, flat.size)
+            idx = np.argpartition(flat, -kk)[-kk:]
+            ai, bi = np.unravel_index(idx, sims.shape)
+            yield pd.DataFrame(
+                {"vec_a": ids[ai], "vec_b": b_ids.value[bi], "sim": flat[idx]}
             )
-            yield cand.nlargest(min(k, len(cand)), "sim")
 
-    local = emb.repartition(16, "vec_id").mapInPandas(block_topk, schema=_TOPK_SCHEMA)
+    # Parallelism comes from the input's natural partitioning (file splits
+    # at scale); forcing a repartition here would add a shuffle stage that
+    # costs more than it buys at any size — blocks just need to be batches.
+    local = emb.mapInPandas(block_topk, schema=_TOPK_SCHEMA)
     return (
         local.withColumn("sim", F.round("sim", 6))
         .orderBy(F.col("sim").desc(), "vec_a", "vec_b")

@@ -274,24 +274,26 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star join: revenue by nation in ASIA (TPC-H Q5 shape).
 
-    Fact tables (lineitem, orders) sort-merge on their keys; the dimension
-    chain (customer side: nation x region pre-joined, region filter applied
-    before the join) broadcasts. The region filter prunes before anything
-    heavy runs — Catalyst pushes it below the joins.
+    One streaming pass over the fact table: every dimension side
+    (orders/customer/nation/region) is broadcast, so lineitem is scanned
+    once through a chain of broadcast-hash joins with no shuffle until
+    the final 5-group aggregate. A flat broadcast chain beats pre-joining
+    the dimensions into one broadcast (that serializes extra build jobs).
+    The region filter prunes before anything heavy runs — Catalyst pushes
+    it below the joins. At 100 TB orders outgrows the broadcast threshold
+    and AQE falls back to a shuffled join on l_orderkey for that edge
+    only; the dimension chain still broadcasts.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    dim = F.broadcast(
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-            F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
-        )
-    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dim, o.o_custkey == F.col("c_custkey"))
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
