@@ -159,3 +159,44 @@ def j_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInPandas(
         transform, schema="l_orderkey long, l_linenumber int, net double, bucket string"
     )
+
+
+@register(
+    "j_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross
+    FROM lineitem
+    """,
+)
+def j_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition transform at the Arrow RecordBatch level: mapInArrow
+    skips the pandas conversion entirely (zero-copy columnar compute via
+    pyarrow.compute), the lowest-overhead Python escape hatch — use it when
+    the per-batch logic is itself columnar.
+
+    gross is left unrounded on both sides: the multiply chain is the same
+    left-associated IEEE double expression in both engines (bit-identical),
+    while per-row round(x, 2) flips ulp-boundary cases differently per
+    engine across 60k rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            disc = batch.column("l_discount")
+            tax = batch.column("l_tax")
+            gross = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), gross],
+                names=["l_orderkey", "l_linenumber", "gross"],
+            )
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.mapInArrow(
+        transform, schema="l_orderkey long, l_linenumber int, gross double"
+    )
