@@ -301,3 +301,45 @@ def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "c_join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def c_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join, result-identical to the plain join (the
+    oracle is the unsalted SQL): the fact side gets a deterministic salt
+    in [0, N) and the dim side is replicated N ways, so the join key
+    becomes (key, salt) and one hot key spreads across N reducers.
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't help (a single hot key that exceeds one reducer's memory);
+    locally it costs an N-way dim blow-up, which is why it's a separate
+    operator rather than the default join path. The salt must be
+    deterministic (hash of a fact-side column, never rand()) to keep
+    reruns idempotent and the oracle hash stable.
+    """
+    N = 8
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(N)).cast("int")
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N - 1)))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -44,4 +44,9 @@ def uses_take_ordered(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Number of Exchange (shuffle) nodes in the physical plan. Counts the
+    formatted plan's numbered detail entries — each node appears once as
+    "(n) Exchange" there, while the tree section would double-count."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))

@@ -248,3 +248,12 @@ def streaming_counter(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+def streaming_sliding(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("window.start").alias("w"), "event_type", "c", "v")
+    )

@@ -45,3 +45,23 @@ def test_multiway_star_broadcasts_dims(spark):
 
 def test_top_n_avoids_global_sort(spark):
     assert uses_take_ordered(QUERIES["f_top_n"](spark, SF_DIR))
+
+
+def test_single_shuffle_aggregations(spark):
+    """The snapshot-dedup window and the hash-dedup groupBy each need
+    exactly ONE shuffle (partial aggregation / windowing on one key);
+    a second Exchange would mean a redundant repartition crept in."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["e_dedupe_latest"](spark, SF_DIR)) == 1
+    assert count_shuffles(QUERIES["k_exact_dedup"](spark, SF_DIR)) == 1
+    assert count_shuffles(QUERIES["d_agg_basic"](spark, SF_DIR)) == 1
+
+
+def test_salted_join_spreads_key(spark):
+    """The salted join's shuffle keys must include the salt column —
+    that's the whole point (one hot key -> N reducers)."""
+    from opay_datalake_script_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["c_join_skew_salted"](spark, SF_DIR))
+    assert "salt" in plan

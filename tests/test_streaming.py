@@ -180,3 +180,9 @@ def test_stateful_counter_across_batches(spark):
         rows[r["user_id"]] = max(r["n"], rows.get(r["user_id"], 0))
     assert rows[1] == 3  # 2 from batch 1 + 1 from batch 2
     assert rows[3] == 1
+
+
+def test_streaming_sliding_parity(spark):
+    batch = QUERIES["i_sliding"](spark, SF_DIR)
+    stream = jobs.run_streaming_twin(spark, SF_DIR, jobs.streaming_sliding, "slide")
+    _assert_same(batch, stream)
