@@ -1,0 +1,97 @@
+"""Composite ADS-layer report queries — the reference's end-product shape.
+
+The Opay warehouse's ADS layer assembles multi-level daily business
+reports (GMV/order metrics by day x dimension with subtotals, and
+event-funnel conversion) from the DWD/DWS joins below it; these two
+queries exercise that full shape end-to-end: star join + date bucketing +
+grouping sets in one pass, and JSON-free funnel pivoting over the event
+stream. Each individual operator is covered by its own §2 query; these
+prove the composition.
+
+At 100 TB: one scan + one shuffle feeds every subtotal level (grouping
+sets share the aggregation), dimensions broadcast, and the report output
+is tiny — the classic wide-in / narrow-out ADS job that exports to a
+dashboard store (see sources/io.py write_jdbc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+
+@register(
+    "r_ads_daily_report",
+    oracle="""
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS dt,
+           n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS gmv,
+           count(DISTINCT o_custkey) AS n_buyers,
+           CAST(GROUPING(CAST(date_trunc('day', o_orderdate) AS DATE), n_name)
+                AS INTEGER) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((1, 2), (1), ())
+    """,
+)
+def r_ads_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily GMV report by (day, nation) with per-day subtotals and a grand
+    total — one scan, one shuffle, all levels (the ADS daily-report idiom:
+    star join + grouping sets + money rounding)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("dt", F.date_trunc("day", "o_orderdate").cast("date"))
+    )
+    return joined.groupingSets(
+        [["dt", "n_name"], ["dt"], []], "dt", "n_name"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("gmv"),
+        F.countDistinct("o_custkey").alias("n_buyers"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@register(
+    "r_funnel_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+           count(*) FILTER (WHERE event_type = 'view') AS views,
+           count(*) FILTER (WHERE event_type = 'click') AS clicks,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           round(CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                 / nullif(count(*) FILTER (WHERE event_type = 'view'), 0), 6)
+               AS view_to_purchase
+    FROM events GROUP BY 1
+    """,
+)
+def r_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event funnel: stage counts via filtered aggregation (the
+    sum(CASE WHEN) report-pivot idiom) + conversion ratio with an explicit
+    null-safe divide."""
+    ev = load(spark, sf_dir, "events")
+    stage = lambda s: F.count(F.when(F.col("event_type") == s, 1))  # noqa: E731
+    return (
+        ev.withColumn("dt", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("dt")
+        .agg(
+            stage("view").alias("views"),
+            stage("click").alias("clicks"),
+            stage("purchase").alias("purchases"),
+            F.round(
+                F.try_divide(
+                    stage("purchase").cast("double"), F.nullif(stage("view"), F.lit(0))
+                ),
+                6,
+            ).alias("view_to_purchase"),
+        )
+    )
