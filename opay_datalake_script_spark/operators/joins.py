@@ -343,3 +343,52 @@ def c_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "c_join_bucketed",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on bucketed tables: both sides are written
+    bucketBy(16, orderkey) + sortBy, so the join consumes the bucket
+    layout directly — ZERO shuffle for the join itself (the only Exchange
+    left is the 5-group aggregate; tests/test_plans.py pins this).
+
+    This is the storage-layout answer to the biggest 100 TB cost: a
+    fact-fact join re-shuffling both sides on every run. Bucketing pays
+    the shuffle once at write time and every downstream join/aggregation
+    on the bucket key is exchange-free. Result is oracle-identical to the
+    plain join.
+    """
+    import os
+
+    from ..sources.io import SCRATCH_DIR
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(SCRATCH_DIR, f"bucketed_{tag}")
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tbl = f"bkt_{name}_{tag.replace('.', '_')}"
+        (
+            load(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .saveAsTable(tbl)
+        )
+    li = spark.table(f"bkt_lineitem_{tag.replace('.', '_')}")
+    o = spark.table(f"bkt_orders_{tag.replace('.', '_')}")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

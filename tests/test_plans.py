@@ -65,3 +65,11 @@ def test_salted_join_spreads_key(spark):
 
     plan = formatted_plan(QUERIES["c_join_skew_salted"](spark, SF_DIR))
     assert "salt" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The bucketed fact-fact join must not add an Exchange: the only
+    shuffle in join+agg is the final 5-group aggregate."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["c_join_bucketed"](spark, SF_DIR)) == 1

@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis) for the composed operators whose
+logic Spark doesn't provide natively — the union+window as-of join and
+the gap-based batch sessionizer — checked against naive single-machine
+reference implementations on randomized small inputs.
+
+hypothesis drives the INPUT GENERATION only; each example runs through
+the same Spark code paths the registered queries use. Spark-side runs
+are slow (~1s each), so max_examples stays small — the value is in the
+adversarial shapes (ties, empty sides, duplicate timestamps), which
+hypothesis finds quickly and the fixture data never contains.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1)
+
+# (user_id, minutes_offset, kind) — tiny domains force collisions:
+# same-user same-ts click+purchase ties, duplicate click timestamps,
+# users with purchases but no clicks, and vice versa.
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=10),
+        st.sampled_from(["click", "purchase"]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _spark_asof(spark, rows):
+    """The c_join_asof union+window formulation applied to ad-hoc rows."""
+    ev = spark.createDataFrame(
+        [
+            (i, u, T0 + dt.timedelta(minutes=m), k)
+            for i, (u, m, k) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", F.lit(0).alias("kind"), "click_id",
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"), "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        clicks.unionByName(purch)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select("event_id", "last_click_id")
+        .collect()
+    )
+    return {r["event_id"]: r["last_click_id"] for r in out}
+
+
+def _naive_asof(rows):
+    """Reference: for each purchase, the max-event_id click at the latest
+    click ts <= purchase ts for the same user; None if no such click."""
+    out = {}
+    for i, (u, m, k) in enumerate(rows):
+        if k != "purchase":
+            continue
+        cands = [
+            (mm, j)
+            for j, (uu, mm, kk) in enumerate(rows)
+            if kk == "click" and uu == u and mm <= m
+        ]
+        if not cands:
+            out[i] = None
+        else:
+            best_ts = max(mm for mm, _ in cands)
+            out[i] = max(j for mm, j in cands if mm == best_ts)
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_asof_join_matches_naive(spark, rows):
+    assert _spark_asof(spark, rows) == _naive_asof(rows)
+
+
+sessions_strategy = st.lists(
+    st.integers(min_value=0, max_value=200),  # minute offsets, gap = 30 min
+    min_size=0,
+    max_size=15,
+)
+
+
+def _spark_sessionize(spark, offsets):
+    """The e_sessionize_batch two-window formulation on ad-hoc rows."""
+    if not offsets:
+        return []
+    ev = spark.createDataFrame(
+        [(i, 1, T0 + dt.timedelta(minutes=m)) for i, m in enumerate(offsets)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+        > 30 * 60,
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("new_session", gap)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return sorted(r["n"] for r in sessions)
+
+
+def _naive_sessionize(offsets):
+    if not offsets:
+        return []
+    ts = sorted(offsets)
+    sizes, cur = [], 1
+    for a, b in zip(ts, ts[1:]):
+        if b - a > 30:
+            sizes.append(cur)
+            cur = 1
+        else:
+            cur += 1
+    sizes.append(cur)
+    return sorted(sizes)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(offsets=sessions_strategy)
+def test_sessionize_matches_naive(spark, offsets):
+    assert _spark_sessionize(spark, offsets) == _naive_sessionize(offsets)

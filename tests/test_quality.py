@@ -1,0 +1,74 @@
+"""Data-quality gate tests (the reference's row-count/sensor discipline,
+SURVEY.md §5.1) — gates over the fixture tables plus the failure path,
+and the single-scan guarantee."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opay_datalake_script_spark import quality as Q
+from opay_datalake_script_spark.sources.io import SCRATCH_DIR, load
+
+from .conftest import SF_DIR
+
+
+def test_gates_pass_on_orders(spark):
+    o = load(spark, SF_DIR, "orders")
+    report = Q.run_gates(
+        o,
+        [
+            Q.row_count(min_rows=1),
+            Q.not_null("o_orderkey"),
+            Q.unique_key("o_orderkey"),
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.threshold(F.sum("o_totalprice"), min_value=0.0),
+        ],
+    )
+    assert report.passed, [r for r in report.results if not r.passed]
+    report.raise_if_failed()  # no-op on success
+
+
+def test_gates_fail_and_report(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    report = Q.run_gates(
+        li,
+        [
+            Q.unique_key("l_orderkey"),  # NOT unique (multiple lines/order)
+            Q.row_count(min_rows=10**12),  # impossible at fixture scale
+        ],
+    )
+    assert not report.passed
+    assert [r.passed for r in report.results] == [False, False]
+    with pytest.raises(AssertionError, match="quality gates failed"):
+        report.raise_if_failed()
+
+
+def test_gates_run_in_single_scan(spark):
+    """N gates must compile into aggregates over ONE scan of the table —
+    never one job per check. (Shuffle count may exceed 1: countDistinct
+    legitimately needs a two-phase aggregate; the scan is what must not
+    multiply.)"""
+    import re
+
+    from opay_datalake_script_spark.plans.inspect import formatted_plan
+
+    o = load(spark, SF_DIR, "orders")
+    gates = [Q.row_count(), Q.not_null("o_custkey"), Q.unique_key("o_orderkey")]
+    aggs = [m.alias(f"g{i}") for i, (_, m, _) in enumerate(gates)]
+    plan = formatted_plan(o.agg(*aggs))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1
+
+
+def test_partition_sensor(spark):
+    base = os.path.join(SCRATCH_DIR, "sensor_sink")
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    one_day = ev.where(F.col("dt") == "2024-01-01")
+    one_day.write.mode("overwrite").partitionBy("dt").parquet(base)
+    assert Q.partition_exists(spark, base, dt="2024-01-01")
+    assert not Q.partition_exists(spark, base, dt="1999-12-31")
