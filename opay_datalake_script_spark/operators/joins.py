@@ -210,23 +210,21 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same user.
 
     Spark has no native ASOF JOIN; the scalable formulation is union +
-    window (single shuffle on user_id, no range-join blowup): tag both
-    streams, sort by (ts, kind) within user, carry the last click forward
-    with last(ignorenulls), keep purchase rows. Clicks are first deduped to
-    one per (user, ts) — the same tie rule the oracle's ASOF uses.
+    window — ONE shuffle on user_id, no range-join blowup: tag both
+    streams, sort by (ts, kind, event_id) within user, carry the last
+    click forward with last(ignorenulls), keep purchase rows. The
+    event_id ordering makes the max-event_id click win among same-ts
+    clicks (the oracle's dedup rule) without a separate pre-dedup
+    groupBy — which would cost a second shuffle, since hash partitioning
+    on (user_id, ts) doesn't co-locate a user's rows for the window.
     """
     ev = load(spark, sf_dir, "events")
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("kind"),
-            "click_id",
-            F.lit(None).cast("long").alias("event_id"),
-        )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
     )
     purch = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
@@ -238,7 +236,7 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = clicks.unionByName(purch)
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "click_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (

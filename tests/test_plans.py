@@ -73,3 +73,12 @@ def test_bucketed_join_is_shuffle_free(spark):
     from opay_datalake_script_spark.plans.inspect import count_shuffles
 
     assert count_shuffles(QUERIES["c_join_bucketed"](spark, SF_DIR)) == 1
+
+
+def test_asof_and_sessionize_single_shuffle(spark):
+    """The union+window as-of join and the stacked-window sessionizer
+    must each partition on user_id exactly once."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["c_join_asof"](spark, SF_DIR)) == 1
+    assert count_shuffles(QUERIES["e_sessionize_batch"](spark, SF_DIR)) == 1

@@ -44,12 +44,10 @@ def _spark_asof(spark, rows):
         ],
         "event_id long, user_id long, ts timestamp, event_type string",
     )
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-        .select("user_id", "ts", F.lit(0).alias("kind"), "click_id",
-                F.lit(None).cast("long").alias("event_id"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
     )
     purch = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(1).alias("kind"),
@@ -57,7 +55,7 @@ def _spark_asof(spark, rows):
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "click_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     out = (
