@@ -11,7 +11,10 @@ prove the composition.
 At 100 TB: one scan + one shuffle feeds every subtotal level (grouping
 sets share the aggregation), dimensions broadcast, and the report output
 is tiny — the classic wide-in / narrow-out ADS job that exports to a
-dashboard store (see sources/io.py write_jdbc).
+dashboard store (see sources/io.py write_jdbc). Report dates are emitted
+as yyyy-MM-dd strings: DATE values round-trip differently through each
+engine's pandas conversion (DuckDB upcasts to midnight datetime64),
+so strings keep the differential comparison unambiguous.
 """
 
 from __future__ import annotations
@@ -26,13 +29,13 @@ from ..sources.io import load
 @register(
     "r_ads_daily_report",
     oracle="""
-    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS dt,
+    SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS dt,
            n_name,
            count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS gmv,
            count(DISTINCT o_custkey) AS n_buyers,
-           CAST(GROUPING(CAST(date_trunc('day', o_orderdate) AS DATE), n_name)
-                AS INTEGER) AS gid
+           CAST(GROUPING(strftime(date_trunc('day', o_orderdate), '%Y-%m-%d'),
+                         n_name) AS INTEGER) AS gid
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -49,7 +52,7 @@ def r_ads_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .withColumn("dt", F.date_trunc("day", "o_orderdate").cast("date"))
+        .withColumn("dt", F.date_format("o_orderdate", "yyyy-MM-dd"))
     )
     return joined.groupingSets(
         [["dt", "n_name"], ["dt"], []], "dt", "n_name"
@@ -64,7 +67,7 @@ def r_ads_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "r_funnel_daily",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
            count(*) FILTER (WHERE event_type = 'view') AS views,
            count(*) FILTER (WHERE event_type = 'click') AS clicks,
            count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
@@ -81,7 +84,7 @@ def r_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     stage = lambda s: F.count(F.when(F.col("event_type") == s, 1))  # noqa: E731
     return (
-        ev.withColumn("dt", F.date_trunc("day", "ts").cast("date"))
+        ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
         .groupBy("dt")
         .agg(
             stage("view").alias("views"),

@@ -55,6 +55,10 @@ def _norm_cell(v):
         return v.to_pydatetime()
     if isinstance(v, datetime.datetime):
         return v
+    if isinstance(v, datetime.date):
+        # DuckDB's .df() upcasts DATE to datetime64 while Spark's toPandas
+        # keeps datetime.date — normalize both to midnight datetime
+        return datetime.datetime(v.year, v.month, v.day)
     return v
 
 
