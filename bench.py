@@ -53,28 +53,32 @@ def main() -> None:
     # * materialize via toPandas (Arrow batches) — the analog of DuckDB's
     #   fetchall; collect() would time row-at-a-time pickling instead.
     per_query: dict[str, float] = {}
+    failed: list[str] = []
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
-        df.toPandas()
-        times = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
+        try:
+            df = QUERIES[name](spark, sf_dir)
             df.toPandas()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df.toPandas()
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+        except Exception as ex:  # one broken query must not lose the run
+            failed.append(name)
+            print(f"bench: {name} failed: {ex}", file=sys.stderr)
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

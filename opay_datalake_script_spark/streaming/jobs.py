@@ -257,3 +257,86 @@ def streaming_sliding(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
         .select(F.col("window.start").alias("w"), "event_type", "c", "v")
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; this container ships no google.protobuf, so the TWS twin is
+    gated (SURVEY.md §2-I names applyInPandasWithState as the fallback,
+    which run_streaming_twin + streaming_counter cover)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_running_counter():
+    """StatefulProcessor for transformWithStateInPandas (Spark 4 arbitrary
+    stateful API): per-user running (count, sum) carried in a ValueState
+    across micro-batches — the modern replacement for
+    applyInPandasWithState, with typed state handles and TTL support."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tot = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            if self._state.exists():
+                prev_n, prev_tot = self._state.get()
+                n, tot = n + prev_n, tot + prev_tot
+            self._state.update((n, tot))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(tot, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningCounter()
+
+
+def run_tws_counter(spark: SparkSession, sf_dir: str, name_prefix: str = "tws") -> DataFrame:
+    """Streaming twin of i_stateful_counter built on
+    transformWithStateInPandas; returns the landed memory-sink table.
+    Raises ImportError when protobuf is unavailable (see tws_available)."""
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf, absent in"
+            " this environment — use the applyInPandasWithState twin instead"
+        )
+    stream = load_stream(spark, sf_dir, "events")
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_running_counter(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

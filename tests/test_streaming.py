@@ -186,3 +186,25 @@ def test_streaming_sliding_parity(spark):
     batch = QUERIES["i_sliding"](spark, SF_DIR)
     stream = jobs.run_streaming_twin(spark, SF_DIR, jobs.streaming_sliding, "slide")
     _assert_same(batch, stream)
+
+
+@pytest.mark.skipif(
+    not jobs.tws_available(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here);"
+    " applyInPandasWithState twin covers the stateful path",
+)
+def test_transform_with_state_parity(spark):
+    """Spark 4 transformWithStateInPandas twin must reproduce the batch
+    per-user totals (update-mode sink: last emission per user wins —
+    totals are monotone so take the max)."""
+    batch = {
+        (r["user_id"]): (r["n_events"], r["total_value"])
+        for r in QUERIES["i_stateful_counter"](spark, SF_DIR).collect()
+    }
+    landed = jobs.run_tws_counter(spark, SF_DIR)
+    got = {}
+    for r in landed.collect():
+        prev = got.get(r["user_id"])
+        cur = (r["n_events"], r["total_value"])
+        got[r["user_id"]] = max(prev, cur) if prev else cur
+    assert got == batch
