@@ -82,3 +82,22 @@ def test_asof_and_sessionize_single_shuffle(spark):
 
     assert count_shuffles(QUERIES["c_join_asof"](spark, SF_DIR)) == 1
     assert count_shuffles(QUERIES["e_sessionize_batch"](spark, SF_DIR)) == 1
+
+
+def test_lsh_recall_against_exact_jaccard(spark):
+    """SURVEY §7.4 risk 5: LSH candidates must cover >= 95% of the exact
+    Jaccard >= 0.6 pairs (k_jaccard_pairs is the ground truth). With
+    numHashTables=8 and seed=42 the measured recall is ~96.9% and fully
+    deterministic — this pins it against silent regressions (fewer
+    tables, a lost seed, or a tokenization drift would all show here)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["k_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["k_near_dedup_lsh"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should contain high-jaccard pairs"
+    recall = 1 - len(exact - lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.4f} below bound"
