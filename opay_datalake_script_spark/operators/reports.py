@@ -19,7 +19,7 @@ so strings keep the differential comparison unambiguous.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -97,4 +97,45 @@ def r_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("view_to_purchase"),
         )
+    )
+
+
+@register(
+    "r_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_n
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(day_n AS BIGINT) AS day_n,
+           count(*) AS active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def r_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent active day — min-over-window for the cohort (one
+    shuffle on user_id, reused by the distinct), then the tiny
+    (cohort, day_n) aggregate. The standard growth-analytics query shape.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    w = W.partitionBy("user_id")
+    return (
+        ev.withColumn("cohort_day", F.min("day").over(w))
+        .select("user_id", "cohort_day", F.datediff("day", "cohort_day").alias("day_n"))
+        .distinct()
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_n").cast("long").alias("day_n"),
+        )
+        .agg(F.count("*").alias("active_users"))
     )
