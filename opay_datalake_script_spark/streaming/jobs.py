@@ -201,18 +201,23 @@ def i_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_streaming_twin(
-    spark: SparkSession, sf_dir: str, build, name_prefix: str = "twin"
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    name_prefix: str = "twin",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run `build(streaming_events_df) -> DataFrame` as a streaming query
     over the staged file source with an availableNow trigger and a memory
-    sink; return the landed result table."""
+    sink; return the landed result table. Aggregating twins use complete
+    mode; join twins must pass output_mode="append"."""
     stream = load_stream(spark, sf_dir, "events")
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         build(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -340,3 +345,122 @@ def run_tws_counter(spark: SparkSession, sf_dir: str, name_prefix: str = "tws") 
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "i_stream_static_join",
+    oracle="""
+    SELECT event_id, e.user_id, event_type, round(value, 2) AS value,
+           c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def i_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch form: each event picks up its
+    user's dimension attributes — the binlog-enrich pattern. In streaming
+    the static side re-scans per micro-batch (it can be updated between
+    batches) and broadcasts, so the stream never shuffles; the streaming
+    twin (streaming_static_join) is parity-tested against this form.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(c), ev.user_id == c.c_custkey
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str):
+    """Builder for the stream-static twin: needs the session for the
+    static side, so it takes (spark, sf_dir) and returns the build fn."""
+
+    def build(events: DataFrame) -> DataFrame:
+        c = load(spark, sf_dir, "customer")
+        return events.join(
+            F.broadcast(c), events.user_id == c.c_custkey
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+
+    return build
+
+
+@register(
+    "i_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+)
+def i_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join, batch form: every purchase paired
+    with the same user's clicks from the preceding 30 minutes (attribution
+    join). In streaming both sides buffer in state bounded by watermark +
+    the time-range condition; batch form is the oracle-checked twin.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id")
+    )
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str):
+    """Builder for the stream-stream twin: two readers over the same
+    staged source, watermarked, joined on user + 30-minute band."""
+
+    def build(events: DataFrame) -> DataFrame:
+        p = (
+            events.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            load_stream(spark, sf_dir, "events")
+            .where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return p.join(
+            c,
+            (p.user_id == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).select("purchase_id", "click_id", "user_id")
+
+    return build

@@ -208,3 +208,27 @@ def test_transform_with_state_parity(spark):
         cur = (r["n_events"], r["total_value"])
         got[r["user_id"]] = max(prev, cur) if prev else cur
     assert got == batch
+
+
+def test_stream_static_join_parity(spark):
+    batch = QUERIES["i_stream_static_join"](spark, SF_DIR)
+    stream = jobs.run_streaming_twin(
+        spark, SF_DIR, jobs.streaming_static_join(spark, SF_DIR), "enrich",
+        output_mode="append",
+    )
+    _assert_same(batch, stream)
+
+
+def test_stream_stream_join_parity(spark):
+    """Stream-stream inner join with watermarks: availableNow over the
+    full file must reproduce the batch attribution join (append mode —
+    inner stream-stream joins emit matched rows only)."""
+    batch = QUERIES["i_stream_stream_join"](spark, SF_DIR)
+    stream = jobs.run_streaming_twin(
+        spark,
+        SF_DIR,
+        jobs.streaming_stream_stream_join(spark, SF_DIR),
+        "ssj",
+        output_mode="append",
+    )
+    _assert_same(batch, stream)
