@@ -356,3 +356,40 @@ def h_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("text").alias("h_crc32"),
         F.hash("text").alias("h_murmur3"),
     )
+
+
+@register(
+    "h_url",
+    oracle="""
+    WITH u AS (
+        SELECT event_id,
+               'https://opay.example/' || event_type || '?uid=' || user_id
+                   AS url
+        FROM events
+    )
+    SELECT event_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]uid=([^&]*)', 1) AS uid
+    FROM u
+    """,
+)
+def h_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse_url` — the Hive event-tracking idiom for splitting page/
+    referrer URLs into host, path, and query parameters. The URL is
+    synthesized from event columns (no URL column in the fixtures); the
+    oracle mirrors parse_url with anchored regexps. Pure JVM codegen, no
+    shuffle — scales linearly with the scan."""
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://opay.example/"),
+        F.col("event_type"),
+        F.lit("?uid="),
+        F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("uid")).alias("uid"),
+    )

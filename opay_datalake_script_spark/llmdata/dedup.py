@@ -167,3 +167,65 @@ def k_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(64):
         sig = sig.bitwiseOR(F.when(F.col(f"b{b}") > 0, mask(b)).otherwise(F.lit(0).cast("long")))
     return per_doc.select("doc_id", sig.alias("simhash64"))
+
+
+@register(
+    "k_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(t)),
+                                            i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.g, b.g))) >= 0.3
+    """,
+)
+def k_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram (2-shingle) Jaccard near-dup pairs — order-sensitive
+    where token-set Jaccard (`k_jaccard_pairs`) is not: shared shingles
+    require shared adjacency, the standard n-gram dedup family.
+
+    Blocked on `lang` like the token verifier; at 100 TB the shingle sets
+    feed MinHash (`k_near_dedup_lsh`) and this exact scorer runs only on
+    LSH candidates. Shingling itself is a JVM higher-order function
+    (`transform` over an index `sequence`) — no Python, no extra shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(element_at(split(text, ' '), i), ' ',"
+            "             element_at(split(text, ' '), i + 1)))"
+        )
+    )
+    sh = d.where(F.size(t) >= 2).select("doc_id", "lang", shingles.alias("g"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.array_union(F.col("a.g"), F.col("b.g")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

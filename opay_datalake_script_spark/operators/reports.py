@@ -139,3 +139,39 @@ def r_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "r_scd2_dim",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                    '9999-12-31') AS valid_to,
+           CAST(lead(o_orderdate) OVER w IS NULL AS INTEGER) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def r_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 "zipper table" build: each customer's order history
+    becomes versioned rows with [valid_from, valid_to) intervals and an
+    is_current flag — the DWD dimension-snapshot idiom (lead() closes each
+    interval with the next version's start; open intervals get the
+    9999-12-31 sentinel). One shuffle on the dimension key; dates emitted
+    as strings and the flag as int per the differential-comparison rules.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

@@ -283,3 +283,29 @@ def e_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "sid").agg(
         F.count("*").alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e")
     )
+
+
+@register(
+    "e_percent_rank",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def e_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a partition: percent_rank (rank-1)/(n-1)
+    and cume_dist — the percentile-position idiom for supplier scoring.
+    Both are exact integer-ratio divisions, so values are bit-identical
+    across engines with no rounding needed (SURVEY §5.3 / per-row-round
+    trap). Unique tiebreaker s_suppkey makes ranks deterministic."""
+    s = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

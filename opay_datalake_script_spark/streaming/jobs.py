@@ -350,7 +350,7 @@ def run_tws_counter(spark: SparkSession, sf_dir: str, name_prefix: str = "tws") 
 @register(
     "i_stream_static_join",
     oracle="""
-    SELECT event_id, e.user_id, event_type, round(value, 2) AS value,
+    SELECT event_id, e.user_id, event_type, value,
            c_mktsegment AS segment
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """,
@@ -370,7 +370,7 @@ def i_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.round("value", 2).alias("value"),
+        "value",
         F.col("c_mktsegment").alias("segment"),
     )
 
@@ -387,7 +387,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str):
             "event_id",
             "user_id",
             "event_type",
-            F.round("value", 2).alias("value"),
+            "value",
             F.col("c_mktsegment").alias("segment"),
         )
 
