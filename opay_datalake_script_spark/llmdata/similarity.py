@@ -209,3 +209,30 @@ def k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "k_centroid_per_label",
+    oracle="""
+    SELECT label, i AS dim, round(avg(embedding[i]), 6) AS centroid
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def k_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the k-means update
+    step that trains the IVF coarse quantizer (`k_ann_ivf`). posexplode
+    fans each vector into (label, dim, value) rows, then one hash
+    aggregate averages per cell; dims are emitted 1-based to match the
+    oracle's list indexing.
+
+    At 100 TB: the explode is map-side (no shuffle of the raw vectors);
+    the single shuffle carries only partial (sum, count) pairs per
+    (label, dim) — 64 x n_labels cells regardless of row count.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )

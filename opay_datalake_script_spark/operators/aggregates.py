@@ -332,3 +332,19 @@ def d_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("value"), 6).alias("vp"),
         F.round(F.corr(F.col("value"), k), 6).alias("cr"),
     )
+
+
+@register("d_approx_percentile")
+def d_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (KLL-style sketch) of order totals per
+    priority — the sketch twin of exact `d_percentile`. Rows-only like
+    `d_approx_count_distinct`: sketch internals differ across engines so
+    values can never hash-match; `tests/test_properties.py` bounds the
+    error against the exact quantiles instead. At 100 TB this replaces
+    the exact sort-based percentile: mergeable sketches, one shuffle of
+    constant-size state per group."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("pctl"),
+        F.count("*").alias("n"),
+    )

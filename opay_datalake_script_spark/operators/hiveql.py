@@ -1,0 +1,138 @@
+"""HiveQL-text compatibility surface (SQL entry point, SURVEY.md §3.3).
+
+The reference's jobs are HiveQL script files rendered by Airflow and sent
+to HiveServer2 (SURVEY.md §3.1 `[R]`). Spark SQL parses the same dialect,
+so those scripts can run *as text* with no rewrite: `LATERAL VIEW
+explode`, `get_json_object`, `row_number() OVER` snapshot dedup, the
+`/*+ MAPJOIN(dim) */` hint, and `DISTRIBUTE BY`/`SORT BY` all execute
+through ``spark.sql`` here verbatim. Each query registers the fixture
+tables as temp views first — the metastore-table analog — and then runs
+one HiveQL string, proving the text path produces the same
+Catalyst-optimized plans as the DataFrame builders (same pushdown,
+broadcast, and shuffle shapes; the planner is shared from the parser
+down).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.io import load
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views (the metastore analog) so
+    HiveQL text can name them; load() handles the nanos-timestamp table."""
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "s_hiveql_lateral_view",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE lang = 'en')
+    GROUP BY tok
+    """,
+)
+def s_hiveql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`LATERAL VIEW explode` — Hive's table-generating-function join,
+    run as HiveQL text. Tokenizes the English corpus into per-token
+    counts; the plan is Generate→partial agg→final agg (one shuffle)."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT tok, count(*) AS n
+        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE lang = 'en'
+        GROUP BY tok
+        """
+    )
+
+
+@register(
+    "s_hiveql_binlog_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, props ->> '$.k' AS k
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def s_hiveql_binlog_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature idiom — binlog snapshot dedup + JSON
+    payload extraction — as one verbatim HiveQL string: subquery +
+    `row_number() OVER (PARTITION BY ... ORDER BY ... DESC)` + `rn = 1`
+    + `get_json_object`. Same single-shuffle plan as `e_dedupe_latest`."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, event_type, ts,
+               get_json_object(props, '$.k') AS k
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) t WHERE rn = 1
+        """
+    )
+
+
+@register(
+    "s_hiveql_mapjoin_report",
+    oracle="""
+    SELECT r_name,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'normal' END AS prio,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS gmv
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def s_hiveql_mapjoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join report with Hive's `/*+ MAPJOIN(dim) */` hint, run as
+    text — Spark SQL accepts MAPJOIN as an alias for BROADCAST, so the
+    reference's hinted scripts keep their broadcast plans unchanged.
+    CASE WHEN bucketing + money rounding, grouped to a tiny ADS output."""
+    _views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(
+        """
+        SELECT /*+ MAPJOIN(customer, nation, region) */
+               r_name,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'normal' END AS prio,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS gmv
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register("s_hiveql_distribute_sort")
+def s_hiveql_distribute_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DISTRIBUTE BY ... SORT BY` — Hive's write-locality clustering,
+    as text. Rows-only: partition-local order is not SQL-observable
+    (same reason as `f_sort_within_partitions`), but the clause must
+    parse and produce a shuffle-on-key + per-partition sort plan, which
+    is what makes downstream partitioned writes produce run-length
+    clustered files at 100 TB."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        FROM lineitem
+        DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
+        """
+    )

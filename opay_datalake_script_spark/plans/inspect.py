@@ -50,3 +50,18 @@ def count_shuffles(df: DataFrame) -> int:
     import re
 
     return len(re.findall(r"^\(\d+\) Exchange", formatted_plan(df), re.MULTILINE))
+
+
+def has_partition_filters(df: DataFrame) -> bool:
+    """True if the scan prunes hive-style partitions (PartitionFilters
+    non-empty) — the `WHERE dt = ...` pruning the reference's daily jobs
+    depend on."""
+    import re
+
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            m = re.search(r"PartitionFilters: \[(.*?)\]", line)
+            if m and m.group(1).strip():
+                return True
+    return False

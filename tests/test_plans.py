@@ -101,3 +101,34 @@ def test_lsh_recall_against_exact_jaccard(spark):
     assert exact, "fixture should contain high-jaccard pairs"
     recall = 1 - len(exact - lsh) / len(exact)
     assert recall >= 0.95, f"LSH recall {recall:.4f} below bound"
+
+
+def test_hiveql_mapjoin_hint_broadcasts(spark):
+    """The reference's /*+ MAPJOIN(dim) */ hint, run as HiveQL text, must
+    reach the physical plan as broadcast-hash joins."""
+    assert uses_broadcast_join(QUERIES["s_hiveql_mapjoin_report"](spark, SF_DIR))
+
+
+def test_hiveql_dedup_single_shuffle(spark):
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["s_hiveql_binlog_dedup"](spark, SF_DIR)) == 1
+
+
+def test_partitioned_write_prunes_on_read(spark):
+    """A dt-partitioned sink re-read with a dt predicate must prune at
+    the partition level (PartitionFilters, not just data filters) — the
+    reference's `WHERE dt='...'` daily-job idiom."""
+    from pyspark.sql import functions as F
+
+    from opay_datalake_script_spark.plans.inspect import has_partition_filters
+    from opay_datalake_script_spark.sources.io import load, scratch_path
+
+    out = scratch_path("plans_pruning", "orders")
+    orders = load(spark, SF_DIR, "orders").withColumn(
+        "dt", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("dt").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(F.col("dt") == "1995-01")
+    assert has_partition_filters(back)
+    assert back.count() > 0

@@ -157,3 +157,33 @@ def _naive_sessionize(offsets):
 @given(offsets=sessions_strategy)
 def test_sessionize_matches_naive(spark, offsets):
     assert _spark_sessionize(spark, offsets) == _naive_sessionize(offsets)
+
+
+def test_approx_percentile_error_bound(spark):
+    """`d_approx_percentile` has no oracle (sketches differ per engine);
+    instead bound its error against the exact `percentile`: with accuracy
+    10000 on ~1.5k rows/group the sketch is effectively exact, so allow
+    only rank-level slack (0.5% of the value range per group)."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    approx = {
+        r["o_orderpriority"]: r["pctl"]
+        for r in QUERIES["d_approx_percentile"](spark, SF_DIR).collect()
+    }
+    from opay_datalake_script_spark.sources.io import load
+
+    exact_df = (
+        load(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9))).alias("pctl"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("rng"),
+        )
+    )
+    for r in exact_df.collect():
+        tol = 0.005 * r["rng"]
+        for a, e in zip(approx[r["o_orderpriority"]], r["pctl"]):
+            assert abs(a - e) <= tol, (r["o_orderpriority"], a, e, tol)
