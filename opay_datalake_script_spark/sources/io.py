@@ -206,3 +206,63 @@ def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register("a_compact_small_files")
+def a_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance job every streaming/
+    incremental ingest needs: micro-batches land hundreds of tiny files
+    per partition, and scan throughput dies on open/seek overhead long
+    before 100 TB. Rewrite with a coarse `repartition` so each output
+    file approaches the HDFS-block / row-group sweet spot.
+
+    Rows-only: compaction must be a pure rewrite (same rows, same
+    values); the test additionally asserts the file count shrank. At
+    cluster scale the same job runs per `dt=` partition with
+    `maxRecordsPerFile` bounding file size.
+    """
+    import glob
+
+    src = load(spark, sf_dir, "events")
+    fragmented = scratch_path("compact", "fragmented")
+    compacted = scratch_path("compact", "compacted")
+    # Simulate micro-batch litter: 64 splinter files for one table.
+    src.repartition(64).write.mode("overwrite").parquet(fragmented)
+    spark.read.parquet(fragmented).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    n_frag = len(glob.glob(os.path.join(fragmented, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_comp < n_frag, (n_comp, n_frag)
+    return spark.read.parquet(compacted).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register("a_scan_schema_evolution")
+def a_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (`mergeSchema`) — ODS schema drift: a new
+    upstream column appears mid-history, so old partitions lack it and
+    new ones carry it. A merged-schema scan must read both generations,
+    null-filling the old rows — Hive's add-column-on-read behavior.
+
+    Rows-only: the test asserts the union row count and that exactly the
+    old generation is null in the new column. At 100 TB mergeSchema is
+    turned on per-read (footer sampling has a cost), with the metastore
+    schema as the steady-state contract.
+    """
+    out = scratch_path("schema_evolution", "orders")
+    o = load(spark, sf_dir, "orders")
+    old_gen = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_gen = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit("web").alias("channel"),  # the column that appeared later
+    )
+    old_gen.write.mode("overwrite").parquet(os.path.join(out, "gen=old"))
+    new_gen.write.mode("overwrite").parquet(os.path.join(out, "gen=new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.select("o_orderkey", "o_custkey", "o_totalprice", "channel")

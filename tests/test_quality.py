@@ -72,3 +72,36 @@ def test_partition_sensor(spark):
     one_day.write.mode("overwrite").partitionBy("dt").parquet(base)
     assert Q.partition_exists(spark, base, dt="2024-01-01")
     assert not Q.partition_exists(spark, base, dt="1999-12-31")
+
+
+def test_compaction_preserves_rows(spark):
+    """a_compact_small_files: pure rewrite — same row multiset before
+    and after (the file-count shrink is asserted inside the op)."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    out = QUERIES["a_compact_small_files"](spark, SF_DIR)
+    src = load(spark, SF_DIR, "events")
+    assert out.count() == src.count()
+    assert out.select(F.bit_xor(F.xxhash64("event_id"))).first()[0] == \
+        src.select(F.bit_xor(F.xxhash64("event_id"))).first()[0]
+
+
+def test_schema_evolution_null_fills_old_generation(spark):
+    """a_scan_schema_evolution: merged scan sees every row; exactly the
+    old generation (even orderkeys) is null in the late-added column."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    out = QUERIES["a_scan_schema_evolution"](spark, SF_DIR)
+    n = load(spark, SF_DIR, "orders").count()
+    assert out.count() == n
+    nulls = out.where(F.col("channel").isNull())
+    assert nulls.count() == out.where(F.col("o_orderkey") % 2 == 0).count()
+    assert nulls.where(F.col("o_orderkey") % 2 == 1).count() == 0
