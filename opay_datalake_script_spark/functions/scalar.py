@@ -393,3 +393,54 @@ def h_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("uid")).alias("uid"),
     )
+
+
+@register(
+    "h_date_spine",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                      INTERVAL 1 DAY))::DATE AS d
+    ),
+    daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate <  DATE '1995-04-01'
+        GROUP BY 1
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS dt,
+           coalesce(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def h_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill — `sequence` + `explode` generates the
+    calendar dimension, then a left join zero-fills days with no orders
+    (dashboards need every day present, not just days with data; the
+    reference's report jobs join against a Hive calendar table for this).
+    The spine is a single in-memory row exploded JVM-side and broadcast;
+    the daily aggregate is the only shuffle."""
+    o = load(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"), F.lit("1995-03-31").cast("date")
+            )
+        ).alias("d")
+    )
+    daily = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(daily, spine.d == F.to_timestamp(daily.d), "left")
+        .select(
+            F.date_format(spine.d, "yyyy-MM-dd").alias("dt"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )

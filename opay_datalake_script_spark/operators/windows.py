@@ -309,3 +309,34 @@ def e_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "e_window_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(DISTINCT o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS distinct_prios
+    FROM orders
+    """,
+)
+def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count over a window. Spark (like Hive) rejects
+    DISTINCT inside window aggregates, so the reference-family idiom is
+    `size(collect_set(x) OVER w)` — same semantics (both ignore NULLs),
+    same single shuffle as any window on the partition key. State per row
+    is the distinct set; at 100 TB cardinalities this becomes the HLL
+    sketch (`d_approx_count_distinct`) accepted-error variant instead."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w)).cast("long").alias("distinct_prios"),
+    )
