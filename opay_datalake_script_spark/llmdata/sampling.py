@@ -1,0 +1,58 @@
+"""Corpus sampling & splitting (SURVEY.md §2-K family extension).
+
+Training-data pipelines need reproducible dataset carving: a train/eval
+split that is a pure function of the row key (stable across reruns,
+engines, and cluster sizes — never `rand()`), and stratified downsampling
+to rebalance languages/sources. Both are embarrassingly parallel: no
+shuffle at all, the predicate/sampler runs inside the scan stage, so they
+cost a map pass at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+
+@register(
+    "k_train_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def k_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/eval split keyed on md5(doc_id): the
+    first hex byte < 0xe6 (230/256 ≈ 89.8%) selects train. Hex-string
+    comparison is engine-portable, so the assignment is reproducible
+    bit-for-bit anywhere — the property `rand()`-based splits lose the
+    moment partitioning changes. No shuffle; the label is computed in the
+    scan stage and any downstream write can partition by it."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h2 < "e6", "train").otherwise("eval").alias("split"),
+    )
+
+
+@register("k_stratified_sample")
+def k_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling via seeded `sampleBy`: per-language
+    keep fractions rebalance a skewed corpus (the data-mixing step before
+    training). Rows-only — Bernoulli sampling has no SQL oracle — with a
+    property test bounding each stratum's realized fraction. Seeded, so a
+    rerun reproduces the same sample on the same partitioning; for
+    cross-engine reproducibility use the hash-predicate pattern of
+    `k_train_test_split` instead. Map-only: the coin flip happens in the
+    scan stage, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {lang: 0.3 for lang in langs}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -35,6 +35,7 @@ _QUERY_MODULES = (
     "opay_datalake_script_spark.llmdata.similarity",
     "opay_datalake_script_spark.llmdata.textstats",
     "opay_datalake_script_spark.llmdata.multimodal",
+    "opay_datalake_script_spark.llmdata.sampling",
 )
 
 

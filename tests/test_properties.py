@@ -187,3 +187,30 @@ def test_approx_percentile_error_bound(spark):
         tol = 0.005 * r["rng"]
         for a, e in zip(approx[r["o_orderpriority"]], r["pctl"]):
             assert abs(a - e) <= tol, (r["o_orderpriority"], a, e, tol)
+
+
+def test_stratified_sample_fractions(spark):
+    """k_stratified_sample: each language stratum's realized keep-rate
+    must be near the 0.3 target (binomial tolerance at fixture sizes),
+    and resampling with the same seed must be identical."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    sample = QUERIES["k_stratified_sample"](spark, SF_DIR)
+    base = {
+        r["lang"]: r["n"]
+        for r in load(spark, SF_DIR, "documents").groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    got = {r["lang"]: r["n"] for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in base.items():
+        frac = got.get(lang, 0) / n
+        assert 0.15 <= frac <= 0.45, (lang, frac)
+    again = QUERIES["k_stratified_sample"](spark, SF_DIR)
+    assert sorted(r["doc_id"] for r in sample.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
