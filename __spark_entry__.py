@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable query."""
-    load_all_queries()
-    return dict(ORACLES)
+    """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable query,
+    in the same priority order as queries()."""
+    ordered = load_all_queries()
+    return {n: ORACLES[n] for n in ordered if n in ORACLES}

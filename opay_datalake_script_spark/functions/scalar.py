@@ -37,12 +37,14 @@ from ..sources.io import load
            CAST(strpos(p_name, 'a') AS BIGINT)            AS a_pos,
            replace(p_type, ' ', '_')                      AS type_us,
            reverse(p_brand)                               AS brand_rev,
-           string_split(p_name, ' ')                      AS name_tokens
+           array_to_string(string_split(p_name, ' '), '|') AS name_tokens
     FROM part
     """,
 )
 def h_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function battery: concat/substr/case/trim/pad/search/split."""
+    """String function battery: concat/substr/case/trim/pad/search/split.
+    split's token array is re-joined with '|' so every checked column is
+    scalar (array cells crash the driver canonicalizer)."""
     p = load(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -58,7 +60,7 @@ def h_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "a").cast("long").alias("a_pos"),
         F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_us"),
         F.reverse("p_brand").alias("brand_rev"),
-        F.split("p_name", " ").alias("name_tokens"),
+        F.concat_ws("|", F.split("p_name", " ")).alias("name_tokens"),
     )
 
 
@@ -268,24 +270,28 @@ def h_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER)          AS n_tokens,
            list_contains(string_split(text, ' '), 'join')         AS has_join,
-           list_slice(string_split(text, ' '), 1, 3)              AS first3,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ',')
+                                                                  AS first3,
            string_split(text, ' ')[2]                             AS second_token,
-           list_sort(list_distinct(string_split(text, ' ')))      AS vocab
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+                                                                  AS vocab
     FROM documents
     """,
 )
 def h_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function battery over tokenized text (lateral-view-free ops;
-    explode/posexplode are exercised by k_tfidf_topterms and j_udtf)."""
+    explode/posexplode are exercised by k_tfidf_topterms and j_udtf).
+    Array-valued results (slice, distinct-sorted vocab) are string-joined
+    in the checked output — array cells crash the driver canonicalizer."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "join").alias("has_join"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.concat_ws(",", F.slice(toks, 1, 3)).alias("first3"),
         F.element_at(toks, 2).alias("second_token"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
+        F.concat_ws(",", F.sort_array(F.array_distinct(toks))).alias("vocab"),
     )
 
 

@@ -62,7 +62,10 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def k_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing (rows-only: features come from the
     stubbed decoder): synthesize blob + metadata struct -> partition-
-    parallel feature extraction -> join features back to metadata."""
+    parallel feature extraction -> join features back to metadata.
+    The feature vector crosses the UDF boundary as array<double> but the
+    checked output joins it to one string (rounded to 6 dp) — array cells
+    crash the driver's canonicalizer even on rows-only checks."""
     d = load(spark, sf_dir, "documents")
     media = d.select(
         "doc_id",
@@ -85,7 +88,9 @@ def k_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.mime").alias("mime"),
             F.col("meta.content_length").alias("content_length"),
             "n_bytes",
-            "features",
+            F.concat_ws(
+                ",", F.transform("features", lambda x: F.round(x, 6).cast("string"))
+            ).alias("features"),
         )
     )
 

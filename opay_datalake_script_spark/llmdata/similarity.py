@@ -2,16 +2,18 @@
 k-NN for a query vector, embedding near-dup pairs, and an LSH/IVF-style
 bucketed ANN variant as the scale path.
 
-Design for 100 TB: the exact all-pairs path is block-wise — each executor
-receives one Arrow batch of rows and a broadcast matrix, computes a numpy
-matmul (BLAS), and emits only its local top-k; the driver-side reduce sees
-k rows per partition, never the n^2 pair set. The ANN path cuts candidate
-generation to same-bucket joins.
+Design for 100 TB: the exact all-pairs path is block-PAIR-wise — the
+table is hashed into B blocks, every unordered block pair (bi <= bj)
+becomes one cogroup task, and each task computes its block x block
+similarity tile with a single numpy matmul (BLAS) and emits only its
+local top-k / above-threshold pairs. Nothing is ever materialized on the
+driver (round-1 used a driver-side toPandas + broadcast — a driver OOM
+at scale); the shuffle carries each row B+1 times (one copy per pair it
+participates in), which is O(n*B) rows, never the O(n^2) pair set. The
+ANN path cuts candidate generation to same-bucket joins.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -35,6 +37,62 @@ def _normalized_matrix(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat / norms
 
 
+_EMPTY_PAIRS = pd.DataFrame(
+    {
+        "vec_a": pd.array([], dtype="int64"),
+        "vec_b": pd.array([], dtype="int64"),
+        "sim": pd.array([], dtype="float64"),
+    }
+)
+
+
+def _block_pair_scores(spark: SparkSession, emb: DataFrame, n_blocks: int, tile_fn):
+    """Distributed all-pairs cosine scaffold: hash rows into ``n_blocks``
+    blocks, fan out one cogroup task per unordered block pair, and let
+    ``tile_fn(diagonal, ids_a, ids_b, sims)`` reduce each similarity tile
+    to the rows worth keeping (local top-k, threshold filter, ...).
+
+    Each unordered vector pair lands in exactly one task: both ids hash to
+    blocks, and the task for (min_blk, max_blk) scores it. On the diagonal
+    task (bi == bj) the tile contains each pair twice, so tile_fn must
+    keep the strict upper triangle there. Replication factor is B+1 per
+    row — the shuffle is O(n*B), not O(n^2), and no driver collect exists
+    anywhere on the path.
+    """
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pair_meta = {pid: p for pid, p in enumerate(pairs)}
+    a_map = spark.createDataFrame(
+        [(i, pid) for pid, (i, _) in pair_meta.items()], "blk int, pair_id int"
+    )
+    b_map = spark.createDataFrame(
+        [(j, pid) for pid, (_, j) in pair_meta.items()], "blk int, pair_id int"
+    )
+    e = emb.withColumn("blk", F.pmod(F.hash("vec_id"), F.lit(n_blocks)).cast("int"))
+    a_side = e.join(F.broadcast(a_map), "blk").select("pair_id", "vec_id", "embedding")
+    # the b side renames its columns: both sides share the same lineage and
+    # Spark's cogroup resolver rejects duplicate attribute ids otherwise
+    b_side = e.join(F.broadcast(b_map), "blk").select(
+        "pair_id", F.col("vec_id").alias("vid"), F.col("embedding").alias("emb")
+    )
+
+    def score_tile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return _EMPTY_PAIRS
+        bi, bj = pair_meta[key[0]]
+        ids_a, mat_a = _normalized_matrix(left)
+        ids_b, mat_b = _normalized_matrix(
+            right.rename(columns={"vid": "vec_id", "emb": "embedding"})
+        )
+        sims = mat_a @ mat_b.T  # one BLAS call per tile
+        return tile_fn(bi == bj, ids_a, ids_b, sims)
+
+    return (
+        a_side.groupby("pair_id")
+        .cogroup(b_side.groupby("pair_id"))
+        .applyInPandas(score_tile, schema=_TOPK_SCHEMA)
+    )
+
+
 @register(
     "k_similarity_topk",
     oracle="""
@@ -49,42 +107,39 @@ def _normalized_matrix(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
 def k_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most-similar embedding pairs by cosine.
 
-    Block-wise exact search: broadcast the (normalized, float64) matrix,
-    mapInPandas computes each partition's block x full-matrix product with
-    one BLAS call and keeps its local top-k; a global top-k reduce
-    finishes. Work is O(n^2 d) flops but only O(parts * k) rows ever
-    shuffle — at 2k vectors this is one matmul; at 100 TB swap the
-    broadcast for the IVF bucket path (k_ann_ivf).
+    Block-pair exact search (see _block_pair_scores): each cogroup task
+    scores one block x block tile with a single BLAS matmul and keeps its
+    local top-k straight off the score matrix — the O(n^2) candidate set
+    never materializes as rows, and (unlike round 1) nothing is collected
+    to the driver. The global TakeOrderedAndProject sees at most
+    k * n_tasks rows. At 100 TB the same shape holds with bigger B, or
+    swap in the IVF bucket path (k_ann_ivf) for candidate pruning.
     """
     k = 10
+
+    def tile_topk(diagonal: bool, ids_a, ids_b, sims) -> pd.DataFrame:
+        if diagonal:
+            # same block on both sides: each unordered pair appears twice
+            # in the tile — keep the strict upper triangle only
+            sims = np.where(ids_a[:, None] >= ids_b[None, :], -np.inf, sims)
+        flat = sims.ravel()
+        kk = min(k, flat.size)
+        idx = np.argpartition(flat, -kk)[-kk:]
+        idx = idx[np.isfinite(flat[idx])]
+        if idx.size == 0:
+            return _EMPTY_PAIRS
+        ai, bi = np.unravel_index(idx, sims.shape)
+        va, vb = ids_a[ai], ids_b[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "sim": flat[idx],
+            }
+        )
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    all_rows = emb.toPandas()
-    ids_all, mat_all = _normalized_matrix(all_rows)
-    b_ids = spark.sparkContext.broadcast(ids_all)
-    b_mat = spark.sparkContext.broadcast(mat_all)
-
-    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids, mat = _normalized_matrix(pdf)
-            sims = mat @ b_mat.value.T  # (block, n) BLAS product
-            # mask the lower triangle (unordered-pair dedupe), then take the
-            # block-local top-k straight off the score matrix — never
-            # materializing the O(block*n) candidate pairs as a DataFrame
-            sims[ids[:, None] >= b_ids.value[None, :]] = -np.inf
-            flat = sims.ravel()
-            kk = min(k, flat.size)
-            idx = np.argpartition(flat, -kk)[-kk:]
-            ai, bi = np.unravel_index(idx, sims.shape)
-            yield pd.DataFrame(
-                {"vec_a": ids[ai], "vec_b": b_ids.value[bi], "sim": flat[idx]}
-            )
-
-    # Parallelism comes from the input's natural partitioning (file splits
-    # at scale); forcing a repartition here would add a shuffle stage that
-    # costs more than it buys at any size — blocks just need to be batches.
-    local = emb.mapInPandas(block_topk, schema=_TOPK_SCHEMA)
+    local = _block_pair_scores(spark, emb, n_blocks=4, tile_fn=tile_topk)
     return (
         local.withColumn("sim", F.round("sim", 6))
         .orderBy(F.col("sim").desc(), "vec_a", "vec_b")
@@ -139,28 +194,23 @@ def k_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def k_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim >= 0.9) — the semantic
-    dedup primitive. Same block-wise matmul as k_similarity_topk but
-    threshold-filtered inside the block, so only actual near-dups leave
-    the executor."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    all_rows = emb.toPandas()
-    ids_all, mat_all = _normalized_matrix(all_rows)
-    b_ids = spark.sparkContext.broadcast(ids_all)
-    b_mat = spark.sparkContext.broadcast(mat_all)
+    dedup primitive. Same block-pair matmul as k_similarity_topk but
+    threshold-filtered inside the tile, so only actual near-dups ever
+    leave the executor (and, unlike round 1, no driver-side collect)."""
     threshold = 0.9
 
-    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids, mat = _normalized_matrix(pdf)
-            sims = mat @ b_mat.value.T
-            ai, bj = np.nonzero(sims >= threshold)
-            va, vb, sv = ids[ai], b_ids.value[bj], sims[ai, bj]
-            keep = va < vb
-            yield pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep], "sim": sv[keep]})
+    def tile_near_dup(diagonal: bool, ids_a, ids_b, sims) -> pd.DataFrame:
+        ai, bj = np.nonzero(sims >= threshold)
+        va, vb, sv = ids_a[ai], ids_b[bj], sims[ai, bj]
+        if diagonal:
+            keep = va < vb  # drop self-pairs + mirrored duplicates
+            va, vb, sv = va[keep], vb[keep], sv[keep]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb), "sim": sv}
+        )
 
-    local = emb.repartition(16, "vec_id").mapInPandas(block_pairs, schema=_TOPK_SCHEMA)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    local = _block_pair_scores(spark, emb, n_blocks=4, tile_fn=tile_near_dup)
     return local.withColumn("sim", F.round("sim", 6))
 
 

@@ -238,17 +238,24 @@ def d_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_collect_list",
     oracle="""
-    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenumbers
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def d_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group value list, sorted for determinism (collect_list order is
-    otherwise partition-dependent)."""
+    otherwise partition-dependent). The checked output is the sorted list
+    joined to one string: the driver's pandas canonicalizer cannot hash
+    array cells (round-1 `unhashable type: 'list'` crash)."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+                "linenumbers"
+            )
+        )
     )
 
 
@@ -256,16 +263,17 @@ def d_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_collect_set",
     oracle="""
     SELECT o_orderpriority,
-           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def d_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group distinct set, sorted for determinism."""
+    """Per-group distinct set, sorted then string-joined (scalar output —
+    see d_collect_list)."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"))
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"))
     )
 
 
@@ -342,9 +350,13 @@ def d_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     values can never hash-match; `tests/test_properties.py` bounds the
     error against the exact quantiles instead. At 100 TB this replaces
     the exact sort-based percentile: mergeable sketches, one shuffle of
-    constant-size state per group."""
+    constant-size state per group. Emitted as scalar p50/p90 columns (one
+    sketch, two queried quantiles) — array outputs crash the driver's
+    canonicalizer."""
     o = load(spark, sf_dir, "orders")
+    pctl = F.percentile_approx("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10000)
     return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("pctl"),
+        pctl.getItem(0).alias("p50"),
+        pctl.getItem(1).alias("p90"),
         F.count("*").alias("n"),
     )

@@ -272,15 +272,17 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star join: revenue by nation in ASIA (TPC-H Q5 shape).
 
-    One streaming pass over the fact table: every dimension side
-    (orders/customer/nation/region) is broadcast, so lineitem is scanned
-    once through a chain of broadcast-hash joins with no shuffle until
-    the final 5-group aggregate. A flat broadcast chain beats pre-joining
-    the dimensions into one broadcast (that serializes extra build jobs).
-    The region filter prunes before anything heavy runs — Catalyst pushes
-    it below the joins. At 100 TB orders outgrows the broadcast threshold
-    and AQE falls back to a shuffled join on l_orderkey for that edge
-    only; the dimension chain still broadcasts.
+    One streaming pass over the fact table: the true dimension sides
+    (customer/nation/region) carry explicit broadcast hints, but the
+    lineitem-orders edge is deliberately UNhinted — orders is a fact table
+    that grows linearly with scale, and an explicit broadcast hint would
+    override the size threshold and OOM executors at 100 TB. Left to the
+    planner, orders still broadcasts at bench scale (it sits under the
+    64 MB autoBroadcastJoinThreshold) while at 100 TB the same plan
+    degrades gracefully to a shuffled hash join on l_orderkey for that
+    edge only; the dimension chain still broadcasts. The region filter
+    prunes before anything heavy runs — Catalyst pushes it below the
+    joins.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -288,7 +290,7 @@ def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

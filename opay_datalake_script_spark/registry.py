@@ -38,6 +38,106 @@ _QUERY_MODULES = (
     "opay_datalake_script_spark.llmdata.sampling",
 )
 
+# The driver's per-round correctness run verifies only the first ~50
+# registry entries (CORRECTNESS_r01 stopped at entry 50 of 119), so
+# registration order decides which queries get driver-verified evidence.
+# This explicit priority puts queries with NO green CORRECTNESS row yet
+# first: all of SURVEY §2 H/I/J/K, the E-window tail, the three queries
+# whose array outputs crashed the round-1 canonicalizer (now scalarized),
+# and the ADS-report / HiveQL-dialect extras. Queries already hash-green
+# in round 1 run last — re-verifying them costs slots that unverified
+# queries need. Names absent from this list keep registration order at
+# the end; names listed but not registered are ignored.
+_PRIORITY = (
+    # E-window tail (7 §2 IDs, untested in r1)
+    "e_lag_lead",
+    "e_rolling_rows",
+    "e_range_frame",
+    "e_cumulative",
+    "e_ntile",
+    "e_first_last",
+    "e_sessionize_batch",
+    # H scalar-function battery (11 §2 IDs)
+    "h_string",
+    "h_regexp",
+    "h_date",
+    "h_unix_ts",
+    "h_math",
+    "h_conditional",
+    "h_json",
+    "h_array",
+    "h_map",
+    "h_hash",
+    "h_hash_engine",
+    # I structured streaming (7 §2 IDs)
+    "i_tumbling",
+    "i_sliding",
+    "i_session",
+    "i_watermark_late",
+    "i_stream_dedupe",
+    "i_stateful_counter",
+    "i_foreach_batch_sink",
+    # J vectorized UDFs (5 §2 IDs)
+    "j_scalar_udf",
+    "j_grouped_map",
+    "j_grouped_agg",
+    "j_udtf",
+    "j_map_in_arrow",
+    # K LLM-data pipeline (10 §2 IDs)
+    "k_text_normalize",
+    "k_exact_dedup",
+    "k_near_dedup_lsh",
+    "k_jaccard_pairs",
+    "k_similarity_topk",
+    "k_knn_query",
+    "k_text_stats",
+    "k_lang_partition",
+    "k_tfidf_topterms",
+    "k_multimodal_join",
+    # Round-1 canonicalizer crashes, re-check after scalarizing outputs
+    "d_collect_list",
+    "d_collect_set",
+    "d_approx_percentile",
+    # ADS reports + HiveQL dialect extras (oracle-checkable)
+    "r_ads_daily_report",
+    "r_funnel_daily",
+    "r_cohort_retention",
+    "r_scd2_dim",
+    "s_hiveql_lateral_view",
+    "s_hiveql_binlog_dedup",
+    "s_hiveql_mapjoin_report",
+    # --- ~50-entry driver window ends around here ---
+    "e_percent_rank",
+    "e_window_distinct",
+    "h_json_struct",
+    "h_explode",
+    "h_url",
+    "h_date_spine",
+    "j_map_in_pandas",
+    "i_stream_static_join",
+    "i_stream_stream_join",
+    "s_hiveql_distribute_sort",
+    "k_simhash",
+    "k_ngram_jaccard",
+    "k_embed_near_dup",
+    "k_ann_ivf",
+    "k_centroid_per_label",
+    "k_quality_score",
+    "k_lang_id",
+    "k_token_count_bpe",
+    "k_fingerprint",
+    "k_multimodal_pipeline",
+    "k_train_test_split",
+    "k_stratified_sample",
+)
+
+
+def _reorder(mapping: dict) -> dict:
+    """Return ``mapping`` with _PRIORITY names first, rest in insert order."""
+    ordered = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    ordered.update((n, v) for n, v in mapping.items() if n not in ordered)
+    return ordered
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query builder under a §2 query ID.
@@ -57,7 +157,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def load_all_queries() -> dict[str, QueryFn]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry,
+    ordered so driver-unverified queries come first (see _PRIORITY)."""
     for mod in _QUERY_MODULES:
         import_module(mod)
-    return QUERIES
+    return _reorder(QUERIES)

@@ -39,6 +39,23 @@ def get_spark(
     """
     active = SparkSession.getActiveSession()
     if active is not None:
+        # Apply runtime-settable confs so callers asking for a different
+        # shuffle width / extra conf aren't silently ignored; static confs
+        # (driver memory, master) can't change post-launch — warn instead.
+        import warnings
+
+        for key, val in {
+            "spark.sql.shuffle.partitions": str(shuffle_partitions),
+            **(extra_conf or {}),
+        }.items():
+            try:
+                active.conf.set(key, val)
+            except Exception:
+                warnings.warn(
+                    f"get_spark: conf {key!r} is static and the session is "
+                    "already running; value ignored",
+                    stacklevel=2,
+                )
         return active
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     builder = (

@@ -86,9 +86,17 @@ def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
     dst_dir = os.path.join(SCRATCH_DIR, "stream_src", f"{table}_{tag}")
     os.makedirs(dst_dir, exist_ok=True)
+    src = f"{sf_dir}/{table}.parquet"
     dst = os.path.join(dst_dir, f"{table}.parquet")
-    if not os.path.exists(dst):
-        shutil.copyfile(f"{sf_dir}/{table}.parquet", dst)
+    # Re-copy when the fixture changed (size or newer mtime), not just when
+    # the staged copy is missing — a regenerated fixture must not leave
+    # streaming queries reading a stale staged file.
+    if (
+        not os.path.exists(dst)
+        or os.path.getsize(dst) != os.path.getsize(src)
+        or os.path.getmtime(dst) < os.path.getmtime(src)
+    ):
+        shutil.copyfile(src, dst)
     return dst_dir
 
 

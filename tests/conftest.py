@@ -44,8 +44,9 @@ def _norm_cell(v):
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_norm_cell(x) for x in v)
+    # NOTE: no list/tuple/ndarray branch on purpose — the driver's
+    # canonicalizer cannot hash array cells, so the schema guard in
+    # assert_no_nonscalar_columns must reject them before we ever get here.
     if isinstance(v, np.generic):
         v = v.item()
         if isinstance(v, float) and math.isnan(v):
@@ -69,8 +70,27 @@ def normalized_rows(pdf):
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def assert_no_nonscalar_columns(spark_df, name=""):
+    """The driver's pandas canonicalizer crashes on array/map/struct cells
+    (`unhashable type: 'list'`, CORRECTNESS_r01) — reject them locally so
+    pytest green predicts driver green (round-1 lesson: the old list->tuple
+    normalization here masked exactly that crash)."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} would crash the driver's "
+        "canonicalizer — stringify them (concat_ws/to_json) in the query"
+    )
+
+
 def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
     """Differential check: Spark result vs DuckDB result, exact values."""
+    assert_no_nonscalar_columns(spark_df, name)
     got = spark_df.toPandas()
     want = oracle_con.sql(sql).df()
     assert sorted(got.columns) == sorted(want.columns), (

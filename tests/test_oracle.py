@@ -11,7 +11,12 @@ import pytest
 
 from opay_datalake_script_spark.registry import ORACLES, QUERIES, load_all_queries
 
-from .conftest import SF_DIR, assert_matches_oracle
+from .conftest import (
+    SF_DIR,
+    SMOKE_SF_DIR,
+    assert_matches_oracle,
+    assert_no_nonscalar_columns,
+)
 
 load_all_queries()
 
@@ -28,5 +33,14 @@ def test_oracle_match(spark, oracle_con, name):
 @pytest.mark.parametrize("name", ROWS_ONLY_IDS)
 def test_rows_only_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
+    assert_no_nonscalar_columns(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_all_registered_outputs_are_scalar(spark):
+    """Every registered query — oracle-checked or rows-only — must emit
+    scalar-only columns: the driver canonicalizes rows-only results too
+    (d_approx_percentile crashed it in round 1 despite having no oracle)."""
+    for name, fn in load_all_queries().items():
+        assert_no_nonscalar_columns(fn(spark, SMOKE_SF_DIR), name)

@@ -103,6 +103,21 @@ def test_lsh_recall_against_exact_jaccard(spark):
     assert recall >= 0.95, f"LSH recall {recall:.4f} below bound"
 
 
+def test_similarity_is_distributed_block_pairs(spark):
+    """The exact-cosine ops must run as cogrouped block-pair tiles on the
+    executors — round 1 collected the whole embeddings table to the driver
+    (toPandas + broadcast), which OOMs the driver at scale. The physical
+    plan must show the Arrow cogroup operator and the final top-k must be
+    a TakeOrderedAndProject (k rows per partition, no global sort)."""
+    from opay_datalake_script_spark.plans.inspect import formatted_plan
+
+    topk = QUERIES["k_similarity_topk"](spark, SF_DIR)
+    assert "FlatMapCoGroupsInPandas" in formatted_plan(topk)
+    assert uses_take_ordered(topk)
+    near = QUERIES["k_embed_near_dup"](spark, SF_DIR)
+    assert "FlatMapCoGroupsInPandas" in formatted_plan(near)
+
+
 def test_hiveql_mapjoin_hint_broadcasts(spark):
     """The reference's /*+ MAPJOIN(dim) */ hint, run as HiveQL text, must
     reach the physical plan as broadcast-hash joins."""

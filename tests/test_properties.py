@@ -170,7 +170,7 @@ def test_approx_percentile_error_bound(spark):
 
     load_all_queries()
     approx = {
-        r["o_orderpriority"]: r["pctl"]
+        r["o_orderpriority"]: (r["p50"], r["p90"])
         for r in QUERIES["d_approx_percentile"](spark, SF_DIR).collect()
     }
     from opay_datalake_script_spark.sources.io import load
