@@ -234,13 +234,16 @@ def h_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON event-payload extraction + aggregation — the central reference
-    event-tracking idiom. Parsed with from_json + a typed schema rather
-    than get_json_object path extraction: one Jackson parse into a typed
-    struct (~10x faster here) instead of a per-row path query, and at
-    100 TB the declared schema also feeds nested-field pruning."""
+    event-tracking idiom. Measured head-to-head at sf0.1 (medians of 7):
+    get_json_object 53 ms, parse_json/VARIANT 62 ms, from_json+schema
+    73 ms, regexp 62 ms — for ONE shallow key the path query wins (the
+    typed-struct parse only pays off when several fields are extracted
+    from the same parse). The remaining wall time equals the no-JSON
+    groupBy-count floor, i.e. scheduler+Arrow overhead, not parsing.
+    The plan stays one pruned scan (event_type, props) + one hash agg."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sum(F.from_json("props", "k BIGINT").getField("k")).alias("sk"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sk"),
         F.count("*").alias("c"),
     )
 

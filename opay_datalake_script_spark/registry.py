@@ -129,6 +129,7 @@ _PRIORITY = (
     "k_multimodal_pipeline",
     "k_train_test_split",
     "k_stratified_sample",
+    "a_jdbc_roundtrip",  # registered only when the JDBC driver jar exists
 )
 
 

@@ -193,6 +193,47 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     writer.save()
 
 
+# A DuckDB JDBC driver happens to be cached in this container; when present
+# it lets the Sqoop-import/report-export analog run for real instead of
+# shipping as dead code. Loaded at runtime via ``ADD JAR`` — no install.
+JDBC_JAR = (
+    "/root/.cache/coursier/v1/"
+    "maven-all/org/duckdb/duckdb_jdbc/1.0.0/duckdb_jdbc-1.0.0.jar"
+)
+_JDBC_DRIVER = "org.duckdb.DuckDBDriver"
+
+
+def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JDBC export + import cycle against a DuckDB database file:
+    Spark appends the nation snapshot over JDBC (report-export path),
+    then reads it back over JDBC (Sqoop-import path). The target table
+    is pre-created empty via the Python DuckDB API (same 1.0.0 storage
+    format as the jar) because DuckDB's JDBC driver surfaces the
+    table-exists probe as a prepare-time error that aborts Spark's
+    overwrite/create path. Oracle: the round-trip must reproduce
+    ``SELECT * FROM nation`` exactly."""
+    import duckdb
+
+    spark.sql(f"ADD JAR '{JDBC_JAR}'")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    db = scratch_path("jdbc", f"roundtrip_{tag}.db")
+    if os.path.exists(db):
+        os.remove(db)
+    con = duckdb.connect(db)
+    con.sql(
+        f"CREATE TABLE nation_snap AS SELECT * FROM '{sf_dir}/nation.parquet' LIMIT 0"
+    )
+    con.close()
+    url = f"jdbc:duckdb:{db}"
+    src = load(spark, sf_dir, "nation")
+    write_jdbc(src, url, "nation_snap", mode="append", driver=_JDBC_DRIVER)
+    return read_jdbc(spark, url, "nation_snap", driver=_JDBC_DRIVER)
+
+
+if os.path.exists(JDBC_JAR):
+    register("a_jdbc_roundtrip", oracle="SELECT * FROM nation")(_jdbc_roundtrip)
+
+
 @register("a_stream_file_source")
 def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source Structured Streaming landing (Kafka/binlog analog).
