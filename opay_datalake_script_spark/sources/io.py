@@ -193,13 +193,21 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     writer.save()
 
 
-# A DuckDB JDBC driver happens to be cached in this container; when present
-# it lets the Sqoop-import/report-export analog run for real instead of
-# shipping as dead code. Loaded at runtime via ``ADD JAR`` — no install.
-JDBC_JAR = (
-    "/root/.cache/coursier/v1/"
-    "maven-all/org/duckdb/duckdb_jdbc/1.0.0/duckdb_jdbc-1.0.0.jar"
-)
+# A DuckDB JDBC driver jar (public Maven artifact org.duckdb:duckdb_jdbc)
+# may be present in a local jar cache; when found it lets the Sqoop-import/
+# report-export analog run for real instead of shipping as dead code.
+# Loaded at runtime via ``ADD JAR`` — no install, location-agnostic glob.
+def _find_jdbc_jar() -> str | None:
+    import glob as _glob
+
+    for root in (os.path.expanduser("~/.cache/coursier"), os.path.expanduser("~/.m2")):
+        hits = _glob.glob(f"{root}/**/duckdb_jdbc-*.jar", recursive=True)
+        if hits:
+            return sorted(hits)[0]
+    return None
+
+
+JDBC_JAR = _find_jdbc_jar()
 _JDBC_DRIVER = "org.duckdb.DuckDBDriver"
 
 
@@ -230,7 +238,7 @@ def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jdbc(spark, url, "nation_snap", driver=_JDBC_DRIVER)
 
 
-if os.path.exists(JDBC_JAR):
+if JDBC_JAR is not None:
     register("a_jdbc_roundtrip", oracle="SELECT * FROM nation")(_jdbc_roundtrip)
 
 
