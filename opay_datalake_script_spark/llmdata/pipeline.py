@@ -1,0 +1,307 @@
+"""Training-data pipeline operators beyond dedup/similarity (SURVEY.md
+§2-K extension, round 2): document chunking, sequence packing, PII
+scrubbing, train/eval contamination checking, and duplicate-cluster
+resolution via connected components.
+
+These are the ops a 100 TB pretraining-corpus build runs between "raw
+documents" and "token batches". All are pure DataFrame programs; the only
+iteration (connected components) is driver-side control flow over fully
+distributed per-step jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+CHUNK_WIDTH = 64
+CHUNK_STRIDE = 48
+PACK_BUDGET = 256
+
+
+@register(
+    "k_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    st AS (
+        SELECT doc_id, t, len(t) AS n,
+               unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INTEGER)  AS chunk_id,
+           CAST(start AS INTEGER)                          AS start,
+           array_to_string(t[start:start + {CHUNK_WIDTH - 1}], ' ') AS chunk,
+           CAST(least({CHUNK_WIDTH}, n - start + 1) AS INTEGER)     AS chunk_tokens
+    FROM st
+    """,
+)
+def k_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each doc into token windows
+    of CHUNK_WIDTH with CHUNK_STRIDE overlap — the step that turns
+    variable-length documents into model-sized training samples.
+
+    posexplode over a JVM `sequence` of window starts: map-only (no
+    shuffle), output rows ≈ n_tokens/stride per doc, and the token array
+    is built once per row then sliced per window. At 100 TB this runs as
+    a pure scan→project stage and parallelizes with the input splits.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = d.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    st = base.select(
+        "doc_id",
+        "t",
+        "n",
+        F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    return st.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.concat_ws(" ", F.slice("t", F.col("start"), CHUNK_WIDTH)).alias("chunk"),
+        F.least(F.lit(CHUNK_WIDTH), F.col("n") - F.col("start") + 1).alias(
+            "chunk_tokens"
+        ),
+    )
+
+
+@register(
+    "k_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum - n_tokens AS BIGINT)                              AS start_offset,
+           CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)   AS bin
+    FROM c
+    """,
+)
+def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing: concatenate each language's
+    docs in doc_id order and assign every doc to the PACK_BUDGET-token
+    bin its start offset falls in — the deterministic streaming packer
+    batch builders use (vs NP-hard optimal bin packing).
+
+    One window (partitioned running sum) per language stream: the shuffle
+    keys on `lang`, each partition does a linear scan. At 100 TB the
+    stream key becomes (lang, shard) so no single language serializes
+    into one task.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
+            F.floor((cum - F.col("n_tokens")) / F.lit(float(PACK_BUDGET)))
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "k_pii_scrub",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' contact user' || doc_id ||
+               '@example.com or call +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' bye' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')             AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM synth
+    """,
+)
+def k_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — scrub emails/phones before a corpus ships to
+    training. The fixtures carry no PII, so deterministic synthetic
+    contacts are appended first (making the redaction count assertable);
+    the scrub itself is the production shape: chained `regexp_replace`
+    with RE2-and-Java-safe patterns, all JVM codegen, map-only.
+    """
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" bye"),
+    )
+    synth = d.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("scrubbed"),
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+_TRIGRAM_EXPR = (
+    "transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    "             element_at(split(text, ' '), i + 1), ' ',"
+    "             element_at(split(text, ' '), i + 2)))"
+)
+
+
+@register(
+    "k_contamination_check",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        FROM toks
+    ),
+    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+    ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0)
+    SELECT tr.doc_id AS train_id, ev.eval_id, count(*) AS n_shared
+    FROM tr JOIN ev ON tr.sh = ev.sh
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def k_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: count distinct shared word
+    trigrams between every training doc and every held-out eval doc
+    (eval set = doc_id % 97 == 0 here), keeping pairs with >= 3 shared
+    shingles — the n-gram-overlap decontamination gate every benchmark-
+    clean corpus needs.
+
+    Shape: explode distinct trigrams on both sides, equi-join on the
+    shingle, count per (train, eval) pair. The eval side is tiny by
+    construction, so it broadcasts — the big side streams through
+    map-side; the only shuffle is the final pair-count aggregate. At
+    100 TB, shingles become 64-bit hashes so the join key is fixed-width.
+    """
+    d = load(spark, sf_dir, "documents")
+    tri = F.array_distinct(F.expr(_TRIGRAM_EXPR))
+    sh = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(tri).alias("sh"))
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    train = sh.where(~is_eval)
+    evals = sh.where(is_eval).select(F.col("doc_id").alias("eval_id"), "sh")
+    return (
+        train.join(F.broadcast(evals), "sh")
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "k_dedup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS comp FROM reach GROUP BY node
+    """,
+)
+def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the exact
+    near-dup graph (token-Jaccard >= 0.6 edges, same predicate as
+    k_jaccard_pairs), labeling every doc with min(doc_id) of its cluster
+    — the step that turns pairwise dup hits into "keep one canonical doc
+    per cluster". comp == doc_id identifies the keeper.
+
+    Iterative min-label propagation: each round is one distributed
+    join+union+min-aggregate; the driver only steers convergence (the
+    label sum is monotone non-increasing, so an unchanged sum means a
+    fixed point — one scalar per round crosses to the driver, never
+    rows). Rounds needed = graph diameter, which for near-dup clusters
+    is tiny; capped at 15. localCheckpoint truncates the growing join
+    lineage each round — without it the plan re-executes from round 0.
+    The DuckDB oracle computes the same fixed point with a recursive CTE.
+    """
+    from .dedup import k_jaccard_pairs
+
+    pairs = k_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).localCheckpoint()
+
+    labels = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("comp")
+    )
+    prev_sum = None
+    for _ in range(15):
+        msgs = labels.join(edges, labels.doc_id == edges.a).select(
+            F.col("b").alias("doc_id"), "comp"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

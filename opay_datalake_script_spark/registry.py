@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "opay_datalake_script_spark.llmdata.textstats",
     "opay_datalake_script_spark.llmdata.multimodal",
     "opay_datalake_script_spark.llmdata.sampling",
+    "opay_datalake_script_spark.llmdata.pipeline",
 )
 
 # The driver's per-round correctness run verifies only the first ~50
@@ -130,6 +131,12 @@ _PRIORITY = (
     "k_train_test_split",
     "k_stratified_sample",
     "a_jdbc_roundtrip",  # registered only when the JDBC driver jar exists
+    # round-2 training-data pipeline extensions (llmdata/pipeline.py)
+    "k_chunk_documents",
+    "k_pack_sequences",
+    "k_pii_scrub",
+    "k_contamination_check",
+    "k_dedup_components",
 )
 
 
