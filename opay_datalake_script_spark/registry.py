@@ -137,6 +137,7 @@ _PRIORITY = (
     "k_pii_scrub",
     "k_contamination_check",
     "k_dedup_components",
+    "a_cdc_upsert",
 )
 
 

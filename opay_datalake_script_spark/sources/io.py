@@ -242,6 +242,64 @@ if JDBC_JAR is not None:
     register("a_jdbc_roundtrip", oracle="SELECT * FROM nation")(_jdbc_roundtrip)
 
 
+@register(
+    "a_cdc_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 1
+    ),
+    touched AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 100 = 0 OR o_orderkey % 100 = 50
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+    UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def a_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (binlog-sync upsert): apply a change batch — updates
+    (status flip on key%100==0), inserts (new keys), deletes
+    (key%100==50) — onto the orders snapshot. This is the reference's
+    MySQL-binlog -> lake sync pattern, expressed as the jar-free MERGE
+    analog: anti-join the snapshot against the touched keys, then union
+    the surviving changes. Values pass through unmodified (no per-row
+    arithmetic), so the result is bit-identical to the oracle's.
+
+    Scale shape: the change batch of a daily sync is tiny next to the
+    snapshot, so both the anti-join probe and the union's small side
+    broadcast — the snapshot streams through map-side, one scan, no
+    shuffle. With ACID table formats (Delta/Iceberg, jars absent here)
+    the same logical MERGE compiles to their copy-on-write/merge-on-read
+    paths; the dynamic-partition-overwrite sink (a_sink_partitioned)
+    covers the write leg.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    ins = (
+        o.where(F.col("o_orderkey") % 1000 == 1)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    touched = o.where(
+        (F.col("o_orderkey") % 100 == 0) | (F.col("o_orderkey") % 100 == 50)
+    ).select("o_orderkey")
+    survivors = o.join(F.broadcast(touched), "o_orderkey", "left_anti")
+    return survivors.unionByName(upd).unionByName(ins)
+
+
 @register("a_stream_file_source")
 def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source Structured Streaming landing (Kafka/binlog analog).

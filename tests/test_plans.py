@@ -118,6 +118,22 @@ def test_similarity_is_distributed_block_pairs(spark):
     assert "FlatMapCoGroupsInPandas" in formatted_plan(near)
 
 
+def test_pipeline_ops_plan_shapes(spark):
+    """Round-2 training-data ops: chunking and PII scrub must be map-only
+    (0 shuffles — they scale with input splits alone); sequence packing
+    shuffles exactly once (the per-lang window); the contamination check
+    broadcasts the tiny eval side and shuffles only for the final
+    pair-count aggregate."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["k_chunk_documents"](spark, SF_DIR)) == 0
+    assert count_shuffles(QUERIES["k_pii_scrub"](spark, SF_DIR)) == 0
+    assert count_shuffles(QUERIES["k_pack_sequences"](spark, SF_DIR)) == 1
+    contam = QUERIES["k_contamination_check"](spark, SF_DIR)
+    assert count_shuffles(contam) == 1
+    assert uses_broadcast_join(contam)
+
+
 def test_hiveql_mapjoin_hint_broadcasts(spark):
     """The reference's /*+ MAPJOIN(dim) */ hint, run as HiveQL text, must
     reach the physical plan as broadcast-hash joins."""
