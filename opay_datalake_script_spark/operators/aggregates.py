@@ -360,3 +360,32 @@ def d_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pctl.getItem(1).alias("p90"),
         F.count("*").alias("n"),
     )
+
+
+@register("d_hll_partial_merge")
+def d_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: daily HLL sketches of distinct users,
+    unioned into a monthly distinct-user estimate — the incremental
+    pattern behind every "monthly active users" report. At 100 TB you
+    never re-scan a month of raw events for a distinct count: each daily
+    job persists one KB-sized Datasketches HLL blob per grain, and the
+    monthly (or all-time) rollup unions the sketches — `hll_union_agg`
+    shuffles bytes-per-day, not rows. The two-level aggregation here is
+    exactly that shape: level 1 scans events once into per-day sketches,
+    level 2 merges 31 blobs. Rows-only (sketch estimates are
+    engine-specific by nature); `tests/test_properties.py` bounds the
+    estimate against the exact per-month distinct count instead."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return (
+        daily.groupBy(F.date_format("dt", "yyyy-MM").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("month")
+    )

@@ -138,6 +138,8 @@ _PRIORITY = (
     "k_contamination_check",
     "k_dedup_components",
     "a_cdc_upsert",
+    "i_stream_cdc_upsert",
+    "d_hll_partial_merge",
 )
 
 

@@ -195,6 +195,88 @@ def i_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "i_stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the binlog-replication sync loop itself.
+
+    The batch MERGE analog (`a_cdc_upsert`) applies one change batch;
+    this is the continuous form — each micro-batch is merged into a keyed
+    snapshot with keep-latest-per-key semantics (row_number over
+    (user_id ORDER BY ts DESC, event_id)), so the landed table always
+    equals "latest event per user". Because per-key keep-latest is an
+    associative fold over a total order, incrementally merging batch
+    after batch lands the exact state a one-shot batch dedupe would —
+    which is what the oracle checks (same SQL as `e_dedupe_latest`).
+
+    Scale shape: each merge shuffles only (previous snapshot ∪ batch) on
+    the key — the snapshot is bounded by |distinct keys|, not by stream
+    length, and the micro-batch is small, so this stays a cheap keyed
+    merge at any stream volume. On a real cluster the snapshot would be
+    an ACID table (Delta/Iceberg MERGE, jars absent offline) or a
+    key-bucketed parquet table so the merge join is shuffle-free; the
+    versioned-directory swap here is the jar-free stand-in with the same
+    idempotent rerun-safety (re-running a batch lands identical state).
+    """
+    run_id = uuid.uuid4().hex
+    ckpt = scratch_path("stream_cdc", f"ckpt_{run_id}")
+    state: dict[str, str] = {}
+
+    # Stage the change stream as several files and feed them one per
+    # micro-batch — a single staged file would collapse availableNow into
+    # one batch and never exercise the incremental-merge path.
+    import os
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    src_dir = os.path.join(
+        os.path.dirname(scratch_path("stream_cdc", "x")), f"src_{tag}"
+    )
+    src = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    if not os.path.isdir(src_dir):
+        src.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = batch_df.select("user_id", "event_id", "ts", "value")
+        if "path" in state:
+            cur = spark.read.parquet(state["path"]).unionByName(cur)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+        merged = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_path = scratch_path("stream_cdc", f"state_{run_id}_{epoch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"]).select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming twins (used by the pytest parity harness, not declared)
 # ---------------------------------------------------------------------------

@@ -189,6 +189,33 @@ def test_approx_percentile_error_bound(spark):
             assert abs(a - e) <= tol, (r["o_orderpriority"], a, e, tol)
 
 
+def test_hll_merge_error_bound(spark):
+    """`d_hll_partial_merge` has no oracle (Datasketches HLL estimates are
+    engine-specific); bound the merged monthly estimate against the exact
+    per-month distinct-user count instead. lgK=12 (Spark default) gives
+    ~1.6% relative standard error; allow 5% (3 sigma)."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    approx = {
+        r["month"]: r["approx_users"]
+        for r in QUERIES["d_hll_partial_merge"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["month"]: r["exact"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for month, est in approx.items():
+        assert abs(est - exact[month]) <= 0.05 * exact[month], (month, est, exact[month])
+
+
 def test_stratified_sample_fractions(spark):
     """k_stratified_sample: each language stratum's realized keep-rate
     must be near the 0.3 target (binomial tolerance at fixture sizes),
