@@ -140,6 +140,8 @@ _PRIORITY = (
     "a_cdc_upsert",
     "i_stream_cdc_upsert",
     "d_hll_partial_merge",
+    "r_incremental_daily_agg",
+    "a_cluster_by_write",
 )
 
 

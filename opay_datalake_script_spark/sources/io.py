@@ -381,3 +381,53 @@ def a_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_gen.write.mode("overwrite").parquet(os.path.join(out, "gen=new"))
     merged = spark.read.option("mergeSchema", "true").parquet(out)
     return merged.select("o_orderkey", "o_custkey", "o_totalprice", "channel")
+
+
+@register(
+    "a_cluster_by_write",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_dt,
+           l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def a_cluster_by_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-cluster rewrite for data skipping (the jar-free Z-order/
+    CLUSTER BY analog): `repartitionByRange` on the dominant filter key
+    plus `sortWithinPartitions` gives every output file a narrow
+    l_shipdate span, so parquet row-group min/max stats prune a
+    date-range scan to ~(range/history) of the files instead of all of
+    them. The returned query re-reads the clustered table through a
+    three-month predicate and is hash-checked against the raw table —
+    proving the layout job is a pure rewrite (skipping changes I/O, never
+    results).
+
+    At 100 TB layout maintenance IS the scan-cost lever: a time-range
+    query over a randomly-laid-out table touches every file; over a
+    range-clustered table it touches the few files whose min/max overlap
+    the predicate. On a real lake this runs per landing partition after
+    compaction (same cadence as a_compact_small_files), and the range
+    partitioner's sampled bounds keep output files balanced even under
+    date skew.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = scratch_path("cluster_by", f"lineitem_{tag}")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    clustered = spark.read.parquet(out)
+    return clustered.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_dt"),
+        "l_extendedprice",
+    )

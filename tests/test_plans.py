@@ -163,3 +163,38 @@ def test_partitioned_write_prunes_on_read(spark):
     back = spark.read.parquet(out).where(F.col("dt") == "1995-01")
     assert has_partition_filters(back)
     assert back.count() > 0
+
+
+def test_cluster_by_write_skips_files(spark):
+    """a_cluster_by_write: the re-read through the date predicate must
+    push the filter to the scan, and the range-clustered layout must let
+    row-group stats skip most files — a three-month slice of ~7 years of
+    shipdates should read far fewer rows than the table holds."""
+    from opay_datalake_script_spark.plans.inspect import has_pushed_filters
+    from opay_datalake_script_spark.sources.io import load
+
+    df = QUERIES["a_cluster_by_write"](spark, SF_DIR)
+    assert has_pushed_filters(df)
+    total = load(spark, SF_DIR, "lineitem").count()
+    assert df.count() < 0.1 * total
+
+
+def test_incremental_agg_single_shuffle_per_run(spark):
+    """r_incremental_daily_agg rebuilds one day with a single hash-agg
+    shuffle over that day's slice only (the scan must not widen back to
+    full history for a daily rerun)."""
+    from pyspark.sql import functions as F
+
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+    from opay_datalake_script_spark.sources.io import load
+
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    one_day = ev.where(F.col("dt") == "2024-01-15").groupBy("dt", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    assert count_shuffles(one_day) == 1
+    from opay_datalake_script_spark.plans.inspect import has_pushed_filters
+
+    assert has_pushed_filters(one_day)
