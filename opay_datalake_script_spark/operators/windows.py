@@ -340,3 +340,97 @@ def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.size(F.collect_set("o_orderpriority").over(w)).cast("long").alias("distinct_prios"),
     )
+
+
+@register(
+    "e_window_funnel",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, any_value(u.t_view) AS t_view,
+               min(e.ts) FILTER (WHERE e.event_type = 'click'
+                                 AND e.ts > u.t_view) AS t_click
+        FROM events e JOIN u ON e.user_id = u.user_id
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, any_value(c.t_view) AS t_view,
+               any_value(c.t_click) AS t_click,
+               min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                                 AND e.ts > c.t_click) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        GROUP BY e.user_id
+    )
+    SELECT depth, count(*) AS n_users FROM (
+        SELECT CASE
+            WHEN t_purchase IS NOT NULL
+                 AND t_purchase <= t_view + INTERVAL 24 HOUR THEN 3
+            WHEN t_click IS NOT NULL
+                 AND t_click <= t_view + INTERVAL 24 HOUR THEN 2
+            WHEN t_view IS NOT NULL THEN 1
+            ELSE 0 END AS depth
+        FROM p
+    ) GROUP BY depth
+    """,
+)
+def e_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (the ClickHouse `windowFunnel` analog):
+    per user, how deep did view -> click -> purchase progress, with each
+    later step strictly after the previous one and the whole sequence
+    inside 24h of the first view. Implemented as stacked conditional
+    minima over one user-partitioned window: t_view = min(ts | view),
+    t_click = min(ts | click, ts > t_view), t_purchase likewise — each
+    refers to the previous column, but all three share the same
+    partitioning, so Catalyst plans ONE exchange on user_id feeding the
+    window chain, the per-user collapse reuses that partitioning, and
+    only the final tiny depth histogram shuffles again (2 shuffles total,
+    no self-joins — the naive formulation is 3 joins x 3 shuffles).
+
+    At 100 TB this is the shape you want: funnel state per user is three
+    timestamps, never a sorted event buffer, and the events scan is a
+    single pass."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    step = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    step = step.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step = step.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = step.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    deadline = F.col("t_view") + F.expr("INTERVAL 24 HOURS")
+    depth = (
+        F.when(
+            F.col("t_purchase").isNotNull() & (F.col("t_purchase") <= deadline), 3
+        )
+        .when(F.col("t_click").isNotNull() & (F.col("t_click") <= deadline), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(depth.alias("depth")).groupBy("depth").agg(
+        F.count("*").alias("n_users")
+    )

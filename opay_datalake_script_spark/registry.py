@@ -142,6 +142,7 @@ _PRIORITY = (
     "d_hll_partial_merge",
     "r_incremental_daily_agg",
     "a_cluster_by_write",
+    "e_window_funnel",
 )
 
 

@@ -198,3 +198,12 @@ def test_incremental_agg_single_shuffle_per_run(spark):
     from opay_datalake_script_spark.plans.inspect import has_pushed_filters
 
     assert has_pushed_filters(one_day)
+
+
+def test_window_funnel_two_shuffles(spark):
+    """e_window_funnel: the three stacked conditional-min windows must
+    share ONE user_id exchange (no per-step re-shuffle, no self-joins);
+    only the final depth histogram shuffles again."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["e_window_funnel"](spark, SF_DIR)) == 2
