@@ -10,7 +10,7 @@ cost a map pass at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -56,3 +56,38 @@ def k_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = [r["lang"] for r in d.select("lang").distinct().collect()]
     fractions = {lang: 0.3 for lang in langs}
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@register(
+    "k_reservoir_per_group",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def k_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample: exactly min(k, |group|) docs per
+    language, ordered by a key hash instead of rand() — the reproducible
+    stand-in for reservoir sampling. A hash order is rerun-safe (same
+    input -> same sample, the reference's idempotency discipline),
+    engine-portable (md5 agrees everywhere, so the oracle hash-matches),
+    and at 100 TB it runs as one shuffle on the group key with a
+    per-group top-k — no global sort and no stateful reservoir. Use the
+    true rand()-reservoir only when the input is an unbounded stream;
+    for corpus curation the hash order is strictly better because
+    auditors can re-derive the sample."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )

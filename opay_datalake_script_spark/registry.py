@@ -143,6 +143,8 @@ _PRIORITY = (
     "r_incremental_daily_agg",
     "a_cluster_by_write",
     "e_window_funnel",
+    "c_join_fuzzy",
+    "k_reservoir_per_group",
 )
 
 
