@@ -213,3 +213,63 @@ def k_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(hashes).alias("max_shingle_hash"),
         F.size(hashes).alias("n_shingles"),
     )
+
+
+@register(
+    "k_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    freq AS (
+        SELECT t,
+               CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM toks) AS p
+        FROM toks GROUP BY t
+    )
+    SELECT doc_id,
+           round(avg(log10(p)), 6) AS avg_logprob,
+           count(*) AS n_tokens
+    FROM toks JOIN freq USING (t)
+    GROUP BY doc_id
+    """,
+)
+def k_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality score: per-document average unigram
+    log-probability under the corpus's own unigram model — the
+    perplexity-style filter that catches gibberish and boilerplate the
+    heuristic ratios (k_quality_score) miss. Two aggregation passes:
+    (1) tokenize once and build the corpus frequency table, (2) join
+    tokens back to their probabilities and average per document.
+
+    At 100 TB: the frequency table is vocabulary-sized (Zipf — millions
+    of rows, not trillions), so the scoring join broadcasts or, above
+    the threshold, AQE falls back to a shuffled join on the token key;
+    the corpus total rides along as a 1-row cross join, never a driver
+    collect. Tokens are never re-extracted: one explode feeds both
+    passes. Probabilities are exact integer-ratio doubles and log10 is
+    sub-ulp across engines, so the rounded average hash-matches the
+    oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
+    ).where(F.col("t") != "")
+    tot = toks.agg(F.count("*").alias("tot"))
+    freq = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select("t", (F.col("c") / F.col("tot")).alias("p"))
+    )
+    return (
+        toks.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log10("p")), 6).alias("avg_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

@@ -145,6 +145,7 @@ _PRIORITY = (
     "e_window_funnel",
     "c_join_fuzzy",
     "k_reservoir_per_group",
+    "k_unigram_logprob",
 )
 
 
