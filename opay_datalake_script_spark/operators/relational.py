@@ -17,6 +17,48 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources.io import load
 
+
+def global_row_number(df: DataFrame, *order_cols, parts: int = 32) -> DataFrame:
+    """Distributed global row_number: total order WITHOUT the
+    single-partition WindowExec that `Window.orderBy(...)` (no
+    partitionBy) forces — that plan funnels the whole table through one
+    task, the classic 100 TB global-rank bottleneck.
+
+    Scalable shape: (1) range-repartition + sort on the order keys, so
+    partition i holds a contiguous key range; (2) rank within each
+    partition (Window partitioned by spark_partition_id — parallel);
+    (3) cumulate per-partition counts into start offsets — a
+    #partitions-row table, broadcast back; rn = local rank + offset.
+    Output is independent of the sampled range bounds whenever the order
+    key is a total order (unique tiebreaker), which every caller here
+    guarantees. Returns ``df`` with an appended long ``rn`` column.
+    """
+    from pyspark.sql import Window as W
+
+    ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # #partitions rows: the unpartitioned cumsum window below is over a
+    # tiny frame, not the data.
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_offset")
+    local = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.row_number().over(local) + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2-B projection / filter / predicates
 # ---------------------------------------------------------------------------
@@ -171,17 +213,18 @@ def b_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f_order_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with NULLS LAST, made hash-observable via row_number
     over the same total order (order-insensitive hashing can't see a bare
-    ORDER BY)."""
-    from pyspark.sql import Window as W
-
+    ORDER BY). Ranked via the distributed global_row_number — a bare
+    `Window.orderBy` would single-partition the whole table."""
     c = load(spark, sf_dir, "customer")
     masked = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
         F.col("c_acctbal")
     )
-    w = W.orderBy(masked.desc_nulls_last(), F.col("c_custkey"))
-    return c.select(
-        "c_custkey", F.row_number().over(w).cast("long").alias("rn")
+    ranked = global_row_number(
+        c.withColumn("_m", masked),
+        F.col("_m").desc_nulls_last(),
+        F.col("c_custkey"),
     )
+    return ranked.select("c_custkey", "rn")
 
 
 @register(

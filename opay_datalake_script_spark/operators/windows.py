@@ -206,10 +206,29 @@ def e_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing of customers by balance."""
+    """Quartile bucketing of customers by balance. `ntile` over a bare
+    ORDER BY would single-partition the table, so the global rank comes
+    from the distributed global_row_number and the bucket is derived
+    arithmetically: with total = 4*size + rem, SQL NTILE gives the first
+    `rem` buckets `size+1` rows — rn maps to its bucket in one map-side
+    expression, no global WindowExec anywhere."""
+    from .relational import global_row_number
+
     c = load(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+    ranked = global_row_number(c, F.col("c_acctbal"), F.col("c_custkey"))
+    tot = c.agg(F.count("*").alias("_tot"))
+    r = ranked.crossJoin(F.broadcast(tot))
+    size = F.floor(F.col("_tot") / 4)
+    rem = F.col("_tot") % 4
+    big = size + 1
+    quartile = (
+        F.when(
+            F.col("rn") <= rem * big, F.floor((F.col("rn") - 1) / big) + 1
+        )
+        .otherwise(rem + F.floor((F.col("rn") - 1 - rem * big) / size) + 1)
+        .cast("long")
+    )
+    return r.select("c_custkey", quartile.alias("quartile"))
 
 
 @register(

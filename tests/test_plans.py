@@ -207,3 +207,17 @@ def test_window_funnel_two_shuffles(spark):
     from opay_datalake_script_spark.plans.inspect import count_shuffles
 
     assert count_shuffles(QUERIES["e_window_funnel"](spark, SF_DIR)) == 2
+
+
+def test_global_rank_avoids_single_partition_window(spark):
+    """f_order_multi / e_ntile: global total-order ranking must run as
+    range-repartition + per-partition rank + broadcast offsets — the
+    data-bearing Window partitions by spark_partition_id, never a bare
+    ORDER BY window that funnels the table through one task. (The only
+    unpartitioned window allowed is the #partitions-row offset cumsum.)"""
+    from opay_datalake_script_spark.plans.inspect import formatted_plan
+
+    for name in ("f_order_multi", "e_ntile"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "rangepartitioning" in plan, name
+        assert "_pid" in plan, name
