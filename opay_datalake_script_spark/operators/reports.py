@@ -229,3 +229,56 @@ def r_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landed.select(
         F.col("dt").cast("string").alias("dt"), "event_type", "n", "v"
     )
+
+
+@register(
+    "r_dq_referential",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS orphans
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', count(*)
+    FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def r_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the nightly DQC job that
+    guards every downstream join: orphan counts for the three FK edges of
+    the order star, as left-anti probes. Complements the single-table
+    gates in `quality.py` (null/unique/accepted-values run in one scan);
+    FK checks are inherently two-table, so each edge is its own anti-join.
+
+    At 100 TB: each anti-join shuffles on its key like the production
+    join it protects — or broadcasts when the parent side is a dimension
+    (customer->nation). A zero-orphan result is the precondition the
+    reference's sensor-then-load DAG ordering enforced; landing the
+    counts as a table makes the check auditable instead of implicit."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def orphans(child: DataFrame, parent: DataFrame, cond, label: str) -> DataFrame:
+        return (
+            child.join(parent, cond, "left_anti")
+            .agg(F.count("*").alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+
+    return (
+        orphans(li, o, li.l_orderkey == o.o_orderkey, "lineitem->orders")
+        .unionByName(
+            orphans(o, c, o.o_custkey == c.c_custkey, "orders->customer")
+        )
+        .unionByName(
+            orphans(
+                c, F.broadcast(n), c.c_nationkey == n.n_nationkey, "customer->nation"
+            )
+        )
+    )

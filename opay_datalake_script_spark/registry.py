@@ -146,6 +146,7 @@ _PRIORITY = (
     "c_join_fuzzy",
     "k_reservoir_per_group",
     "k_unigram_logprob",
+    "r_dq_referential",
 )
 
 
