@@ -389,3 +389,42 @@ def d_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "d_bitmap_tags",
+    oracle="""
+    WITH tags AS (
+        SELECT user_id,
+               bit_or(CASE event_type
+                   WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                   WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                   ELSE 16 END) AS tag_bits
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(tag_bits AS BIGINT) AS tag_bits, count(*) AS n_users
+    FROM tags GROUP BY 1
+    """,
+)
+def d_bitmap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-tag bitmaps — the audience-segmentation idiom: fold each
+    user's behavior into one integer of OR-ed tag bits (view=1, click=2,
+    purchase=4, signup=8, error=16), then histogram the segment
+    combinations. At 100 TB the bitmap IS the compression: per-user
+    state is a single long regardless of event volume, bit_or is
+    associative so the map side pre-folds before the user_id shuffle,
+    and downstream segment queries ("purchasers who never clicked")
+    become bitwise predicates on one column instead of joins. The
+    second aggregation is over |distinct bit patterns| <= 2^5 rows."""
+    ev = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    tags = ev.groupBy("user_id").agg(F.bit_or(bit).alias("tag_bits"))
+    return tags.groupBy(F.col("tag_bits").cast("long").alias("tag_bits")).agg(
+        F.count("*").alias("n_users")
+    )

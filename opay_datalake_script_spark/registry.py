@@ -147,6 +147,7 @@ _PRIORITY = (
     "k_reservoir_per_group",
     "k_unigram_logprob",
     "r_dq_referential",
+    "d_bitmap_tags",
 )
 
 
