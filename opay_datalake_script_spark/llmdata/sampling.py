@@ -91,3 +91,53 @@ def k_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "k_domain_mixture",
+    oracle="""
+    WITH quota AS (
+        SELECT * FROM (VALUES
+            ('src0', 20), ('src1', 20), ('src2', 20), ('src3', 20),
+            ('src4', 5)
+        ) AS q(source, n_keep)
+    )
+    SELECT doc_id, source FROM (
+        SELECT d.doc_id, d.source, q.n_keep,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d JOIN quota q USING (source)
+    ) WHERE rn <= n_keep
+    """,
+)
+def k_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: hit per-source document quotas (the
+    data-mixing step that sets training mixture weights, à la The
+    Pile / DoReMi). The quota table is a tiny dimension — broadcast-join
+    it to the corpus, then keep the first n_keep docs per source in
+    md5(key) order. Hash order makes the mixture a pure function of the
+    input (rerun-safe, engine-portable, auditable) where a rand() sample
+    is not.
+
+    At 100 TB: the quota join is a broadcast (a handful of rows), the
+    window is one shuffle keyed on source. Per-source partitions hold
+    only that source's docs — if one domain dominates the corpus, cap the
+    skew by pre-filtering with an approximate per-source count and a
+    hash-prefix predicate before ranking (keep ~n_keep × safety-factor
+    candidates), which turns the hot partition into a bounded one."""
+    d = load(spark, sf_dir, "documents")
+    quota = spark.createDataFrame(
+        [("src0", 20), ("src1", 20), ("src2", 20), ("src3", 20), ("src4", 5)],
+        "source string, n_keep int",
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n_keep"))
+        .select("doc_id", "source")
+    )

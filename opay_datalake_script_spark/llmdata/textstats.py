@@ -273,3 +273,63 @@ def k_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "k_repetition_stats",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS b
+        FROM words WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct,
+           round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)
+               AS dup_bigram_frac,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def k_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rules,
+    Rae et al. 2021 §A1.1): fraction of word bigrams that are repeats of
+    an earlier bigram in the same document, and the share claimed by the
+    single most frequent bigram. Boilerplate, keyword-stuffed, and
+    template-generated pages score high and get filtered before training.
+
+    Shape: one scan builds the bigram list array-side (`transform` over a
+    `sequence`, pure JVM — no Python), one explode, then two hash
+    aggregations both keyed on doc_id. At 100 TB the explode multiplies
+    rows by ~doc length (the standard shingling cost) but the shuffle key
+    (doc_id, bigram) is unique-ish per doc, so partial aggregation
+    collapses repeats map-side and skew is bounded by the longest single
+    document, not by corpus hot keys."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    per_bigram = (
+        d.where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = F.sum("c")
+    return per_bigram.groupBy("doc_id").agg(
+        tot.alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        F.round((tot - F.count("*")) / tot.cast("double"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.max("c") / tot.cast("double"), 6).alias("top_bigram_frac"),
+    )

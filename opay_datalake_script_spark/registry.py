@@ -148,6 +148,8 @@ _PRIORITY = (
     "k_unigram_logprob",
     "r_dq_referential",
     "d_bitmap_tags",
+    "k_repetition_stats",
+    "k_domain_mixture",
 )
 
 
