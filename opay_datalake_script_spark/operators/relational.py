@@ -18,7 +18,9 @@ from ..registry import register
 from ..sources.io import load
 
 
-def global_row_number(df: DataFrame, *order_cols, parts: int = 32) -> DataFrame:
+def global_row_number(
+    df: DataFrame, *order_cols, parts: int = 32, checkpoint: bool = True
+) -> DataFrame:
     """Distributed global row_number: total order WITHOUT the
     single-partition WindowExec that `Window.orderBy(...)` (no
     partitionBy) forces — that plan funnels the whole table through one
@@ -32,6 +34,16 @@ def global_row_number(df: DataFrame, *order_cols, parts: int = 32) -> DataFrame:
     Output is independent of the sampled range bounds whenever the order
     key is a total order (unique tiebreaker), which every caller here
     guarantees. Returns ``df`` with an appended long ``rn`` column.
+
+    The counts branch and the rank branch must see the SAME partitioning:
+    RangePartitioner bounds are sample-based, so if the two plan
+    references to the ranged subtree were planned separately (exchange
+    reuse disabled, divergent AQE replan) the offsets would come from a
+    different partitioning than the ranks. localCheckpoint materializes
+    the ranged+pid data once and both branches read the same blocks —
+    deterministic by construction, not by optimizer courtesy.
+    (``checkpoint=False`` exists only so plan tests can inspect the
+    pre-materialization logical shape.)
     """
     from pyspark.sql import Window as W
 
@@ -39,6 +51,8 @@ def global_row_number(df: DataFrame, *order_cols, parts: int = 32) -> DataFrame:
         *order_cols
     )
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    if checkpoint:
+        with_pid = with_pid.localCheckpoint()
     counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_n"))
     # #partitions rows: the unpartitioned cumsum window below is over a
     # tiny frame, not the data.

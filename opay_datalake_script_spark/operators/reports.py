@@ -218,11 +218,17 @@ def r_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
     out = scratch_path("incr_agg", f"daily_{tag}")
-    daily(ev).write.partitionBy("dt").mode("overwrite").parquet(out)
+    # partitionOverwriteMode set on the writer (per-write since Spark 3.0),
+    # not inherited from the session: under a caller-built session with the
+    # default 'static' mode the one-day rerun would truncate every other
+    # partition and the landed table would hold a single day.
+    daily(ev).write.partitionBy("dt").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(out)
     rerun_day = "2024-01-15"
-    daily(ev.where(F.col("dt") == rerun_day)).write.partitionBy("dt").mode(
-        "overwrite"
-    ).parquet(out)
+    daily(ev.where(F.col("dt") == rerun_day)).write.partitionBy("dt").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(out)
     landed = spark.read.parquet(out)
     # partition-directory values infer as DATE on read; the differential
     # contract emits report dates as strings (module docstring).

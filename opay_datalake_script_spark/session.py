@@ -29,25 +29,28 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 def get_spark(
     app_name: str = "opay-datalake-spark",
     cpus: str | int | None = None,
-    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or get) the engine's SparkSession.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS (driver contract) or '*'.
     Safe to call repeatedly: returns the active session if one exists.
+    ``shuffle_partitions=None`` means "caller has no opinion": a new
+    session gets DEFAULT_SHUFFLE_PARTITIONS, but a pre-existing active
+    session (possibly built by the bench/driver harness with its own
+    deliberate width) is left untouched.
     """
     active = SparkSession.getActiveSession()
     if active is not None:
-        # Apply runtime-settable confs so callers asking for a different
-        # shuffle width / extra conf aren't silently ignored; static confs
-        # (driver memory, master) can't change post-launch — warn instead.
+        # Apply ONLY confs the caller explicitly asked for; mutating a
+        # session we did not create would override its owner's settings.
         import warnings
 
-        for key, val in {
-            "spark.sql.shuffle.partitions": str(shuffle_partitions),
-            **(extra_conf or {}),
-        }.items():
+        requested = dict(extra_conf or {})
+        if shuffle_partitions is not None:
+            requested["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        for key, val in requested.items():
             try:
                 active.conf.set(key, val)
             except Exception:
@@ -58,6 +61,8 @@ def get_spark(
                 )
         return active
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -241,8 +241,21 @@ def i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(scratch_path("stream_cdc", "x")), f"src_{tag}"
     )
     src = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    if not os.path.isdir(src_dir):
+    # Freshness check (same discipline as io.stage_stream_dir): the staged
+    # split is derived output, so record the fixture's (size, mtime) in a
+    # marker and re-stage when the fixture was regenerated — otherwise the
+    # CDC merge would consume stale data while the oracle reads fresh.
+    fixture = os.path.join(sf_dir, "events.parquet")
+    stamp = f"{os.path.getsize(fixture)}:{os.path.getmtime(fixture)}"
+    marker = src_dir + ".fixture_stamp"
+    stale = True
+    if os.path.isdir(src_dir) and os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read() != stamp
+    if stale:
         src.repartition(4).write.mode("overwrite").parquet(src_dir)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)

@@ -214,10 +214,28 @@ def test_global_rank_avoids_single_partition_window(spark):
     range-repartition + per-partition rank + broadcast offsets — the
     data-bearing Window partitions by spark_partition_id, never a bare
     ORDER BY window that funnels the table through one task. (The only
-    unpartitioned window allowed is the #partitions-row offset cumsum.)"""
+    unpartitioned window allowed is the #partitions-row offset cumsum.)
+
+    Production inserts a localCheckpoint after the range repartition so
+    the counts and rank branches share one materialized partitioning
+    (sample-based range bounds must not be computed twice); the
+    checkpoint hides the exchange from the final plan, so the range
+    shape is pinned on the checkpoint=False form and the checkpointed
+    queries are pinned on the _pid window + materialized-scan markers."""
+    from opay_datalake_script_spark.operators.relational import global_row_number
     from opay_datalake_script_spark.plans.inspect import formatted_plan
+    from opay_datalake_script_spark.sources.io import load
+
+    raw = global_row_number(
+        load(spark, SF_DIR, "customer"), "c_acctbal", "c_custkey", checkpoint=False
+    )
+    raw_plan = formatted_plan(raw)
+    assert "rangepartitioning" in raw_plan
+    assert "_pid" in raw_plan
 
     for name in ("f_order_multi", "e_ntile"):
         plan = formatted_plan(QUERIES[name](spark, SF_DIR))
-        assert "rangepartitioning" in plan, name
         assert "_pid" in plan, name
+        assert "existingrdd" in plan or "scan existingrdd" in plan, (
+            f"{name}: expected the localCheckpoint materialization scan"
+        )
