@@ -106,27 +106,32 @@ def k_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("k_near_dedup_lsh")
-def k_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash-LSH (seeded).
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_dist: float = 0.4,
+    num_tables: int = 8,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (doc_a < doc_b, seeded).
 
-    Pipeline: tokenize -> HashingTF (token set -> sparse vector) ->
-    MinHashLSH approxSimilarityJoin on Jaccard *distance* <= 0.4.
-    Rows-only (LSH is probabilistic); `k_jaccard_pairs` is the exact
-    verifier. At 100 TB this is THE dedup path: candidates are generated
-    by band-bucket join instead of any O(n^2) comparison.
-    """
+    Tokenize -> HashingTF (binary=True: set semantics for Jaccard) ->
+    MinHashLSH approxSimilarityJoin on Jaccard *distance* <= max_dist.
+    Spark's MinHashLSH ORs `num_tables` single-hash tables: a true pair
+    of similarity s is missed with probability (1-s)^num_tables, so the
+    candidate recall is tunable per caller (8 tables -> 0.4^8 ~ 7e-4 miss
+    at the 0.6-similarity edge threshold; 16 -> 4e-7)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
-    # binary=True -> set semantics (presence, not counts) for Jaccard.
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
     ).transform(tokens)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
+    )
     model = lsh.fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.4, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(tf, tf, max_dist, distCol="jaccard_dist")
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -135,6 +140,17 @@ def k_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
         )
     )
+
+
+@register("k_near_dedup_lsh")
+def k_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH (seeded).
+
+    Rows-only (LSH is probabilistic); `k_jaccard_pairs` is the exact
+    verifier. At 100 TB this is THE dedup path: candidates are generated
+    by band-bucket join instead of any O(n^2) comparison.
+    """
+    return lsh_candidate_pairs(spark, sf_dir)
 
 
 @register("k_simhash")

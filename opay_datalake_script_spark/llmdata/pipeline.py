@@ -11,7 +11,7 @@ distributed per-step jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -99,30 +99,55 @@ def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin its start offset falls in — the deterministic streaming packer
     batch builders use (vs NP-hard optimal bin packing).
 
-    One window (partitioned running sum) per language stream: the shuffle
-    keys on `lang`, each partition does a linear scan. At 100 TB the
-    stream key becomes (lang, shard) so no single language serializes
-    into one task.
+    Sharded stream key: a window partitioned by `lang` alone would give
+    exactly #languages sort tasks no matter the corpus size — at 100 TB
+    one task per language serializes everything. Instead the running sum
+    is computed with the same distributed offset-stitch pattern as
+    `global_row_number` (operators/relational.py): range-repartition on
+    (lang, doc_id) into many contiguous shards, cumsum locally per
+    (shard, lang), then add per-shard token offsets (a #shards x #langs
+    row table, broadcast back). localCheckpoint pins one sampled range
+    partitioning for both the offsets branch and the cumsum branch, so
+    the stitch is deterministic by construction.
     """
+    from pyspark.sql import Window as W
+
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    parts = 32
+    ranged = base.repartitionByRange(parts, "lang", "doc_id").sortWithinPartitions(
+        "lang", "doc_id"
     )
-    cum = F.sum("n_tokens").over(w)
-    return (
-        d.select("doc_id", "lang", n_tok.alias("n_tokens"))
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
-            F.floor((cum - F.col("n_tokens")) / F.lit(float(PACK_BUDGET)))
-            .cast("long")
-            .alias("bin"),
-        )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    shard_sums = with_pid.groupBy("_pid", "lang").agg(F.sum("n_tokens").alias("_n"))
+    # #shards x #langs rows: the cumsum window below runs over this tiny
+    # table, never the data.
+    offsets = shard_sums.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                W.partitionBy("lang").orderBy("_pid").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "lang", "_offset")
+    local = (
+        W.partitionBy("_pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(local) + F.col("_offset")
+    return with_pid.join(F.broadcast(offsets), ["_pid", "lang"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(PACK_BUDGET)))
+        .cast("long")
+        .alias("bin"),
     )
 
 
@@ -269,6 +294,13 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the step that turns pairwise dup hits into "keep one canonical doc
     per cluster". comp == doc_id identifies the keeper.
 
+    Edge generation is the 100 TB path: MinHash-LSH banding proposes
+    candidate pairs (band-bucket join, never all-pairs — 16 OR-ed hash
+    tables miss a true 0.6-Jaccard edge with p = 0.4^16 ~ 4e-7), then the
+    exact token-set Jaccard scorer verifies ONLY those candidates, so the
+    quadratic comparison the lang-blocked verifier (`k_jaccard_pairs`)
+    does per block never happens here.
+
     Iterative min-label propagation: each round is one distributed
     join+union+min-aggregate; the driver only steers convergence (the
     label sum is monotone non-increasing, so an unchanged sum means a
@@ -278,9 +310,41 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage each round — without it the plan re-executes from round 0.
     The DuckDB oracle computes the same fixed point with a recursive CTE.
     """
-    from .dedup import k_jaccard_pairs
+    from .dedup import lsh_candidate_pairs
 
-    pairs = k_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
+    )
+    # Candidate threshold 0.5 (not the edge's 0.4): approxSimilarityJoin
+    # measures Jaccard on HashingTF vectors, where rare bucket collisions
+    # jitter the distance around the true token-set value — a margin keeps
+    # borderline 0.6-similarity edges in the candidate set. The exact
+    # verifier below re-scores candidates on true token sets, so a wider
+    # net costs a few extra verifications, never a wrong edge.
+    cand = lsh_candidate_pairs(
+        spark, sf_dir, max_dist=0.5, num_tables=16
+    ).select("doc_a", "doc_b")
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("tset").alias("ta"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("tset").alias("tb"),
+    )
+    jac = (
+        F.size(F.array_intersect("ta", "tb")).cast("double")
+        / F.size(F.array_union("ta", "tb"))
+    )
+    pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where((F.col("lang_a") == F.col("lang_b")) & (jac >= 0.6))
+        .select("doc_a", "doc_b")
+    )
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))

@@ -27,17 +27,54 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 SCRATCH_DIR = os.path.join(_REPO_ROOT, ".scratch")
 
 
-# Columns stored as TIMESTAMP(NANOS) in parquet. Spark cannot read nanos as
-# timestamps at all (PARQUET_TYPE_ILLEGAL); with
+# Timestamp columns that MAY be stored as TIMESTAMP(NANOS) in parquet,
+# depending on how the fixture generator encoded them (the driver has
+# shipped both ns- and us-encoded `events.ts` across rounds). Spark cannot
+# read nanos as timestamps at all (PARQUET_TYPE_ILLEGAL); with
 # spark.sql.legacy.parquet.nanosAsLong=true they arrive as epoch-nanos longs
-# and are converted here via integer division (truncation toward zero for
+# and are converted via integer division (truncation toward zero for
 # positive epochs) — exactly how DuckDB, the correctness oracle, coerces
-# nanos to its native microsecond timestamps.
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# nanos to its native microsecond timestamps. Applying that long-read path
+# to a us-encoded file silently divides every timestamp by 1000 (2024 →
+# 1970), so the encoding is sniffed from the parquet footer per file and
+# the conversion applied only when the file really is nanos.
+_MAYBE_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def _read_schema(table: str) -> T.StructType:
-    nanos = _NANO_TS_COLS.get(table, ())
+def _nano_cols(path: str, table: str) -> tuple[str, ...]:
+    """Which declared maybe-nanos columns are ACTUALLY timestamp[ns] in the
+    parquet footer at `path` (a file or a directory of part files)."""
+    candidates = _MAYBE_NANO_TS_COLS.get(table, ())
+    if not candidates:
+        return ()
+    key = (path, table)
+    hit = _NANO_SNIFF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:  # empty staging dir: assume current (us) encoding
+            return ()
+        target = parts[0]
+    footer = _pq.read_schema(target)
+    out = tuple(
+        c
+        for c in candidates
+        if c in footer.names and str(footer.field(c).type) == "timestamp[ns]"
+    )
+    _NANO_SNIFF_CACHE[key] = out
+    return out
+
+
+_NANO_SNIFF_CACHE: dict[tuple[str, str], tuple[str, ...]] = {}
+
+
+def _read_schema(table: str, nanos: tuple[str, ...]) -> T.StructType:
     if not nanos:
         return SCHEMAS[table]
     return T.StructType(
@@ -48,8 +85,8 @@ def _read_schema(table: str) -> T.StructType:
     )
 
 
-def _convert_nanos(df: DataFrame, table: str) -> DataFrame:
-    for c in _NANO_TS_COLS.get(table, ()):
+def _convert_nanos(df: DataFrame, nanos: tuple[str, ...]) -> DataFrame:
+    for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
@@ -60,16 +97,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     Passing the schema up front skips footer-based inference and pins the
     engine to FIXTURES.md types; Catalyst still prunes columns and pushes
     predicates into the parquet scan. Nanosecond timestamp columns are
-    normalized to Spark's microsecond TimestampType.
-    """
-    df = spark.read.schema(_read_schema(table)).parquet(f"{sf_dir}/{table}.parquet")
-    return _convert_nanos(df, table)
+    normalized to Spark's microsecond TimestampType (footer-sniffed)."""
+    path = f"{sf_dir}/{table}.parquet"
+    nanos = _nano_cols(path, table)
+    df = spark.read.schema(_read_schema(table, nanos)).parquet(path)
+    return _convert_nanos(df, nanos)
 
 
 def load_stream(spark: SparkSession, sf_dir: str, table: str = "events") -> DataFrame:
     """Streaming twin of :func:`load` over a staged file-source directory."""
-    df = spark.readStream.schema(_read_schema(table)).parquet(stage_stream_dir(sf_dir, table))
-    return _convert_nanos(df, table)
+    src_dir = stage_stream_dir(sf_dir, table)
+    nanos = _nano_cols(src_dir, table)
+    df = spark.readStream.schema(_read_schema(table, nanos)).parquet(src_dir)
+    return _convert_nanos(df, nanos)
 
 
 def scratch_path(*parts: str) -> str:

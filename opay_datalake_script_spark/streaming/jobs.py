@@ -246,7 +246,10 @@ def i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # marker and re-stage when the fixture was regenerated — otherwise the
     # CDC merge would consume stale data while the oracle reads fresh.
     fixture = os.path.join(sf_dir, "events.parquet")
-    stamp = f"{os.path.getsize(fixture)}:{os.path.getmtime(fixture)}"
+    # "v2": staging-format version — bumped when the loader semantics change
+    # (e.g. the ns→us timestamp-encoding fix) so stale staged splits written
+    # by an older loader are rebuilt even if the fixture itself is unchanged.
+    stamp = f"v2:{os.path.getsize(fixture)}:{os.path.getmtime(fixture)}"
     marker = src_dir + ".fixture_stamp"
     stale = True
     if os.path.isdir(src_dir) and os.path.exists(marker):
