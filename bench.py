@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "k_exact_dedup",
 ]
 
-RUNS = 3
+RUNS = 5
 
 
 def main() -> None:

@@ -153,36 +153,189 @@ def k_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(spark, sf_dir)
 
 
-@register("k_simhash")
-def k_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints from token hashes (rows-only: the
-    fingerprint depends on Spark's xxhash64, which has no DuckDB twin).
+_SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed 64-bit in BOTH engines
 
-    Pure DataFrame ops: explode tokens -> xxhash64 -> per-bit +/-1 votes
-    aggregated with sum(CASE) -> recombine bits. Near-dups then reduce to
-    a cheap equi-join on fingerprint bands (Hamming-adjacent blocks), the
-    same shuffle shape as exact dedup — no pairwise comparisons.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+    ),
+    v AS (
+        SELECT doc_id,
+               {", ".join(f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_SIMHASH_BITS))}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"(CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)" for b in range(_SIMHASH_BITS))}
+           AS simhash60
+    FROM v
+"""
+
+
+@register("k_simhash", oracle=_SIMHASH_ORACLE)
+def k_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints from token hashes.
+
+    Pure DataFrame ops: explode tokens -> 60-bit md5-derived token hash
+    -> per-bit +/-1 votes aggregated with sum(CASE) -> recombine bits.
+    Near-dups then reduce to a cheap equi-join on fingerprint bands
+    (Hamming-adjacent blocks), the same shuffle shape as exact dedup —
+    no pairwise comparisons.
+
+    The token hash is conv(md5[0:15], 16, 10) rather than xxhash64:
+    md5 agrees bit-for-bit across engines, which makes the whole
+    signature oracle-checkable (the DuckDB twin recomputes the identical
+    votes), and 15 hex chars = 60 bits keeps the value inside signed
+    int64 in both. In production the hash is swappable; the vote/band
+    structure — the part that matters at 100 TB — is unchanged.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(normalized_text(), " "))).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
-    # shiftleft, not a Python literal: 1 << 63 overflows LongType as a
-    # literal but wraps to the sign bit correctly as a JVM shift.
-    def mask(b: int):
-        return F.shiftleft(F.lit(1).cast("long"), b)
-
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized_text(), " "))).alias("tok"),
+    ).withColumn(
+        "th",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
     votes = [
         F.sum(
-            F.when(F.col("th").bitwiseAND(mask(b)) != 0, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(_SIMHASH_BITS)
     ]
     per_doc = toks.groupBy("doc_id").agg(*votes)
     sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig.bitwiseOR(F.when(F.col(f"b{b}") > 0, mask(b)).otherwise(F.lit(0).cast("long")))
-    return per_doc.select("doc_id", sig.alias("simhash64"))
+    for b in range(_SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", sig.alias("simhash60"))
+
+
+_MINHASH_K = 16  # signature width; 8 bands x 2 rows for banding
+
+def _mh_expr_sql(i: int) -> str:
+    """DuckDB: 60-bit md5-derived hash of token `tok` under seed i."""
+    return f"('0x' || substr(md5({i} || ':' || tok), 1, 15))::BIGINT"
+
+
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"min({_mh_expr_sql(i)}) AS mh{i}" for i in range(_MINHASH_K))}
+    FROM toks GROUP BY doc_id
+"""
+
+
+@register("k_minhash_signature", oracle=_MINHASH_ORACLE)
+def k_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit k=16 MinHash signature per document — the deterministic,
+    engine-portable twin of Spark ML's MinHashLSH model (which keeps its
+    hash coefficients inside the fitted JVM model, so its output can
+    never be oracle-checked). Hash family: h_i(t) = 60-bit prefix of
+    md5(i ':' t) — md5 agrees bit-for-bit across engines, and seeding by
+    prefixing the index gives k independent hash functions from one
+    primitive.
+
+    Shape at 100 TB: one explode of distinct tokens (map-side), one
+    hash aggregation computing all 16 minima in a single pass — the
+    shuffle moves (doc_id, token-hash) pairs once, and partial aggs
+    collapse per-mapper minima before the exchange. Signature columns
+    are scalars, so downstream banding is pure projection.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized_text(), " "))).alias("tok"),
+    )
+
+    def mh(i: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.min(h).alias(f"mh{i}")
+
+    return toks.groupBy("doc_id").agg(*[mh(i) for i in range(_MINHASH_K)])
+
+
+_BANDS = [(2 * j, 2 * j + 1) for j in range(_MINHASH_K // 2)]
+
+_BAND_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min({_mh_expr_sql(i)}) AS mh{i}" for i in range(_MINHASH_K))}
+        FROM toks GROUP BY doc_id
+    ),
+    buckets AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band, md5(mh{a} || ':' || mh{b}) AS bucket FROM sig"
+            for j, (a, b) in enumerate(_BANDS)
+        )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register("k_lsh_band_candidates", oracle=_BAND_ORACLE)
+def k_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate generation from explicit MinHash signatures:
+    8 bands x 2 rows — two docs become a candidate pair iff some band of
+    their signatures collides. This is the 100 TB dedup join written out
+    as DataFrame ops (vs the fitted-model variant `k_near_dedup_lsh`),
+    and — because the hash family is md5-derived — the exact candidate
+    set is hash-checked against DuckDB, giving the LSH path itself a
+    hard oracle instead of a recall bound.
+
+    Plan shape: signatures (1 explode + 1 hash agg), band expansion by
+    stack (map-side), then ONE equi-join keyed on (band, bucket) and a
+    distinct — every shuffle keys on uniform hashes, no all-pairs
+    comparison anywhere. Per-bucket skew is bounded because bucket ids
+    are 128-bit md5 of signature pairs: only true near-dup clusters
+    collide, which is exactly the work the verifier must do anyway.
+    """
+    sig = k_minhash_signature(spark, sf_dir)
+    stack_expr = ", ".join(f"{j}L, md5(concat(mh{a}, ':', mh{b}))" for j, (a, b) in enumerate(_BANDS))
+    buckets = sig.selectExpr(
+        "doc_id", f"stack({len(_BANDS)}, {stack_expr}) AS (band, bucket)"
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"), "band", "bucket"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 @register(

@@ -120,14 +120,21 @@ def s_hiveql_mapjoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("s_hiveql_distribute_sort")
+@register(
+    "s_hiveql_distribute_sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    """,
+)
 def s_hiveql_distribute_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`DISTRIBUTE BY ... SORT BY` — Hive's write-locality clustering,
-    as text. Rows-only: partition-local order is not SQL-observable
-    (same reason as `f_sort_within_partitions`), but the clause must
-    parse and produce a shuffle-on-key + per-partition sort plan, which
-    is what makes downstream partitioned writes produce run-length
-    clustered files at 100 TB."""
+    as text. Partition-local order is not SQL-observable (same reason as
+    `f_sort_within_partitions`), but the content is: the clause must
+    parse, produce a shuffle-on-key + per-partition sort plan, and pass
+    every row through unchanged (order-insensitive hash vs the plain
+    projection) — which is what makes downstream partitioned writes
+    produce run-length clustered files at 100 TB."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(
         """

@@ -261,11 +261,13 @@ def f_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("f_sort_within_partitions")
+@register("f_sort_within_partitions", oracle="SELECT * FROM customer")
 def f_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER BY / SORT BY analog: co-partition by key then sort inside
-    each partition (write-locality idiom; partition-local order is not
-    SQL-observable -> rows-only check)."""
+    each partition (write-locality idiom). Partition-local ORDER is not
+    SQL-observable, but the CONTENT is: the driver compare is
+    order-insensitive, so the oracle pins that clustering is a pure
+    reorganization — every source row survives unchanged."""
     return (
         load(spark, sf_dir, "customer")
         .repartition(8, "c_nationkey")

@@ -288,3 +288,51 @@ def r_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "r_active_users_rolling",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    e AS (
+        SELECT user_id, day + unnest(range(0, 7)) * INTERVAL 1 DAY AS day7
+        FROM du
+    )
+    SELECT strftime(day7, '%Y-%m-%d') AS dt,
+           count(DISTINCT user_id) AS active_7d
+    FROM e GROUP BY 1
+    """,
+)
+def r_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the DAU/WAU dashboard tile
+    every tracking warehouse lands nightly. Rolling COUNT(DISTINCT) has
+    no window-frame form in any engine (distinctness does not compose
+    across frame slides), so the scalable shape is contribute-and-count:
+    dedupe to (day, user) first (collapses each user's intra-day events
+    to one row BEFORE any fan-out), explode each pair to the 7 report
+    days it contributes to, then one distinct-count per day.
+
+    At 100 TB: the fan-out factor is exactly the window length (7x on
+    the deduped daily actives, NOT on raw events), both shuffles key on
+    (day[, user]) which are uniform, and no per-user state or sort is
+    held anywhere — this beats the self-join formulation (window x scan)
+    and stays embarrassingly parallel as history grows. The same shape
+    scales to WAU/MAU by swapping the range.
+    """
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day7"),
+    )
+    return contrib.groupBy(
+        F.date_format("day7", "yyyy-MM-dd").alias("dt")
+    ).agg(F.countDistinct("user_id").alias("active_7d"))

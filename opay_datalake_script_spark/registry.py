@@ -41,51 +41,78 @@ _QUERY_MODULES = (
 
 # The driver's per-round correctness run verifies only the first ~50
 # registry entries, so registration order decides which queries get
-# driver-verified evidence. Instead of a hand-maintained snapshot (stale
-# by round 2 — see ADVICE.md), derive the order from the CORRECTNESS_r*
-# files the driver leaves in the repo root: any query WITHOUT a recorded
-# driver row yet runs first, already-verified queries run last. Within
-# the unverified set, SURVEY §2 inventory IDs (the round-2 training-data
-# extensions in particular) outrank the extras.
-_HEAD = (
-    # SURVEY §2 round-2 extension IDs — checked before everything else
-    "a_cdc_upsert",
-    "a_jdbc_roundtrip",  # registered only when the JDBC driver jar exists
-    "k_chunk_documents",
-    "k_pack_sequences",
-    "k_pii_scrub",
-    "k_contamination_check",
+# driver-verified evidence. Derive the order from the CORRECTNESS_r*
+# files the driver leaves in the repo root (a hand-maintained snapshot
+# went stale by round 2 — see ADVICE.md):
+#   1. queries whose LATEST driver row FAILED (they carry fixes that
+#      need re-proof),
+#   2. queries listed in _RECHECK (code or oracle changed this round)
+#      and queries with no driver row at all,
+#   3. everything else, stalest driver evidence first (ascending round
+#      of the latest row) — older rows were taken against older fixture
+#      generations (the events.ts encoding changed between rounds), so
+#      refreshing the oldest evidence first keeps the whole registry
+#      anchored to current fixtures,
+# with registration order as the tiebreaker.
+_RECHECK = (
+    # round-4 changes: timestamp-encoding fix re-proofs, LSH-rewired
+    # components, sharded packing, and rows-only -> oracle upgrades
     "k_dedup_components",
+    "k_pack_sequences",
+    "k_near_dedup_lsh",
+    "k_simhash",
+    "k_fingerprint",
+    "a_sink_partitioned",
+    "a_sink_csv_json",
+    "a_stream_file_source",
+    "a_compact_small_files",
+    "a_scan_schema_evolution",
+    "f_sort_within_partitions",
+    "s_hiveql_distribute_sort",
+    "i_foreach_batch_sink",
 )
 
 
-def _driver_checked_ids() -> set[str]:
-    """Query IDs that already have a row in any CORRECTNESS_r*.json."""
+def _driver_history() -> dict[str, tuple[int, dict]]:
+    """Latest (round, row) per query ID across all CORRECTNESS_r*.json."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            latest[name] = (rnd, row)
+    return latest
 
 
 def _reorder(mapping: dict) -> dict:
-    """Order: _HEAD first, then driver-unverified queries in registration
-    order, then queries already green in a past CORRECTNESS round."""
-    checked = _driver_checked_ids()
-    ordered = {n: mapping[n] for n in _HEAD if n in mapping}
-    ordered.update(
-        (n, v) for n, v in mapping.items() if n not in ordered and n not in checked
-    )
-    ordered.update((n, v) for n, v in mapping.items() if n not in ordered)
-    return ordered
+    """Order the registry so the driver's ~50-entry window lands on the
+    queries whose evidence is most in need of (re)freshening."""
+    history = _driver_history()
+    reg_pos = {n: i for i, n in enumerate(mapping)}
+
+    def key(name: str):
+        hit = history.get(name)
+        if hit is not None:
+            rnd, row = hit
+            failed = row.get("rows_match") is False or row.get("hash_match") is False
+            if failed:
+                return (0, 0, reg_pos[name])
+        if name in _RECHECK or hit is None:
+            return (1, 0, reg_pos[name])
+        return (2, hit[0], reg_pos[name])
+
+    return {n: mapping[n] for n in sorted(mapping, key=key)}
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -172,14 +172,25 @@ def a_scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a_sink_partitioned")
+@register(
+    "a_sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m') AS dt
+    FROM orders
+    """,
+)
 def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned write + dynamic-partition overwrite + re-read.
 
     The reference's idempotent daily reload idiom
     (``INSERT OVERWRITE ... PARTITION (dt)``): writing the same month
     twice must not duplicate data and must not clobber other months.
-    Rows-only check (round-trip row count equals source row count).
+    Oracle-checked end-to-end: the landed table must equal the full
+    source (order-insensitive value hash) — if the one-month rerun
+    truncated the other months (static overwrite mode) or duplicated
+    its own, the hash differs. The overwrite mode is set per-writer:
+    a caller-built session defaults to 'static', under which the rerun
+    would wipe every other partition.
     """
     out = scratch_path("sink_partitioned", "orders")
     orders = load(spark, sf_dir, "orders").withColumn(
@@ -189,17 +200,28 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dynamic overwrite of a single partition: rewrite one month only;
     # with partitionOverwriteMode=dynamic the other months must survive.
     one_month = orders.where(F.col("dt") == orders.select(F.min("dt")).first()[0])
-    one_month.write.partitionBy("dt").mode("overwrite").parquet(out)
+    one_month.write.partitionBy("dt").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.select("o_orderkey", "o_custkey", F.col("dt").cast("string").alias("dt"))
 
 
-@register("a_sink_csv_json")
+@register(
+    "a_sink_csv_json",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber = 1
+    """,
+)
 def a_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSON export / re-import round trip (report export analog).
 
-    Rows-only: returns the union of both round-trips; count must be
-    2x the exported subset.
+    Returns the union of both round-trips; the oracle is the exported
+    subset twice, so a single lost/duplicated/corrupted row in either
+    text format breaks the value hash. The checked columns are
+    text-round-trip-exact (int keys + integral-valued quantity).
     """
     src = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
     csv_out = scratch_path("sink_csv", "lineitem")
@@ -340,15 +362,20 @@ def a_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.unionByName(upd).unionByName(ins)
 
 
-@register("a_stream_file_source")
+@register(
+    "a_stream_file_source",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
 def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source Structured Streaming landing (Kafka/binlog analog).
 
     Streams the events parquet through an availableNow trigger into a
-    memory sink, then returns the landed table. Rows-only check: batch
-    parity (landed row count == batch read count). The Kafka connector
-    jar is absent offline; the file source exercises the same
-    MicroBatchExecution path (SURVEY.md §3.4).
+    memory sink, then returns the landed table. Oracle-checked batch
+    parity: the landed rows must value-hash-equal the batch table (the
+    driver compare is order-insensitive, so streaming arrival order
+    doesn't matter). The Kafka connector jar is absent offline; the
+    file source exercises the same MicroBatchExecution path
+    (SURVEY.md §3.4).
     """
     stream = load_stream(spark, sf_dir, "events")
     name = "a_stream_file_source_sink"
@@ -363,7 +390,10 @@ def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_id", "ts", "user_id", "event_type", "value")
 
 
-@register("a_compact_small_files")
+@register(
+    "a_compact_small_files",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
 def a_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the lake-maintenance job every streaming/
     incremental ingest needs: micro-batches land hundreds of tiny files
@@ -371,10 +401,10 @@ def a_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     before 100 TB. Rewrite with a coarse `repartition` so each output
     file approaches the HDFS-block / row-group sweet spot.
 
-    Rows-only: compaction must be a pure rewrite (same rows, same
-    values); the test additionally asserts the file count shrank. At
-    cluster scale the same job runs per `dt=` partition with
-    `maxRecordsPerFile` bounding file size.
+    Compaction must be a pure rewrite: the oracle pins the compacted
+    table to value-hash-equal the source; the test additionally asserts
+    the file count shrank. At cluster scale the same job runs per `dt=`
+    partition with `maxRecordsPerFile` bounding file size.
     """
     import glob
 
@@ -394,17 +424,27 @@ def a_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a_scan_schema_evolution")
+@register(
+    "a_scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'web' AS channel
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
 def a_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read (`mergeSchema`) — ODS schema drift: a new
     upstream column appears mid-history, so old partitions lack it and
     new ones carry it. A merged-schema scan must read both generations,
     null-filling the old rows — Hive's add-column-on-read behavior.
 
-    Rows-only: the test asserts the union row count and that exactly the
-    old generation is null in the new column. At 100 TB mergeSchema is
-    turned on per-read (footer sampling has a cost), with the metastore
-    schema as the steady-state contract.
+    Oracle-checked: the merged scan must equal old-generation rows with
+    a NULL channel plus new-generation rows with the literal — a wrong
+    merge (dropped generation, mis-filled column) breaks the hash. At
+    100 TB mergeSchema is turned on per-read (footer sampling has a
+    cost), with the metastore schema as the steady-state contract.
     """
     out = scratch_path("schema_evolution", "orders")
     o = load(spark, sf_dir, "orders")

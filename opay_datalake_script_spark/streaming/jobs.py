@@ -165,12 +165,22 @@ def i_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("i_foreach_batch_sink")
+@register(
+    "i_foreach_batch_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt
+    FROM events
+    """,
+)
 def i_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch incremental load (the Airflow daily-partition analog):
     foreachBatch writes each micro-batch into a dt-partitioned parquet
-    table with idempotent dynamic overwrite, then the landed table is
-    re-read. Rows-only (sink round-trip)."""
+    table with idempotent dynamic overwrite (set per-writer — a
+    caller-built session defaults to static mode, under which a later
+    batch would truncate earlier batches' partitions), then the landed
+    table is re-read. Oracle-checked: the landed table must equal the
+    full source keyed by day."""
     out = scratch_path("foreach_batch", "events_by_day")
     ckpt = scratch_path("foreach_batch", f"ckpt_{uuid.uuid4().hex}")
 
@@ -178,6 +188,7 @@ def i_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             batch_df.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
             .write.partitionBy("dt")
+            .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(out)
         )
