@@ -398,3 +398,46 @@ def k_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "k_cross_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+    ),
+    ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, t.lang, t.h
+    FROM hashed t JOIN ev ON t.h = ev.h
+    WHERE t.doc_id % 97 <> 0
+    """,
+)
+def k_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact decontamination: flag train documents whose
+    normalized content hash collides with any eval document (same
+    eval split as `k_contamination_check`: doc_id % 97 == 0) — the
+    remove-verbatim-eval-from-train pass every training corpus runs
+    before the fuzzier n-gram overlap gate.
+
+    At 100 TB: the eval hash set is tiny (distinct 128-bit hashes of
+    the eval corpus) -> broadcast to every train partition, so the scan
+    is map-only with no shuffle of train data; output is only the
+    flagged rows. The same shape inverts into an anti-join to emit the
+    cleaned corpus instead of the removals.
+    """
+    d = load(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "lang", F.md5(normalized_text().cast("binary")).alias("h")
+    )
+    ev = (
+        hashed.where(F.col("doc_id") % 97 == 0)
+        .select("h")
+        .distinct()
+    )
+    return (
+        hashed.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "h")
+        .select("doc_id", "lang", "h")
+    )

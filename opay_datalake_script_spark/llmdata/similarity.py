@@ -286,3 +286,51 @@ def k_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(F.round(F.avg("v"), 6).alias("centroid"))
     )
+
+
+@register(
+    "k_embedding_quantize",
+    oracle="""
+    WITH err AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) * 127 + 0.5) / 127)) AS e
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           round(list_max(e), 6) AS max_abs_err,
+           round(list_sum(list_transform(e, v -> v * v)) / len(e), 8) AS mse
+    FROM err
+    """,
+)
+def k_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the vector
+    compression step an ANN index runs before sharding (4x smaller
+    vectors -> 4x more candidates per memory budget) — reported as
+    per-vector reconstruction error (max abs + MSE), the metric that
+    decides whether int8 recall is acceptable.
+
+    Everything is a JVM higher-order function over the array column:
+    quantize floor(x*127+0.5) (floor, not round — floor is defined
+    identically in every engine, round's half-case is not), dequantize,
+    per-element error, max/mean — map-only, zero shuffles, the vector
+    never leaves its row and the output is 4 scalars per vector. Double
+    math on both sides so the oracle matches bit-for-bit.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    err = F.transform(
+        "embedding",
+        lambda x: F.abs(
+            x.cast("double")
+            - F.floor(x.cast("double") * 127 + 0.5) / 127
+        ),
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, v: a + v * v) / F.size(err), 8
+        ).alias("mse"),
+    )

@@ -358,3 +358,41 @@ def k_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("c") / tot.cast("double"), 6).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "k_doc_len_histogram",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n,
+               CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           round(avg(n), 4) AS avg_tokens
+    FROM d GROUP BY lang, bucket
+    """,
+)
+def k_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in log2 buckets per language — the corpus
+    shape profile that drives chunk/pack parameter choices (and catches
+    truncation bugs upstream: a missing bucket tail is a red flag).
+
+    Map-only bucketing (floor(log2(n))) then one hash aggregation over
+    ~#langs x ~16 cells — at 100 TB the shuffle carries only the tiny
+    cell keys, partial aggs collapse everything mapper-side."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.select(
+            "lang",
+            n.alias("n"),
+            F.floor(F.log2(n)).cast("long").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n"), 4).alias("avg_tokens"),
+        )
+    )
