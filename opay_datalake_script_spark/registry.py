@@ -27,6 +27,7 @@ _QUERY_MODULES = (
     "opay_datalake_script_spark.operators.aggregates",
     "opay_datalake_script_spark.operators.windows",
     "opay_datalake_script_spark.operators.reports",
+    "opay_datalake_script_spark.operators.tpch",
     "opay_datalake_script_spark.operators.hiveql",
     "opay_datalake_script_spark.functions.scalar",
     "opay_datalake_script_spark.functions.udfs",

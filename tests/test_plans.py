@@ -253,3 +253,27 @@ def test_global_rank_avoids_single_partition_window(spark):
         assert "existingrdd" in plan.lower(), (
             f"{name}: expected the localCheckpoint materialization scan"
         )
+
+
+def test_tpch_suite_plan_shapes(spark):
+    """The composed TPC-H queries keep the per-operator plan guarantees:
+    filters reach the scans, dims broadcast, top-k is TakeOrderedAndProject
+    (per-partition heaps), and the multi-join queries stay at one fact
+    shuffle — the shape that survives a 100x scale-up."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    q3 = QUERIES["t_q03_shipping_priority"](spark, SF_DIR)
+    assert uses_take_ordered(q3), "top-10 must not be a global sort"
+    assert has_pushed_filters(q3)
+
+    q5 = QUERIES["t_q05_local_supplier"](spark, SF_DIR)
+    assert uses_broadcast_join(q5)
+    assert count_shuffles(q5) <= 2, "6-table join must not cascade shuffles"
+
+    q9 = QUERIES["t_q09_product_profit"](spark, SF_DIR)
+    assert uses_broadcast_join(q9), "filtered part + nation must broadcast"
+    assert count_shuffles(q9) <= 2
+
+    q1 = QUERIES["t_q01_pricing_summary"](spark, SF_DIR)
+    assert count_shuffles(q1) == 1, "pricing summary is one partial-agg shuffle"
+    assert has_pushed_filters(q1)
