@@ -441,3 +441,71 @@ def k_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ev), "h")
         .select("doc_id", "lang", "h")
     )
+
+
+@register(
+    "k_line_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    lines AS (
+        SELECT doc_id, CAST(i AS INT) AS line_no,
+               array_to_string(list_slice(w, CAST(i AS INT) * 10 + 1,
+                                             CAST(i AS INT) * 10 + 10), ' ') AS line
+        FROM words,
+             unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)),
+    freq AS (
+        SELECT line, count(DISTINCT doc_id) AS docfreq FROM lines GROUP BY line)
+    SELECT l.doc_id,
+           coalesce(string_agg(CASE WHEN f.docfreq < 2 THEN l.line END,
+                               ' ' ORDER BY l.line_no), '') AS clean_text,
+           count(*) AS n_lines,
+           sum(CASE WHEN f.docfreq >= 2 THEN 1 ELSE 0 END) AS n_removed
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+    """,
+)
+def k_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level global dedup (the C4/RefinedWeb boilerplate-removal
+    pass): split each document into fixed 10-word "lines", drop every
+    line whose exact content occurs in >= 2 distinct documents, and
+    reassemble the survivors in order.
+
+    At 100 TB: the line-frequency table is the one shuffle that matters
+    — key it on a 128-bit hash of the line (uniform, no skew from
+    boilerplate hot lines thanks to partial aggregation map-side), join
+    it back by the same hash, then the per-doc reassembly groups on
+    doc_id. All three exchanges (freq agg, join-back, reassembly) key
+    on uniform values and are partial-agg friendly; nothing is ever
+    collected to the driver. Within-doc repeats (docfreq = 1) are kept,
+    matching C4 semantics.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_lines = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    lines = d.select(
+        "doc_id",
+        words.alias("w"),
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_no"),
+    ).select(
+        "doc_id",
+        "line_no",
+        F.concat_ws(" ", F.expr("slice(w, line_no * 10 + 1, 10)")).alias("line"),
+    )
+    freq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("docfreq"))
+    joined = lines.join(freq, "line")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("line_no"),
+                F.when(F.col("docfreq") < 2, F.col("line")).alias("l"),
+            )
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        # concat_ws skips null elements, so removed lines vanish while
+        # the array_sort(struct(line_no, ...)) keeps survivor order.
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["l"])).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0)).alias("n_removed"),
+    )

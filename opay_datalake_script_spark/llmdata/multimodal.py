@@ -129,3 +129,68 @@ def k_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("label").isin(1, 2, 3) & cos.between(0.2, 0.98))
         .select("doc_id", "lang", "label", F.round(cos, 6).alias("sim"))
     )
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 3
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch of (doc_id, blob) in, one batch
+    of sampled-frame rows out. A "video" here is the blob split into
+    consecutive FRAME_BYTES-byte frames (full frames only); every
+    FRAME_STRIDE-th frame is kept — the frame-sampling shape for real
+    video where the decoder would yield keyframes instead of byte slices."""
+    for pdf in batches:
+        doc_ids, idxs, hashes, totals = [], [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            b = bytes(blob)
+            n = len(b) // FRAME_BYTES
+            for i in range(0, n, FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                hashes.append(
+                    hashlib.md5(b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]).hexdigest()
+                )
+                totals.append(n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_md5": pd.Series(hashes, dtype="object"),
+                "n_frames": pd.Series(totals, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "k_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(length(text) // 64 AS INT) AS n_frames
+        FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5,
+           n_frames
+    FROM d, unnest(range(0, n_frames)) AS t(i)
+    WHERE i % 3 = 0
+    """,
+)
+def k_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary media column: synthesize the blob
+    (UTF-8 encode of ASCII text, so byte offsets == char offsets and the
+    oracle can recompute every frame hash with substring+md5), then
+    sample every 3rd 64-byte frame inside an Arrow-batched mapInPandas.
+
+    At 100 TB: map-only — no shuffle anywhere; each executor holds one
+    Arrow batch of blobs, and the emitted rows are (id, idx, hash) only,
+    never the frames themselves. With a real codec the worker body
+    swaps the byte slicing for decoder keyframe iteration; the schema,
+    batching, and partition parallelism are exactly this."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return media.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx int, frame_md5 string, n_frames int",
+    )
