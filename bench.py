@@ -30,6 +30,12 @@ BENCH_QUERIES = [
     "k_similarity_topk",
     "e_sessionize_batch",
     "k_exact_dedup",
+    # composed TPC-H suite (BASELINE.md §2b set)
+    "t_q01_pricing_summary",
+    "t_q05_local_supplier",
+    "t_q09_product_profit",
+    "t_q18_large_volume_customer",
+    "t_q21_last_shipper",
 ]
 
 RUNS = 5
