@@ -277,3 +277,14 @@ def test_tpch_suite_plan_shapes(spark):
     q1 = QUERIES["t_q01_pricing_summary"](spark, SF_DIR)
     assert count_shuffles(q1) == 1, "pricing summary is one partial-agg shuffle"
     assert has_pushed_filters(q1)
+
+
+def test_ivf_recall_against_exact_knn(spark):
+    """IVF ANN must actually find the neighbors: clustering L2-normalized
+    vectors (spherical KMeans) with 4-probe search recovers the full
+    exact-cosine top-10 at fixture scale. Guards against the
+    cluster-on-raw-magnitude regression that silently craters recall."""
+    exact = {r["vec_id"] for r in QUERIES["k_knn_query"](spark, SF_DIR).collect()}
+    ivf = {r["vec_id"] for r in QUERIES["k_ann_ivf"](spark, SF_DIR).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} below bound"
