@@ -71,6 +71,8 @@ _RECHECK = (
     "f_sort_within_partitions",
     "s_hiveql_distribute_sort",
     "i_foreach_batch_sink",
+    # round-4 late changes: spherical-KMeans IVF rewrite
+    "k_ann_ivf",
 )
 
 
