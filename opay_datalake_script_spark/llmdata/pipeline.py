@@ -11,7 +11,7 @@ distributed per-step jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -353,8 +353,17 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("comp")
     )
+    return _propagate_min_labels(labels, edges)
+
+
+def _propagate_min_labels(labels: DataFrame, edges: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Iterative min-label propagation to a fixed point: each round is one
+    distributed join+union+min-aggregate; the label sum is monotone
+    non-increasing, so an unchanged sum means convergence (one scalar per
+    round crosses to the driver, never rows). localCheckpoint truncates
+    the growing lineage each round. ``edges`` must be symmetric (a, b)."""
     prev_sum = None
-    for _ in range(15):
+    for _ in range(max_rounds):
         msgs = labels.join(edges, labels.doc_id == edges.a).select(
             F.col("b").alias("doc_id"), "comp"
         )
@@ -369,3 +378,120 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels
+
+
+@register(
+    "k_corpus_dedup_pipeline",
+    oracle="""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, lang, text,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+        FROM documents),
+    keepmap AS (
+        SELECT doc_id, lang, text,
+               min(doc_id) OVER (PARTITION BY h) AS exact_keeper
+        FROM norm),
+    toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
+        FROM keepmap WHERE doc_id = exact_keeper),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM toks
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (
+        SELECT node AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY node)
+    SELECT k.doc_id,
+           c.canonical_id,
+           (k.doc_id = k.exact_keeper AND c.canonical_id = k.doc_id) AS kept,
+           CASE WHEN k.doc_id <> k.exact_keeper THEN 'exact_dup'
+                WHEN c.canonical_id <> k.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS reason
+    FROM keepmap k JOIN comp c ON c.doc_id = k.exact_keeper
+    """,
+)
+def k_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup materialization — the composition a real
+    corpus build runs, as ONE dataflow: (1) exact dedup on the content
+    hash (keeper = min doc_id per hash), (2) near-dup connected
+    components over the exact-survivors only, with edges proposed by
+    MinHash-LSH banding and verified by exact token Jaccard >= 0.6,
+    (3) every document labeled with its canonical doc, a kept flag, and
+    the reason it was dropped ('exact_dup' | 'near_dup' | 'kept').
+
+    At 100 TB each stage keeps its operator's scale shape: the hash
+    window shuffles on uniform 128-bit keys; the near-dup stage runs on
+    the (smaller) survivor set with banded candidates, never all-pairs;
+    label propagation is the same driver-steered fixed point as
+    k_dedup_components. Exact dups inherit their keeper's component, so
+    transitively-duplicate docs collapse to one canonical id.
+    """
+    from .dedup import lsh_candidate_pairs
+
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    keepmap = d.select("doc_id", "lang", "text", h.alias("h")).withColumn(
+        "exact_keeper", F.min("doc_id").over(W.partitionBy("h"))
+    )
+    surv = keepmap.where(F.col("doc_id") == F.col("exact_keeper"))
+
+    cand = lsh_candidate_pairs(
+        spark, sf_dir, max_dist=0.5, num_tables=16
+    ).select("doc_a", "doc_b")
+    toks = surv.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("tset").alias("ta"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("tset").alias("tb"),
+    )
+    jac = (
+        F.size(F.array_intersect("ta", "tb")).cast("double")
+        / F.size(F.array_union("ta", "tb"))
+    )
+    pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where((F.col("lang_a") == F.col("lang_b")) & (jac >= 0.6))
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = surv.select("doc_id", F.col("doc_id").alias("comp"))
+    comp = _propagate_min_labels(labels, edges).select(
+        F.col("doc_id").alias("exact_keeper"), F.col("comp").alias("canonical_id")
+    )
+    return (
+        keepmap.select("doc_id", "exact_keeper")
+        .join(comp, "exact_keeper")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (
+                (F.col("doc_id") == F.col("exact_keeper"))
+                & (F.col("canonical_id") == F.col("doc_id"))
+            ).alias("kept"),
+            F.when(F.col("doc_id") != F.col("exact_keeper"), "exact_dup")
+            .when(F.col("canonical_id") != F.col("doc_id"), "near_dup")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+    )
