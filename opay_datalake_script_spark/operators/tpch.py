@@ -723,15 +723,18 @@ def t_q20_heavy_widget_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (adapted: no receipt/commit dates — "kept the order
     waiting" = was the last supplier to ship on a finished multi-supplier
-    order). Both helper aggs and the final join share the l_orderkey
-    shuffle partitioning; supplier broadcasts."""
+    order). lineitem is scanned ONCE: the per-order stats derive from the
+    per-(order, supplier) agg — max of maxes and a plain row count
+    replace a second fact scan and a count_distinct expand — and both
+    aggs plus the final join share the l_orderkey shuffle partitioning;
+    supplier broadcasts."""
     li = load(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_last")
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("l_shipdate").alias("ord_last"),
-        F.count_distinct("l_suppkey").alias("n_supp"),
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("supp_last").alias("ord_last"),
+        F.count("*").alias("n_supp"),
     )
     o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
