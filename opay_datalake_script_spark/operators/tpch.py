@@ -1,7 +1,7 @@
 """Full analytical query suite (TPC-H-shaped; public TPC-H spec).
 
 The per-operator registry entries (§2 B-H) prove each relational piece
-in isolation; this module proves they compose: the 20 classic TPC-H
+in isolation; this module proves they compose: all 22 classic TPC-H
 queries re-expressed on the trimmed fixture schema (no partsupp table,
 no commit/receipt dates, no ship modes, no phone/comment columns — the
 handful of predicates that touched those columns are adapted in-place
@@ -801,4 +801,109 @@ def t_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "t_q02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        FROM lineitem),
+    cat AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+        FROM ps
+        JOIN part     ON p_partkey = partkey
+        JOIN supplier ON s_suppkey = suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size <= 10 AND r_name = 'EUROPE')
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           round(s_acctbal, 2) AS s_acctbal, n_name
+    FROM (SELECT *, min(s_acctbal) OVER (PARTITION BY p_partkey) AS mn
+          FROM cat)
+    WHERE s_acctbal = mn
+    """,
+)
+def t_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp — the part-supplier catalog is the
+    DISTINCT pairs observed in lineitem, and the preference scalar is
+    s_acctbal since supply cost doesn't exist): per qualifying part, the
+    supplier(s) with the minimum balance in EUROPE. The correlated min
+    subquery is a window over the already-joined catalog — it shares
+    the join's p_partkey partitioning, no second scan. The min compares
+    stored doubles with no arithmetic, so equality is engine-stable."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    p = load(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cat = (
+        ps.join(F.broadcast(p), ps.partkey == p.p_partkey)
+        .join(s, ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mn = F.min("s_acctbal").over(W.partitionBy("p_partkey"))
+    return (
+        cat.withColumn("mn", mn)
+        .where(F.col("s_acctbal") == F.col("mn"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "t_q11_important_share",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey AS partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT)) AS val_e4
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey)
+    SELECT partkey, round(val_e4 / 10000.0, 2) AS value
+    FROM v
+    WHERE val_e4 > (SELECT sum(val_e4) FROM v) * 0.001
+    """,
+)
+def t_q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: "stock value" = net revenue shipped by EUROPE
+    suppliers since there is no partsupp): parts whose value exceeds
+    0.001 of the regional total. The global-total scalar subquery is a
+    1-row broadcast cross join against the per-part agg — NOT a global
+    window, which would funnel every part through one partition at
+    scale. Values are summed in exact integer ten-thousandths so the
+    share threshold compares identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    e4 = F.round(_rev() * 10000, 0).cast("long")
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(e4).alias("val_e4"))
+    )
+    total = v.agg(F.sum("val_e4").alias("tot"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("val_e4") > F.col("tot") * 0.001)
+        .select("partkey", F.round(F.col("val_e4") / 10000.0, 2).alias("value"))
     )
