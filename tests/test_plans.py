@@ -288,3 +288,23 @@ def test_ivf_recall_against_exact_knn(spark):
     ivf = {r["vec_id"] for r in QUERIES["k_ann_ivf"](spark, SF_DIR).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, f"IVF recall {recall:.2f} below bound"
+
+
+def test_corpus_dedup_pipeline_no_cartesian(spark):
+    """The end-to-end dedup materialization must inherit the banded-LSH
+    candidate path: no all-pairs/cartesian join may appear anywhere in
+    the composed plan."""
+    df = QUERIES["k_corpus_dedup_pipeline"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_global_total_is_broadcast_not_window(spark):
+    """Q11's share-of-total threshold must come from a 1-row broadcast
+    cross join; an empty-partition window would funnel every per-part
+    row through a single task at scale."""
+    df = QUERIES["t_q11_important_share"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df)
+    assert "Window" not in plan, "global total must not be a global window"
