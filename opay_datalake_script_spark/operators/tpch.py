@@ -734,26 +734,30 @@ def t_q20_heavy_widget_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (adapted: no receipt/commit dates — "kept the order
     waiting" = was the last supplier to ship on a finished multi-supplier
-    order). lineitem is scanned ONCE: the per-order stats derive from the
-    per-(order, supplier) agg — max of maxes and a plain row count
-    replace a second fact scan and a count_distinct expand — and both
-    aggs plus the final join share the l_orderkey shuffle partitioning;
-    supplier broadcasts."""
+    order). lineitem is scanned ONCE and never self-joined: the
+    per-order stats (latest ship date, supplier count) are a window over
+    the per-(order, supplier) agg — a groupBy-then-rejoin formulation
+    duplicates the whole aggregate subtree because Spark's exchange
+    reuse doesn't canonicalize the two consumers together (pinned by
+    test_q18_q21_scan_lineitem_once). Supplier broadcasts."""
     li = load(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_last")
     )
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.max("supp_last").alias("ord_last"),
-        F.count("*").alias("n_supp"),
+    w = W.partitionBy("l_orderkey")
+    stats = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        F.max("supp_last").over(w).alias("ord_last"),
+        F.count("*").over(w).alias("n_supp"),
     )
     o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
     return (
-        per_supp.join(per_order, per_supp.l_orderkey == F.col("ok"))
-        .where((F.col("n_supp") >= 2) & (F.col("supp_last") == F.col("ord_last")))
-        .join(o, per_supp.l_orderkey == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        stats.where((F.col("n_supp") >= 2) & (F.col("supp_last") == F.col("ord_last")))
+        .join(o, stats.l_orderkey == o.o_orderkey, "left_semi")
+        .join(F.broadcast(s), stats.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

@@ -308,3 +308,14 @@ def test_q11_global_total_is_broadcast_not_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert uses_broadcast_join(df)
     assert "Window" not in plan, "global total must not be a global window"
+
+
+def test_q18_q21_scan_lineitem_once(spark):
+    """Q18 and Q21 were rewritten to derive their second aggregate from
+    the first instead of rescanning the fact table; pin the single scan
+    (a 100 TB rescan is the thing being prevented)."""
+    for name in ("t_q18_large_volume_customer", "t_q21_last_shipper"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("lineitem.parquet")
+        assert n_scans <= 1, f"{name} scans lineitem {n_scans}x"
