@@ -460,7 +460,8 @@ def k_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(string_agg(CASE WHEN f.docfreq < 2 THEN l.line END,
                                ' ' ORDER BY l.line_no), '') AS clean_text,
            count(*) AS n_lines,
-           sum(CASE WHEN f.docfreq >= 2 THEN 1 ELSE 0 END) AS n_removed
+           CAST(sum(CASE WHEN f.docfreq >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed
     FROM lines l JOIN freq f USING (line)
     GROUP BY l.doc_id
     """,
@@ -492,8 +493,15 @@ def k_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line_no",
         F.concat_ws(" ", F.expr("slice(w, line_no * 10 + 1, 10)")).alias("line"),
     )
-    freq = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("docfreq"))
-    joined = lines.join(freq, "line")
+    # Key the frequency shuffle AND the join-back on a 64-bit hash of the
+    # line, not the raw string: the exchange then carries 8-byte uniform
+    # keys instead of arbitrarily long text, and hot boilerplate lines
+    # cannot skew the join-back (partial agg collapses them map-side).
+    hashed = lines.withColumn("line_h", F.xxhash64("line"))
+    freq = hashed.groupBy("line_h").agg(
+        F.count_distinct("doc_id").alias("docfreq")
+    )
+    joined = hashed.join(freq, "line_h")
     ordered = F.array_sort(
         F.collect_list(
             F.struct(

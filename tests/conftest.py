@@ -88,6 +88,21 @@ def assert_no_nonscalar_columns(spark_df, name=""):
     )
 
 
+def _dtype_bucket(dtype):
+    """Coarse dtype kind for the driver-parity type check: the driver's
+    value-hash is type-sensitive (an un-cast DuckDB HUGEINT `sum(CASE...)`
+    comes back float64 while Spark's bigint is int64, and the hashes
+    diverge even with identical values — t_q12/k_line_dedup, round 4).
+    Only numeric kinds are bucketed; date-vs-object and other
+    representation differences are already value-normalized in _norm_cell
+    and must not fail here."""
+    if dtype.kind in "iub":
+        return "int"
+    if dtype.kind == "f":
+        return "float"
+    return None
+
+
 def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
     """Differential check: Spark result vs DuckDB result, exact values."""
     assert_no_nonscalar_columns(spark_df, name)
@@ -95,6 +110,18 @@ def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
     want = oracle_con.sql(sql).df()
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: column names differ: spark={sorted(got.columns)} duckdb={sorted(want.columns)}"
+    )
+    # Driver-parity dtype gate (round-4 lesson): identical values with
+    # mismatched numeric kinds (int vs float) still hash-fail at the
+    # driver. Catch it locally so pytest green predicts driver green.
+    kind_bad = []
+    for c in got.columns:
+        gb, wb = _dtype_bucket(got[c].dtype), _dtype_bucket(want[c].dtype)
+        if (gb or wb) and gb != wb:
+            kind_bad.append(f"{c}: spark={got[c].dtype}({gb}) duckdb={want[c].dtype}({wb})")
+    assert not kind_bad, (
+        f"{name}: numeric dtype kind mismatch (driver hash is type-sensitive; "
+        f"CAST the oracle column, e.g. HUGEINT sums to BIGINT): {kind_bad}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
     g, w = normalized_rows(got), normalized_rows(want)

@@ -38,6 +38,19 @@ def test_rows_only_runs(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_dtype_gate_catches_uncast_hugeint(spark, oracle_con):
+    """The local gate must fail when an oracle returns HUGEINT (float64 in
+    pandas) against a Spark bigint, even though every VALUE matches — the
+    exact failure class that reached the driver in rounds 3-4
+    (t_q12_late_lines_by_priority / k_line_dedup)."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(1).select(F.lit(1).cast("long").alias("v"))
+    with pytest.raises(AssertionError, match="dtype kind"):
+        # DuckDB sum(1) is HUGEINT -> float64; values identical (1 == 1.0)
+        assert_matches_oracle(sdf, oracle_con, "SELECT sum(1) AS v", name="gate")
+
+
 def test_all_registered_outputs_are_scalar(spark):
     """Every registered query — oracle-checked or rows-only — must emit
     scalar-only columns: the driver canonicalizes rows-only results too
