@@ -361,7 +361,13 @@ def _propagate_min_labels(labels: DataFrame, edges: DataFrame, max_rounds: int =
     distributed join+union+min-aggregate; the label sum is monotone
     non-increasing, so an unchanged sum means convergence (one scalar per
     round crosses to the driver, never rows). localCheckpoint truncates
-    the growing lineage each round. ``edges`` must be symmetric (a, b)."""
+    the growing lineage each round. ``edges`` must be symmetric (a, b).
+
+    Raises RuntimeError when the fixed point is not reached within
+    ``max_rounds`` (component diameter > cap): an unconverged label set
+    is a silently-wrong answer — rounds needed = cluster diameter (tiny
+    for near-dup graphs), so callers should raise the cap, not ship
+    partial components (round-4 advice)."""
     prev_sum = None
     for _ in range(max_rounds):
         msgs = labels.join(edges, labels.doc_id == edges.a).select(
@@ -375,9 +381,12 @@ def _propagate_min_labels(labels: DataFrame, edges: DataFrame, max_rounds: int =
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    raise RuntimeError(
+        f"label propagation did not converge within {max_rounds} rounds "
+        "(component diameter exceeds the cap); raise max_rounds"
+    )
 
 
 @register(
@@ -444,8 +453,13 @@ def k_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = keepmap.where(F.col("doc_id") == F.col("exact_keeper"))
 
+    # Band only the exact-dedup survivors (docs=surv): at scale the LSH
+    # pass must not re-hash documents already eliminated by the cheaper
+    # exact stage (round-4 advice — the old form banded ALL docs and let
+    # the survivor join discard the wasted work afterwards).
     cand = lsh_candidate_pairs(
-        spark, sf_dir, max_dist=0.5, num_tables=16
+        spark, sf_dir, max_dist=0.5, num_tables=16,
+        docs=surv.select("doc_id", "text"),
     ).select("doc_a", "doc_b")
     toks = surv.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")

@@ -53,7 +53,17 @@ def k_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     `k_train_test_split` instead. Map-only: the coin flip happens in the
     scan stage, no shuffle."""
     d = load(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    # Driver-side collect is BOUNDED BY STRATUM CARDINALITY (languages:
+    # dozens-to-hundreds at any corpus size), never by row count —
+    # sampleBy requires a literal fraction map. The cap below turns an
+    # accidental high-cardinality stratum column (e.g. a doc id) into a
+    # loud error instead of a driver OOM.
+    langs = [r["lang"] for r in d.select("lang").distinct().limit(10001).collect()]
+    if len(langs) > 10000:
+        raise ValueError(
+            "stratum column 'lang' exceeds 10k distinct values; sampleBy "
+            "fraction maps are driver-side literals — use a hash predicate"
+        )
     fractions = {lang: 0.3 for lang in langs}
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 

@@ -214,6 +214,37 @@ def k_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.withColumn("sim", F.round("sim", 6))
 
 
+def _ivf_assign(spark: SparkSession, sf_dir: str):
+    """Fit the IVF coarse quantizer (seeded 16-way spherical KMeans) and
+    return (model, assigned) where `assigned` adds a `bucket` column."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    arr64 = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(
+        F.aggregate(arr64, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # Guarded denominator: an all-zero embedding must stay zero, not NaN
+    # (NaN features break KMeans.fit) — same guard the query side uses.
+    unit = F.transform(arr64, lambda x: x / F.greatest(l2, F.lit(1e-12)))
+    vecs = emb.withColumn("fv", array_to_vector(unit))
+    km = KMeans(k=16, seed=42, featuresCol="fv", predictionCol="bucket")
+    model = km.fit(vecs)
+    return model, model.transform(vecs)
+
+
+@register("k_ann_ivf_stats")
+def k_ann_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, list_size) of the IVF inverted lists — the skew/health
+    diagnostic for the coarse quantizer (a hot bucket means KMeans
+    under-fit and probe cost balloons). Rows-only: bucket ids depend on
+    the fitted KMeans model, which is not SQL-expressible; row count is
+    bounded by n_clusters."""
+    _, assigned = _ivf_assign(spark, sf_dir)
+    return assigned.groupBy("bucket").agg(F.count("*").alias("list_size"))
+
+
 @register("k_ann_ivf")
 def k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN (rows-only: cluster assignment is
@@ -224,39 +255,41 @@ def k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     respect the cosine metric the query actually uses — clustering raw
     vectors buckets by magnitude and craters recall); every vector is
     assigned to its nearest centroid (inverted list). The query probes
-    the 4 nearest lists and scores only those candidates — the candidate
-    set shrinks by ~n_clusters/n_probe, which is the whole point at
-    100 TB (per-bucket equi-join instead of cross product). Recall vs
-    the exact k-NN is pinned by test_ivf_recall_against_exact_knn.
+    the nearest lists (size-aware, see below) and scores only those
+    candidates — the candidate set shrinks by ~n_clusters/n_probe, which
+    is the whole point at 100 TB (per-bucket equi-join instead of cross
+    product). Recall vs the exact k-NN is pinned by
+    test_ivf_recall_against_exact_knn.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import vector_to_array
 
-    emb = load(spark, sf_dir, "embeddings")
-    arr64 = F.transform("embedding", lambda x: x.cast("double"))
-    l2 = F.sqrt(
-        F.aggregate(arr64, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    unit = F.transform(arr64, lambda x: x / l2)
-    vecs = emb.withColumn("fv", array_to_vector(unit))
-    km = KMeans(k=16, seed=42, featuresCol="fv", predictionCol="bucket")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs)
+    model, assigned = _ivf_assign(spark, sf_dir)
 
-    # Query = vec_id 0. nprobe adapts to inverted-list size: 4 lists
-    # once lists hold >= ~60 vectors (the 100 TB regime, where 4/16
-    # already gives recall ~1 on spherical clusters), more on tiny
-    # corpora where 16-way KMeans over-partitions and per-list counts
-    # approach k — graceful degradation instead of a recall cliff.
-    n_vecs = emb.count()
-    nprobe = 4 if n_vecs >= 1000 else 8
+    # Query = vec_id 0. nprobe adapts to the MEASURED inverted-list
+    # sizes, not a row-count heuristic (round-4 verdict): probe nearest
+    # lists until the candidate pool holds >= 16x the requested top-k
+    # (floor of 4 lists), so tiny corpora where 16-way KMeans
+    # over-partitions keep probing deeper instead of hitting a recall
+    # cliff, while at 100 TB (huge lists) the probe count stays at the
+    # 4-list floor. The per-bucket size map is k rows (= n_clusters,
+    # fixed and small) — bounded driver traffic regardless of data size,
+    # unlike collecting vectors.
+    sizes = {
+        r["bucket"]: r["cnt"]
+        for r in assigned.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
     centers = model.clusterCenters()
     qrow = assigned.where(F.col("vec_id") == 0).select("fv").first()
     if qrow is None:
         return assigned.select("vec_id", "bucket").limit(0)
     q = np.array(qrow["fv"].toArray())
     dists = [float(np.linalg.norm(q - c)) for c in centers]
-    probe = [int(i) for i in np.argsort(dists)[:nprobe]]
+    probe, pool = [], 0
+    for i in np.argsort(dists):
+        probe.append(int(i))
+        pool += sizes.get(int(i), 0)
+        if len(probe) >= 4 and pool >= 16 * 10:
+            break
 
     qn = q / (np.linalg.norm(q) or 1.0)
     cand = assigned.where(F.col("bucket").isin(probe) & (F.col("vec_id") != 0))

@@ -41,13 +41,20 @@ def _rev():
     "t_q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                    AS avg_qty,
-           round(avg(l_extendedprice), 6)                               AS avg_price,
-           round(avg(l_discount), 6)                                    AS avg_disc,
+           round(sum(CAST(round(l_quantity * 10000, 0) AS BIGINT)) / 10000.0, 2)
+               AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT)) / 10000.0, 2)
+               AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                          AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_charge,
+           round(sum(CAST(round(l_quantity * 10000, 0) AS BIGINT))
+                 / (count(*) * 10000.0), 6) AS avg_qty,
+           round(sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT))
+                 / (count(*) * 10000.0), 6) AS avg_price,
+           round(sum(CAST(round(l_discount * 10000, 0) AS BIGINT))
+                 / (count(*) * 10000.0), 6) AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -56,20 +63,44 @@ def _rev():
 )
 def t_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 complete (d_agg_basic is the 5-column teaser): one scan,
-    map-side partial agg, 6-row shuffle regardless of input size."""
+    map-side partial agg, 6-row shuffle regardless of input size.
+
+    All money/average columns sum in exact integer ten-thousandths (the
+    Q9/Q11 fixed-point scheme) so no rounding boundary can flip between
+    summation orders; fixture values carry <= 4 decimals, so e4 is
+    lossless here. The accumulator is decimal, not long: Q1 has only 6
+    groups, so at 100 TB a group sums ~1e12 rows x ~1e9 e4-units ~ 1e21,
+    past int64 — Spark's long sum would wrap silently while DuckDB's
+    widens to HUGEINT.
+    """
     li = load(spark, sf_dir, "lineitem")
+
+    def e4(c):
+        return F.round(c * 10000, 0).cast("decimal(20,0)")
+
     disc = _rev()
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(e4(F.col("l_quantity"))) / 10000.0, 2).alias("sum_qty"),
+            F.round(F.sum(e4(F.col("l_extendedprice"))) / 10000.0, 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(e4(disc)) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(e4(disc * (1 + F.col("l_tax")))) / 10000.0, 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.sum(e4(F.col("l_quantity"))) / (n * 10000.0), 6).alias(
+                "avg_qty"
+            ),
+            F.round(F.sum(e4(F.col("l_extendedprice"))) / (n * 10000.0), 6).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(e4(F.col("l_discount"))) / (n * 10000.0), 6).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
     )
@@ -266,10 +297,12 @@ def t_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_q08_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_e4 ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(volume_e4), 6) AS mkt_share
     FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                      AS BIGINT) AS volume_e4,
                  n2.n_name AS nation
           FROM part, supplier, lineitem, orders, customer,
                nation n1, nation n2, region
@@ -300,7 +333,8 @@ def t_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
     n2 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation"))
-    vol = _rev().alias("volume")
+    # decimal accumulator: per-year groups at 100 TB overflow int64
+    vol = F.round(_rev() * 10000, 0).cast("decimal(20,0)").alias("volume_e4")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -312,9 +346,17 @@ def t_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("o_year"), vol, "nation")
         .groupBy("o_year")
         .agg(
+            # Fixed-point e4 sums (same scheme as Q9/Q11): the ratio of
+            # two exact integer sums is identical under ANY summation
+            # order, so the 6-decimal round can never flip between
+            # engines on a boundary-adjacent group.
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", F.col("volume_e4")).otherwise(
+                        F.lit(0).cast("decimal(20,0)")
+                    )
+                ).cast("double")
+                / F.sum("volume_e4"),
                 6,
             ).alias("mkt_share")
         )
@@ -473,10 +515,13 @@ def t_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_q14_promo_effect",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                       THEN CAST(round(l_extendedprice
+                                                       * (1 - l_discount) * 10000, 0)
+                                            AS BIGINT)
+                                       ELSE 0 END) AS DOUBLE)
+                 / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                            AS BIGINT)), 4) AS promo_revenue_pct
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-09-01'
@@ -491,14 +536,21 @@ def t_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
-    rev = _rev()
+    # Fixed-point e4 sums (same scheme as Q9/Q11): integer numerator and
+    # denominator make the 4-decimal round summation-order-proof; decimal
+    # accumulator because a single global group at 100 TB passes int64.
+    rev_e4 = F.round(_rev() * 10000, 0).cast("decimal(20,0)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
+                        F.lit(0).cast("decimal(20,0)")
+                    )
+                ).cast("double")
+                / F.sum(rev_e4),
                 4,
             ).alias("promo_revenue_pct")
         )

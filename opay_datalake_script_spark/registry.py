@@ -56,23 +56,22 @@ _QUERY_MODULES = (
 #      anchored to current fixtures,
 # with registration order as the tiebreaker.
 _RECHECK = (
-    # round-4 changes: timestamp-encoding fix re-proofs, LSH-rewired
-    # components, sharded packing, and rows-only -> oracle upgrades
-    "k_dedup_components",
-    "k_pack_sequences",
+    # round-5 changes: banded candidates -> exact verify rewires
+    # (k_jaccard_pairs/k_ngram_jaccard scale-safety, k_near_dedup_lsh
+    # rows-only -> oracle upgrade), hash-keyed line dedup, survivor-set
+    # LSH in the corpus pipeline, size-aware IVF probing
+    "k_jaccard_pairs",
+    "k_ngram_jaccard",
     "k_near_dedup_lsh",
-    "k_simhash",
-    "k_fingerprint",
-    "a_sink_partitioned",
-    "a_sink_csv_json",
-    "a_stream_file_source",
-    "a_compact_small_files",
-    "a_scan_schema_evolution",
-    "f_sort_within_partitions",
-    "s_hiveql_distribute_sort",
-    "i_foreach_batch_sink",
-    # round-4 late changes: spherical-KMeans IVF rewrite
+    "k_corpus_dedup_pipeline",
     "k_ann_ivf",
+    "k_ann_ivf_stats",
+    "k_dedup_components",
+    # round-5: fixed-point e4 ratio/average sums (decimal accumulators)
+    "t_q01_pricing_summary",
+    "t_q08_market_share",
+    "t_q14_promo_effect",
+    "i_tumbling",
 )
 
 
