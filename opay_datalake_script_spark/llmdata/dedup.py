@@ -517,6 +517,64 @@ def k_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_substring_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(w, CAST(i AS INT) + 1, CAST(i AS INT) + 10),
+                   ' ')) AS span_h
+        FROM words, unnest(range(0, len(w) - 10 + 1)) AS t(i)
+        WHERE len(w) >= 10)
+    SELECT span_h,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM spans GROUP BY span_h
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def k_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window repeated-substring detection — the core of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every 10-token window is hashed, and spans
+    whose exact content recurs in >= 2 distinct documents are surfaced
+    with their document- and occurrence-counts. Downstream removal then
+    cuts those char ranges, exactly as k_line_dedup does for its fixed
+    blocks — the sliding window catches duplicated passages that
+    straddle block boundaries, which block/line hashing misses.
+
+    At 100 TB: the explode emits ~n_tokens rows per doc but projects to
+    (128-bit span hash, doc_id) BEFORE the exchange — the wide token
+    array never shuffles; the single aggregation keys on uniform md5
+    hashes (two-phase partial distinct, no skew). Suffix arrays find
+    arbitrary-length repeats; the fixed-window hash form is the
+    distributable equivalent every Spark corpus pipeline actually runs.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 10
+    )
+    spans = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("w") - 10)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.expr("slice(w, i + 1, 10)"))).alias("span_h"),
+    )
+    return (
+        spans.groupBy("span_h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
     "k_cross_dedup",
     oracle="""
     WITH hashed AS (

@@ -509,3 +509,47 @@ def k_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reason"),
         )
     )
+
+
+@register(
+    "k_shard_manifest",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 16 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS content_xor
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def k_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-delivery manifest: assign every document to one of 16
+    hash shards and emit per-shard row counts, token totals, and an
+    order-insensitive 60-bit XOR content checksum — what a training run
+    verifies before consuming a corpus drop (shard completeness +
+    bit-rot detection), and what an incremental rebuild diffs to find
+    changed shards.
+
+    At 100 TB: a single hash aggregation with map-side partials; shard
+    ids come from uniform md5 bits (no skew), the XOR checksum is
+    commutative so partial aggregation is exact, and the output is
+    n_shards rows regardless of corpus size. The same shard expression
+    drives the physical `partitionBy` of the actual shard write
+    (a_sink_partitioned), so the manifest matches the files by
+    construction.
+    """
+    d = load(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    content60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    ntok = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.groupBy(F.pmod(h60, F.lit(16)).cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).alias("n_tokens"),
+            F.bit_xor(content60).alias("content_xor"),
+        )
+    )

@@ -151,3 +151,41 @@ def k_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("n_keep"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "k_corpus_shuffle",
+    oracle="""
+    SELECT row_number() OVER (
+               ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS ord,
+           doc_id
+    FROM documents
+    """,
+)
+def k_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch's data
+    order is a total order on md5(seed || doc_id) — reproducible across
+    reruns and engines (vs ORDER BY rand(), whose sample is
+    partitioning-dependent), re-seedable per epoch by changing the
+    prefix.
+
+    At 100 TB the naive form — one ORDER BY window — funnels the corpus
+    through a single task; this uses `global_row_number`
+    (range-repartition on the hash key + per-partition rank + broadcast
+    #partitions-row offsets), so the sort is the same distributed range
+    sort a shuffled-shard write would use and no task sees more than one
+    partition's rows.
+    """
+    from ..operators.relational import global_row_number
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))).alias(
+            "_sk"
+        ),
+    )
+    return (
+        global_row_number(d, "_sk", "doc_id")
+        .select(F.col("rn").alias("ord"), "doc_id")
+    )

@@ -72,6 +72,11 @@ _RECHECK = (
     "t_q08_market_share",
     "t_q14_promo_effect",
     "i_tumbling",
+    # round-5 new ops
+    "k_substring_dedup",
+    "k_corpus_shuffle",
+    "k_shard_manifest",
+    "k_stratified_sample",
 )
 
 

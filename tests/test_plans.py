@@ -133,6 +133,29 @@ def test_banded_jaccard_ops_have_no_allpairs_join(spark):
         assert not bad, f"{name}: join keyed only on lang (all-pairs block scan): {bad}"
 
 
+def test_round5_new_ops_plan_shapes(spark):
+    """k_substring_dedup: one aggregation shuffle on span hashes, wide
+    token arrays projected away before the exchange. k_corpus_shuffle:
+    the global ordinal must come from the distributed range-partition
+    scheme — no single-partition data-bearing window. k_shard_manifest:
+    one 16-row hash agg."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    sub = QUERIES["k_substring_dedup"](spark, SF_DIR)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    shuf = QUERIES["k_corpus_shuffle"](spark, SF_DIR)
+    splan = shuf._jdf.queryExecution().executedPlan().toString()
+    # the localCheckpoint inside global_row_number truncates the ranged
+    # subtree to Scan ExistingRDD, so pin the visible invariant instead:
+    # every data-bearing row_number window must partition by _pid
+    # (parallel), never run unpartitioned over the corpus
+    rn_lines = [ln for ln in splan.splitlines() if "row_number" in ln]
+    assert rn_lines and all("_pid" in ln for ln in rn_lines), rn_lines
+    man = QUERIES["k_shard_manifest"](spark, SF_DIR)
+    assert count_shuffles(man) == 1
+
+
 def test_band_candidate_volume_tracks_true_pairs(spark):
     """The banded candidate set must stay within ~2.5x of the true
     >= 0.6-Jaccard pair volume (measured 1.56x at sf0.01) — the property
