@@ -553,3 +553,68 @@ def k_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor(content60).alias("content_xor"),
         )
     )
+
+
+@register(
+    "k_quality_filter_pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+        FROM documents),
+    g AS (
+        SELECT *, (n_tok BETWEEN 20 AND 1000 AND ttr > 0.2) AS q_pass FROM q),
+    k AS (
+        SELECT *, min(CASE WHEN q_pass THEN doc_id END)
+                      OVER (PARTITION BY h) AS keeper
+        FROM g)
+    SELECT doc_id,
+           (q_pass AND doc_id = keeper) AS kept,
+           CASE WHEN NOT q_pass THEN 'low_quality'
+                WHEN doc_id <> keeper THEN 'exact_dup'
+                ELSE 'kept' END AS reason
+    FROM k
+    """,
+)
+def k_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus quality gate (the C4-style pass a corpus build
+    runs BEFORE the near-dup stage): (1) cheap per-doc quality gate —
+    token-count band + type-token ratio, k_quality_score's predicate —
+    then (2) exact dedup among the quality survivors only (keeper = min
+    doc_id per content hash), labeling every document kept/dropped with
+    the first reason that killed it ('low_quality' | 'exact_dup' |
+    'kept'). Filter-before-dedup order matters operationally: the
+    quality predicate is map-only and cuts the dedup shuffle's input,
+    and a junk doc must not become a hash-group's keeper and evict a
+    clean duplicate.
+
+    At 100 TB: stage 1 is embarrassingly parallel in the scan; stage 2
+    is ONE window shuffle keyed on the uniform 128-bit content hash.
+    Feed the survivors (kept = true) to k_corpus_dedup_pipeline for the
+    banded near-dup stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    g = d.select(
+        "doc_id",
+        h.alias("h"),
+        (n_tok.between(20, 1000) & (ttr > 0.2)).alias("q_pass"),
+    )
+    keeper = F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(
+        W.partitionBy("h")
+    )
+    k = g.withColumn("keeper", keeper)
+    return k.select(
+        "doc_id",
+        (F.col("q_pass") & (F.col("doc_id") == F.col("keeper"))).alias("kept"),
+        F.when(~F.col("q_pass"), "low_quality")
+        .when(F.col("doc_id") != F.col("keeper"), "exact_dup")
+        .otherwise("kept")
+        .alias("reason"),
+    )

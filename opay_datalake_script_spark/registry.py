@@ -77,6 +77,8 @@ _RECHECK = (
     "k_corpus_shuffle",
     "k_shard_manifest",
     "k_stratified_sample",
+    "a_snapshot_time_travel",
+    "k_quality_filter_pipeline",
 )
 
 

@@ -363,6 +363,71 @@ def a_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_snapshot_time_travel",
+    oracle="""
+    SELECT o_orderkey, 'update' AS change_type,
+           o_orderstatus AS status_before,
+           'X' AS status_after
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, 'delete', o_orderstatus, NULL
+    FROM orders WHERE o_orderkey % 100 = 50
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'insert', NULL, 'N'
+    FROM orders WHERE o_orderkey % 1000 = 1
+    """,
+)
+def a_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshots + as-of read + snapshot diff — the
+    table-format capability (Delta/Iceberg time travel; jars absent
+    offline, SURVEY §7.4-3) re-expressed on immutable parquet version
+    directories, the layout the reference's daily `INSERT OVERWRITE`
+    partitions already form: v1 = the orders snapshot, v2 = v1 with the
+    CDC batch of a_cdc_upsert applied; both versions stay readable
+    after the write (time travel), and the change feed between them is
+    recovered by a full-outer join on the primary key, classifying each
+    touched key as insert / update / delete.
+
+    At 100 TB: each version is an immutable directory (writes never
+    mutate v1, so as-of reads need no locking); the diff is ONE
+    full-outer shuffle join keyed on the uniform primary key, and with
+    both sides partition-pruned to changed partitions (the daily `dt`
+    layout) it touches only the day's data. Values pass through
+    unmodified so the diff is bit-identical to the oracle's change set.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    v1p = scratch_path("snapshots", tag, "v1", "_")[: -len("/_")]
+    v2p = scratch_path("snapshots", tag, "v2", "_")[: -len("/_")]
+    base.write.mode("overwrite").parquet(v1p)
+    a_cdc_upsert(spark, sf_dir).write.mode("overwrite").parquet(v2p)
+    s1 = spark.read.parquet(v1p).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status_before")
+    )
+    s2 = spark.read.parquet(v2p).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status_after")
+    )
+    diff = s1.join(s2, "o_orderkey", "full_outer").where(
+        F.col("status_before").isNull()
+        | F.col("status_after").isNull()
+        | (F.col("status_before") != F.col("status_after"))
+    )
+    change = (
+        F.when(F.col("status_before").isNull(), "insert")
+        .when(F.col("status_after").isNull(), "delete")
+        .otherwise("update")
+    )
+    return diff.select(
+        "o_orderkey",
+        change.alias("change_type"),
+        "status_before",
+        "status_after",
+    )
+
+
+@register(
     "a_stream_file_source",
     oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
 )
