@@ -156,6 +156,14 @@ def test_round5_new_ops_plan_shapes(spark):
     assert count_shuffles(man) == 1
 
 
+def test_quality_filter_pipeline_single_shuffle(spark):
+    """The composed quality gate must cost exactly one exchange (the
+    content-hash window); the quality predicate itself is map-only."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["k_quality_filter_pipeline"](spark, SF_DIR)) == 1
+
+
 def test_band_candidate_volume_tracks_true_pairs(spark):
     """The banded candidate set must stay within ~2.5x of the true
     >= 0.6-Jaccard pair volume (measured 1.56x at sf0.01) — the property
