@@ -241,3 +241,73 @@ def test_stratified_sample_fractions(spark):
     assert sorted(r["doc_id"] for r in sample.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+# (key,) lists with heavy duplication — global_row_number must still
+# emit exactly 1..n, ordered by (key, id tiebreak), under any range
+# partitioning the sampler picks.
+keys_strategy = st.lists(
+    st.integers(min_value=0, max_value=5), min_size=1, max_size=40
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=keys_strategy)
+def test_global_row_number_is_total_order(spark, keys):
+    """Distributed global ranking property: for ANY key multiset the
+    appended rn column is a permutation of 1..n that sorts by
+    (key, id) — i.e. the range-repartition + offset stitch is
+    value-identical to a single-machine sort, ties broken by the unique
+    id column. Guards the offset arithmetic against partition-boundary
+    bugs hypothesis finds and fixtures don't (empty partitions, all-equal
+    keys, n < #partitions)."""
+    from opay_datalake_script_spark.operators.relational import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id long, k long"
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, "k", "id", parts=4).collect()
+    }
+    want = {
+        i: rank + 1
+        for rank, (k, i) in enumerate(
+            sorted((k, i) for i, k in enumerate(keys))
+        )
+    }
+    assert got == want
+
+
+def test_shard_manifest_conservation(spark):
+    """Manifest invariants at sf0.01: shard doc counts sum to the corpus
+    size, token totals sum to the corpus token count, and the XOR of the
+    per-shard checksums equals the corpus-wide XOR (the property that
+    makes shard-level verification equivalent to whole-corpus
+    verification)."""
+    from functools import reduce
+
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    man = QUERIES["k_shard_manifest"](spark, SF_DIR).collect()
+    d = load(spark, SF_DIR, "documents")
+    n_docs = d.count()
+    n_tokens = d.select(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("t")
+    ).first()["t"]
+    assert sum(r["n_docs"] for r in man) == n_docs
+    assert sum(r["n_tokens"] for r in man) == n_tokens
+    corpus_xor = d.select(
+        F.bit_xor(
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+        ).alias("x")
+    ).first()["x"]
+    assert reduce(lambda a, b: a ^ b, (r["content_xor"] for r in man)) == corpus_xor
