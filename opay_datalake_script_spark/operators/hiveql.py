@@ -143,3 +143,69 @@ def s_hiveql_distribute_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
         """
     )
+
+
+@register(
+    "s_hiveql_multi_insert",
+    oracle="""
+    SELECT 'by_type' AS branch, event_type AS key, count(*) AS cnt,
+           round(sum(value), 2) AS val
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_user', CAST(user_id AS VARCHAR), count(*),
+           round(sum(value), 2)
+    FROM events GROUP BY user_id
+    """,
+)
+def s_hiveql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert (`FROM src INSERT ... INSERT ...`) run as text —
+    the reference's one-scan-many-report-tables ETL idiom: a single FROM
+    clause fans out into two INSERT OVERWRITE targets (hourly-type and
+    per-user report tables), then both landed tables are read back and
+    returned as one tagged union so the whole round trip is
+    hash-checked.
+
+    Spark parses the Hive multi-insert syntax verbatim but plans each
+    INSERT branch separately, so `CACHE TABLE` pins the shared source —
+    one materialization feeding N output aggregations, which is exactly
+    the semantics Hive's single-pass multi-insert promises; at 100 TB
+    the cache becomes a persisted staging table (or the branches simply
+    re-scan, trading IO for memory). Each branch is one partial-agg
+    shuffle; outputs are report-table sized.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.io import scratch_path
+
+    _views(spark, sf_dir, "events")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    p1 = scratch_path("multi_insert", tag, "by_type", "_")[: -len("/_")]
+    p2 = scratch_path("multi_insert", tag, "by_user", "_")[: -len("/_")]
+    spark.sql("CACHE TABLE events")
+    try:
+        spark.sql(
+            f"""
+            FROM events
+            INSERT OVERWRITE DIRECTORY '{p1}' USING parquet
+              SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS val
+              GROUP BY event_type
+            INSERT OVERWRITE DIRECTORY '{p2}' USING parquet
+              SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS val
+              GROUP BY user_id
+            """
+        )
+    finally:
+        spark.sql("UNCACHE TABLE events")
+    a = spark.read.parquet(p1).select(
+        F.lit("by_type").alias("branch"),
+        F.col("event_type").cast("string").alias("key"),
+        "cnt",
+        "val",
+    )
+    b = spark.read.parquet(p2).select(
+        F.lit("by_user").alias("branch"),
+        F.col("user_id").cast("string").alias("key"),
+        "cnt",
+        "val",
+    )
+    return a.unionByName(b)

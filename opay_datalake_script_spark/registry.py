@@ -79,6 +79,7 @@ _RECHECK = (
     "k_stratified_sample",
     "a_snapshot_time_travel",
     "k_quality_filter_pipeline",
+    "s_hiveql_multi_insert",
 )
 
 
