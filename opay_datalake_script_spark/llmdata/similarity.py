@@ -380,3 +380,53 @@ def k_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(err, F.lit(0.0), lambda a, v: a + v * v) / F.size(err), 8
         ).alias("mse"),
     )
+
+
+@register(
+    "k_embed_dedup_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.9),
+    edges AS (
+        SELECT va AS a, vb AS b FROM pairs
+        UNION ALL SELECT vb, va FROM pairs),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+    SELECT node AS vec_id, min(lab) AS comp FROM reach GROUP BY node
+    """,
+)
+def k_embed_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end: connected components over the
+    embedding-cosine near-dup graph (sim >= 0.9 edges from
+    k_embed_near_dup's block-pair tiles), labeling every vector with
+    min(vec_id) of its cluster — the embedding-space analog of
+    k_dedup_components, for paraphrase/translation duplicates that
+    token-level Jaccard cannot see. comp == vec_id marks the keeper.
+
+    At 100 TB: edges come from the distributed block-pair matmul (or the
+    IVF-bucketed variant when block count grows), never a driver-side
+    similarity matrix; label propagation is the same driver-steered
+    fixed point as the token pipeline — one scalar per round to the
+    driver, localCheckpoint truncating lineage.
+    """
+    from .pipeline import _propagate_min_labels
+
+    pairs = k_embed_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
+        )
+        .localCheckpoint()
+    )
+    labels = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("vec_id").alias("comp")
+    )
+    return _propagate_min_labels(labels, edges).select(
+        F.col("doc_id").alias("vec_id"), "comp"
+    )

@@ -80,6 +80,7 @@ _RECHECK = (
     "a_snapshot_time_travel",
     "k_quality_filter_pipeline",
     "s_hiveql_multi_insert",
+    "k_embed_dedup_components",
 )
 
 
