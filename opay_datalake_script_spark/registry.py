@@ -81,6 +81,7 @@ _RECHECK = (
     "k_quality_filter_pipeline",
     "s_hiveql_multi_insert",
     "k_embed_dedup_components",
+    "i_stream_stream_left_join",
 )
 
 

@@ -576,3 +576,55 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str):
         ).select("purchase_id", "click_id", "user_id")
 
     return build
+
+
+@register(
+    "i_stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+)
+def i_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-bounded join, batch form: every
+    purchase paired with same-user clicks from the preceding 30 minutes,
+    and purchases with NO qualifying click retained with a NULL click_id
+    — the attribution join that must also count unattributed conversions.
+
+    The streaming twin (test_streaming.py) is the hard part of outer
+    stream joins: NULL rows may only emit once the watermark proves no
+    matching click can still arrive, so with a finite file source the
+    tail would stay buffered forever — the parity test advances the
+    clock with far-future sentinel batches (the real-world
+    heartbeat-event pattern) and then sees every unmatched purchase
+    flushed. The heartbeat must feed BOTH event types: the global
+    watermark is the min across sides and each side's event-time max is
+    taken after its filter, so a click-only heartbeat would pin the
+    purchase side's clock at the last real purchase and strand the tail
+    state. Both sides carry watermarks; state is bounded by the
+    30-minute band + 1-hour delay at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer",
+        )
+        .select("purchase_id", "click_id", "user_id")
+    )

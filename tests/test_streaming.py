@@ -232,3 +232,95 @@ def test_stream_stream_join_parity(spark):
         output_mode="append",
     )
     _assert_same(batch, stream)
+
+
+def test_stream_stream_left_join_parity(spark):
+    """LEFT OUTER stream-stream join parity — the hard case: NULL
+    (unattributed) rows may only emit once the watermark proves no
+    matching click can still arrive, so with a finite source the tail
+    would stay buffered forever. Two far-future sentinel click batches
+    (the heartbeat pattern) advance the clock — the first raises the max
+    event time, the next batch runs with that watermark and flushes
+    every unmatched purchase. Sentinels (user_id < 0) are filtered out,
+    and the streaming result must equal the batch LEFT JOIN exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from opay_datalake_script_spark.sources.io import load
+
+    src = os.path.join(SCRATCH_DIR, "ssl_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def stage(name, df, mtime):
+        tmp = os.path.join(SCRATCH_DIR, "ssl_tmp", name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{name}.parquet")
+                shutil.copy(os.path.join(tmp, f), dst)
+                os.utime(dst, (mtime, mtime))
+
+    stage("main", ev, 1000)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    s1 = max_ts + dt.timedelta(days=10)
+    s2 = s1 + dt.timedelta(hours=1)
+    # Each sentinel batch carries BOTH a click and a purchase: the global
+    # watermark is min() across the two sides, and each side computes its
+    # event-time max AFTER its event_type filter — a click-only sentinel
+    # would leave the purchase side's watermark at the last real purchase
+    # and the final-tail NULL rows would never flush.
+    for i, (ts, mtime) in enumerate(((s1, 2000), (s2, 3000))):
+        stage(
+            f"sentinel{i}",
+            spark.createDataFrame(
+                [
+                    (-1 - 2 * i, ts, -1 - 2 * i, "click"),
+                    (-2 - 2 * i, ts, -2 - 2 * i, "purchase"),
+                ],
+                "event_id long, ts timestamp, user_id long, event_type string",
+            ),
+            mtime,
+        )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(event_type, id_alias, user_alias, ts_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    p = side("purchase", "purchase_id", "user_id", "p_ts")
+    c = side("click", "click_id", "c_user", "c_ts")
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("ssl_out").where(F.col("user_id") >= 0)
+    want = QUERIES["i_stream_stream_left_join"](spark, SF_DIR)
+    _assert_same(got, want)
