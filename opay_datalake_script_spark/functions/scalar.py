@@ -453,3 +453,114 @@ def h_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "h_geo_haversine",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id,
+               6.4 + (('0x' || substr(md5('la:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2000) / 1000.0 AS lat1,
+               3.3 + (('0x' || substr(md5('lo:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2000) / 1000.0 AS lon1,
+               6.4 + (('0x' || substr(md5('lb:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 2000) / 1000.0 AS lat2,
+               3.3 + (('0x' || substr(md5('lc:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 2000) / 1000.0 AS lon2
+        FROM events
+    )
+    SELECT event_id,
+           round(2 * 6371.0 * asin(sqrt(
+               sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+               + cos(radians(lat1)) * cos(radians(lat2))
+                 * sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) / 2)
+           )), 3) AS dist_km,
+           CAST(floor(2 * 6371.0 * asin(sqrt(
+               sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)
+               + cos(radians(lat1)) * cos(radians(lat2))
+                 * sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) / 2)
+           )) / 25) AS INT) AS dist_band
+    FROM pts
+    """,
+)
+def h_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine trip distance — the ride-hailing ETL staple (pickup ->
+    dropoff km per trip, plus a 25 km fare band). The fixtures carry no
+    coordinates, so pickup/dropoff points are synthesized
+    deterministically from md5 bits into a Lagos-sized 2°x2° box (same
+    integer arithmetic in both engines — only the trig differs, and the
+    3-decimal rounding sits ~1e9x above the cross-engine ulp noise).
+    Map-only JVM math: no UDF, no shuffle, scales with input splits.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def h60(prefix: str, col):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    lat1 = 6.4 + F.pmod(h60("la:", F.col("user_id")), F.lit(2000)) / 1000.0
+    lon1 = 3.3 + F.pmod(h60("lo:", F.col("user_id")), F.lit(2000)) / 1000.0
+    lat2 = 6.4 + F.pmod(h60("lb:", F.col("event_id")), F.lit(2000)) / 1000.0
+    lon2 = 3.3 + F.pmod(h60("lc:", F.col("event_id")), F.lit(2000)) / 1000.0
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    dist = 2 * 6371.0 * F.asin(F.sqrt(a))
+    return ev.select(
+        "event_id",
+        F.round(dist, 3).alias("dist_km"),
+        F.floor(dist / 25).cast("int").alias("dist_band"),
+    )
+
+
+@register(
+    "h_geo_grid_heatmap",
+    oracle="""
+    WITH pts AS (
+        SELECT ('0x' || substr(md5('la:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2000 AS la,
+               ('0x' || substr(md5('lo:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2000 AS lo,
+               value
+        FROM events
+    )
+    SELECT CAST(floor(la / 100.0) AS INT) AS cell_y,
+           CAST(floor(lo / 100.0) AS INT) AS cell_x,
+           count(*) AS n_pickups,
+           round(sum(value), 2) AS gmv
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def h_geo_grid_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pickup-density grid heatmap — the demand/GMV-by-zone report every
+    ride/delivery dashboard renders: bucket each pickup point into a
+    20x20 grid (0.1° cells over the same synthesized city box as
+    h_geo_haversine) and aggregate trip count + value per cell. Cell ids
+    are exact integer arithmetic (no float boundary risk); one hash-agg
+    shuffle over at most 400 cells, partial-agg friendly at any scale —
+    the geohash-prefix rollup in miniature.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def h60(prefix: str, col):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    la = F.pmod(h60("la:", F.col("user_id")), F.lit(2000))
+    lo = F.pmod(h60("lo:", F.col("user_id")), F.lit(2000))
+    return (
+        ev.select(
+            F.floor(la / 100).cast("int").alias("cell_y"),
+            F.floor(lo / 100).cast("int").alias("cell_x"),
+            "value",
+        )
+        .groupBy("cell_y", "cell_x")
+        .agg(
+            F.count("*").alias("n_pickups"),
+            F.round(F.sum("value"), 2).alias("gmv"),
+        )
+    )

@@ -82,6 +82,8 @@ _RECHECK = (
     "s_hiveql_multi_insert",
     "k_embed_dedup_components",
     "i_stream_stream_left_join",
+    "h_geo_haversine",
+    "h_geo_grid_heatmap",
 )
 
 
