@@ -396,3 +396,65 @@ def k_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n"), 4).alias("avg_tokens"),
         )
     )
+
+
+@register(
+    "k_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+        SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
+    SELECT c12.w1, c12.w2, n12,
+           round(ln(CAST(n12 AS DOUBLE) / n1), 6) AS logprob
+    FROM c12 JOIN c1 USING (w1)
+    WHERE n12 >= 5
+    """,
+)
+def k_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional log-probabilities ln P(w2|w1) = ln(c(w1 w2) /
+    c(w1 *)) over the corpus — the n-gram LM table that perplexity-based
+    quality filtering scores against (k_unigram_logprob's conditional
+    big sibling). Output keeps bigrams seen >= 5 times (the usual LM
+    count floor).
+
+    At 100 TB: bigram expansion is a map-side JVM transform+explode; the
+    (w1, w2) count is one hash agg on two-word keys, and the w1 marginal
+    reuses those partial counts with a second small agg — the marginal
+    table is vocabulary-sized (sublinear in corpus), so its join back
+    broadcasts. ln() of an exact integer ratio rounds identically across
+    engines at 6 decimals (ulp noise ~1e-16).
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bg = (
+        d.where(F.size(t) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                    "             element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        c12.join(F.broadcast(c1), "w1")
+        .where(F.col("n12") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.round(F.log(F.col("n12").cast("double") / F.col("n1")), 6).alias(
+                "logprob"
+            ),
+        )
+    )

@@ -84,6 +84,7 @@ _RECHECK = (
     "i_stream_stream_left_join",
     "h_geo_haversine",
     "h_geo_grid_heatmap",
+    "k_bigram_logprob",
 )
 
 
