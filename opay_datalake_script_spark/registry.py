@@ -85,6 +85,7 @@ _RECHECK = (
     "h_geo_haversine",
     "h_geo_grid_heatmap",
     "k_bigram_logprob",
+    "k_multimodal_decode",
 )
 
 
