@@ -2,9 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The fixtures carry no binary media, so the blobs here are
-deterministically synthesized from document text (encode -> binary), and
-the *decode* step is a clearly-marked stub (the image/audio libraries are
-not in this container) — but every piece of Spark-side plumbing is real
+deterministically synthesized from document text (encode -> binary).
+Raw-format decoding is REAL and oracle-checked (k_multimodal_decode:
+numpy raw-grayscale pixels; k_audio_frame_rms: framed 8-bit PCM) —
+only the compressed-codec step is an env-gated stub (pillow/ffmpeg
+absent in this container). Every piece of Spark-side plumbing is real
 and tested: binary columns, metadata structs, Arrow batch shapes through
 mapInPandas, and partition-parallel feature extraction.
 
@@ -293,4 +295,80 @@ def k_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "img_h",
         F.round("px_mean", 6).alias("px_mean"),
         F.round("px_std", 6).alias("px_std"),
+    )
+
+
+FRAME_N = 32
+
+
+def _frame_rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: frame each PCM blob and emit per-frame RMS +
+    peak. Raw doubles out; rounding happens in the Spark projection
+    (HALF_UP parity with the oracle)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, frames, rms, peak = [], [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n = (len(blob) // FRAME_N) * FRAME_N
+            if n == 0:
+                continue
+            arr = (
+                np.frombuffer(blob[:n], dtype=np.uint8)
+                .reshape(-1, FRAME_N)
+                .astype("float64")
+            )
+            k = arr.shape[0]
+            ids.extend([doc_id] * k)
+            frames.extend(range(k))
+            rms.extend(np.sqrt((arr * arr).mean(axis=1)).tolist())
+            peak.extend(arr.max(axis=1).astype("int64").tolist())
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_no": frames, "rms": rms, "peak": peak},
+        )
+
+
+@register(
+    "k_audio_frame_rms",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, CAST(u.i AS INT) AS i,
+               unicode(substr(text, CAST(u.i AS INT), 1)) AS px
+        FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+        WHERE u.i <= floor(len(text) / {FRAME_N}) * {FRAME_N}),
+    fr AS (
+        SELECT doc_id, CAST(floor((i - 1) / {FRAME_N}.0) AS BIGINT) AS frame_no, px
+        FROM pos)
+    SELECT doc_id, frame_no,
+           round(sqrt(avg(CAST(px * px AS DOUBLE))), 6) AS rms,
+           CAST(max(px) AS BIGINT) AS peak
+    FROM fr GROUP BY doc_id, frame_no
+    """,
+)
+def k_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with REAL sample math, oracle-checked:
+    blobs are framed as unsigned 8-bit PCM (32 samples per frame, the
+    hop = frame window of a spectrogram pipeline) and each frame is
+    reduced to RMS energy + peak amplitude inside a mapInPandas worker —
+    the loudness/clipping profile an audio-corpus quality filter gates
+    on. Fixture blobs are the documents' ASCII bytes, so DuckDB
+    recomputes every sample via unicode(char) and hash-checks the
+    decode -> frame -> feature path; a real codec (ffmpeg/soundfile,
+    absent here) would slot into the same worker.
+
+    At 100 TB: partition-parallel Arrow batches, one batch of blobs in
+    memory per worker; output rows are (doc, frame) scalars so the
+    frame table shuffles like any fact table — no decoded audio ever
+    crosses an exchange.
+    """
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return media.mapInPandas(
+        _frame_rms,
+        schema="doc_id long, frame_no long, rms double, peak long",
+    ).select(
+        "doc_id",
+        "frame_no",
+        F.round("rms", 6).alias("rms"),
+        "peak",
     )

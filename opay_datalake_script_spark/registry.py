@@ -86,6 +86,7 @@ _RECHECK = (
     "h_geo_grid_heatmap",
     "k_bigram_logprob",
     "k_multimodal_decode",
+    "k_audio_frame_rms",
 )
 
 
