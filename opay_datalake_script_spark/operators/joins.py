@@ -440,3 +440,76 @@ def c_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("dist"),
         )
     )
+
+
+@register(
+    "c_join_interval_overlap",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS dt,
+               min(ts) AS u_start, max(ts) AS u_end
+        FROM events GROUP BY 1, 2),
+    p AS (
+        SELECT CAST(i AS INT) AS promo_id,
+               TIMESTAMP '2024-01-01'
+                   + CAST(i AS INT) * INTERVAL 4 HOUR AS p_start,
+               TIMESTAMP '2024-01-01'
+                   + CAST(i AS INT) * INTERVAL 4 HOUR + INTERVAL 6 HOUR AS p_end
+        FROM range(0, 180) AS t(i))
+    SELECT u.user_id, u.dt, p.promo_id
+    FROM u JOIN p ON u.u_start <= p.p_end AND p.p_start <= u.u_end
+    """,
+)
+def c_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale — the equi-join rewrite that
+    c_join_range's docstring promises: per-(user, day) activity spans
+    [first event, last event] matched against overlapping 6-hour promo
+    windows on a 4-hour grid. Both interval sets explode to the grid
+    cells they span (map-side, a handful of cells per interval), the
+    join keys on the CELL (hash-partitionable equi-join — no
+    nested-loop, no broadcast requirement), and the exact overlap
+    predicate re-verifies candidates after the join with a distinct to
+    collapse multi-cell matches.
+
+    This is the shape that survives 100 TB x 100 TB: a theta join's BNL
+    cost is |A| x |B| per executor, while the grid join shuffles each
+    interval O(span/cell) times and only co-bucketed candidates meet.
+    Cell width tunes replication vs candidate precision exactly like
+    LSH banding. The DuckDB oracle runs the plain theta join — same
+    result, different plan class.
+    """
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", F.to_date("ts").alias("dt")).agg(
+        F.min("ts").alias("u_start"), F.max("ts").alias("u_end")
+    )
+    p = spark.range(180).select(
+        F.col("id").cast("int").alias("promo_id"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.col("id").cast("int") * F.expr("INTERVAL 4 HOURS")
+        ).alias("p_start"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.col("id").cast("int") * F.expr("INTERVAL 4 HOURS")
+            + F.expr("INTERVAL 6 HOURS")
+        ).alias("p_end"),
+    )
+
+    def cell(col):
+        return F.floor(F.unix_timestamp(col) / 14400)
+
+    uc = u.withColumn(
+        "cell", F.explode(F.sequence(cell(F.col("u_start")), cell(F.col("u_end"))))
+    )
+    pc = p.withColumn(
+        "cell", F.explode(F.sequence(cell(F.col("p_start")), cell(F.col("p_end"))))
+    )
+    return (
+        uc.join(pc, "cell")
+        .where(
+            (F.col("u_start") <= F.col("p_end"))
+            & (F.col("p_start") <= F.col("u_end"))
+        )
+        .select("user_id", "dt", "promo_id")
+        .distinct()
+    )

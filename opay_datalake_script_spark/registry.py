@@ -87,6 +87,7 @@ _RECHECK = (
     "k_bigram_logprob",
     "k_multimodal_decode",
     "k_audio_frame_rms",
+    "c_join_interval_overlap",
 )
 
 

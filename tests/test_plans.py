@@ -154,6 +154,12 @@ def test_round5_new_ops_plan_shapes(spark):
     assert rn_lines and all("_pid" in ln for ln in rn_lines), rn_lines
     man = QUERIES["k_shard_manifest"](spark, SF_DIR)
     assert count_shuffles(man) == 1
+    # interval-overlap join: must plan as a cell-keyed equi-join (hash or
+    # sort-merge), never the theta join's broadcast-nested-loop
+    ov = QUERIES["c_join_interval_overlap"](spark, SF_DIR)
+    ovplan = ov._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in ovplan
+    assert "CartesianProduct" not in ovplan
 
 
 def test_quality_filter_pipeline_single_shuffle(spark):
