@@ -430,3 +430,84 @@ def k_embed_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _propagate_min_labels(labels, edges).select(
         F.col("doc_id").alias("vec_id"), "comp"
     )
+
+
+@register(
+    "k_semantic_outlier",
+    oracle="""
+    WITH ev AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    cell AS (
+        SELECT label, i, round(avg(v), 6) AS c FROM ev GROUP BY label, i
+    ),
+    j AS (
+        SELECT ev.vec_id, ev.label,
+               sum(v * c) AS dot, sum(v * v) AS nv, sum(c * c) AS nc
+        FROM ev JOIN cell USING (label, i)
+        GROUP BY ev.vec_id, ev.label
+    )
+    SELECT vec_id, label,
+           round(dot / (sqrt(nv) * sqrt(nc)), 6) AS sim,
+           dot / (sqrt(nv) * sqrt(nc)) < 0.0 AS is_outlier
+    FROM j
+    """,
+)
+def k_semantic_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conditional embedding outlier detection — the mislabeled /
+    off-distribution sample sweep a training pipeline runs before
+    fitting on labeled data: cosine of every vector against its OWN
+    label's centroid; vectors pointing away from their class mean
+    (sim < 0) are flagged. Complements k_embed_near_dup (which finds
+    vectors too close to each other) by finding vectors too far from
+    where they claim to belong.
+
+    Shape: one posexplode -> (label, dim) hash agg builds the centroid
+    cells (the k_centroid_per_label kernel, rounded at 6 so both
+    engines fold the same constants), re-assembled into an ordered
+    array per label, then a BROADCAST join back (centroid table is
+    n_labels rows — bytes, not gigabytes) and a map-only zip_with fold
+    for dot and norms. Net: one shuffle over (label, dim) partial
+    sums + one broadcast — no vector ever shuffles twice.
+
+    The outlier comparison runs on the unrounded quotient in both
+    engines; a flip would need the true cosine within ~1e-15 of the
+    0.0 threshold (ulp noise of a 64-term fold), which no fixture or
+    plausible real embedding sits on.
+
+    At 100 TB: centroid state is 64 doubles per label; the scan of the
+    embedding table is map-only after the broadcast, so the op is
+    bounded by one pass over the vectors.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cells = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    cent = cells.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    joined = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(arr, F.col("cvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.aggregate(
+            F.transform(arr, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("nv"),
+        F.aggregate(
+            F.transform("cvec", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("nc"),
+    )
+    sim = F.col("dot") / (F.sqrt("nv") * F.sqrt("nc"))
+    return joined.select(
+        "vec_id", "label", F.round(sim, 6).alias("sim"), (sim < 0.0).alias("is_outlier")
+    )

@@ -458,3 +458,88 @@ def k_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "k_gopher_quality_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok
+    ),
+    d AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT)                       AS n_words,
+               CAST(sum(len(tok) * cnt) AS DOUBLE) / sum(cnt) AS mwl,
+               CAST(max(cnt) AS DOUBLE) / sum(cnt)            AS top_ratio,
+               CAST(sum(CASE WHEN tok IN
+                    ('a','the','of','to','and','in','is','it')
+                    THEN 1 ELSE 0 END) AS BIGINT)             AS stop_kinds
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 6)       AS mean_word_len,
+           round(top_ratio, 6) AS top_token_ratio,
+           stop_kinds,
+           (n_words BETWEEN 25 AND 500
+            AND mwl BETWEEN 3 AND 6
+            AND top_ratio <= 0.12
+            AND stop_kinds >= 2) AS keep
+    FROM d
+    """,
+)
+def k_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, table A1,
+    adapted to the fixture's plain-word text): word-count band, mean
+    word length band, most-frequent-token ratio (the repetition rule:
+    boilerplate pages have one token dominating), and a
+    distinct-stopword floor (real prose contains several function
+    words). Emits the per-rule signals plus the combined keep flag so a
+    pipeline can both filter and audit rule attrition. Thresholds keep
+    286/500 fixture docs at sf0.01 — a real split, not a degenerate
+    all-pass gate.
+
+    All four signals come off ONE token-histogram aggregation: explode
+    tokens -> count per (doc_id, tok) -> per-doc agg of sum/max/
+    weighted-length, with the stopword-kind count as a conditional SUM
+    (the histogram rows are already unique per (doc_id, tok), so a
+    count-distinct — and its extra expand/exchange — is unnecessary).
+    Two shuffles total, both
+    keyed on doc_id(+tok) — uniform keys, no skew. The keep comparison
+    runs on the EXACT integer-ratio doubles (not the rounded display
+    values): int/int division is bit-identical across engines, so the
+    boolean cannot flip between Spark and DuckDB.
+
+    At 100 TB: map-side partial aggregation absorbs the token fan-out;
+    the shuffle carries (doc_id, tok, partial_cnt) — no raw text moves.
+    """
+    d = load(spark, sf_dir, "documents")
+    stoplist = ["a", "the", "of", "to", "and", "in", "is", "it"]
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        (F.sum(F.length("tok") * F.col("cnt")).cast("double") / F.sum("cnt")).alias(
+            "mwl"
+        ),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_ratio"),
+        F.sum(F.when(F.col("tok").isin(stoplist), 1).otherwise(0)).alias("stop_kinds"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("top_ratio", 6).alias("top_token_ratio"),
+        "stop_kinds",
+        (
+            F.col("n_words").between(25, 500)
+            & F.col("mwl").between(3, 6)
+            & (F.col("top_ratio") <= 0.12)
+            & (F.col("stop_kinds") >= 2)
+        ).alias("keep"),
+    )

@@ -88,6 +88,9 @@ _RECHECK = (
     "k_multimodal_decode",
     "k_audio_frame_rms",
     "c_join_interval_overlap",
+    "a_sink_orc",
+    "k_gopher_quality_rules",
+    "k_semantic_outlier",
 )
 
 

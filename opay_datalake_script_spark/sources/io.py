@@ -233,6 +233,44 @@ def a_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back_csv.unionByName(back_json).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+@register(
+    "a_sink_orc",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS dt
+    FROM orders
+    """,
+)
+def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC export / re-import round trip — the second columnar format the
+    Hive-era reference warehouse stored tables in (ORC was the Hive
+    default; parquet the Spark default). Spark's ORC reader/writer is
+    built in (no extra jar), so unlike Delta/Iceberg this format needs
+    no env gating.
+
+    Oracle-checked as a full-table identity: write orders to ORC with
+    zlib compression, read it back with the declared schema, and return
+    key + string + double + date columns — a type set that exercises
+    ORC's distinct encodings (int RLE, dictionary strings, doubles,
+    date). Any row lost, duplicated, or value-shifted by the
+    encode/decode breaks the value hash against the parquet source.
+
+    At 100 TB: a straight columnar transcode — map-only, zero shuffles;
+    each input split writes its own ORC stripe set in parallel.
+    """
+    src = load(spark, sf_dir, "orders")
+    out = scratch_path("sink_orc", "orders")
+    src.write.mode("overwrite").option("compression", "zlib").orc(out)
+    back = spark.read.schema(SCHEMAS["orders"]).orc(out)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """Sqoop-import analog: snapshot an OLTP table over JDBC.
 

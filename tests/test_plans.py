@@ -403,3 +403,23 @@ def test_q18_q21_scan_lineitem_once(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_scans = plan.count("lineitem.parquet")
         assert n_scans <= 1, f"{name} scans lineitem {n_scans}x"
+
+
+def test_round5b_new_ops_plan_shapes(spark):
+    """k_gopher_quality_rules: exactly two shuffles (token histogram +
+    per-doc rollup), no join anywhere. k_semantic_outlier: the centroid
+    join back to the vectors must be a broadcast hash join (centroid
+    table is n_labels rows), and the whole op must cost only the
+    centroid-cell aggregation shuffles — the embedding scan itself is
+    map-side after the broadcast."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    gq = QUERIES["k_gopher_quality_rules"](spark, SF_DIR)
+    assert count_shuffles(gq) == 2
+    assert "Join" not in gq._jdf.queryExecution().executedPlan().toString()
+
+    so = QUERIES["k_semantic_outlier"](spark, SF_DIR)
+    plan = so._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
