@@ -691,3 +691,76 @@ def k_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0)).alias("n_removed"),
     )
+
+
+@register(
+    "k_containment_dedup",
+    oracle=f"""
+    WITH {_BAND_CAND_CTES},
+    ct_toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+        FROM documents
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                   / len(a.tset) AS cont_a,
+               CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                   / len(b.tset) AS cont_b
+        FROM band_cand c
+        JOIN ct_toks a ON a.doc_id = c.doc_a
+        JOIN ct_toks b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(cont_a, 6) AS cont_a,
+           round(cont_b, 6) AS cont_b,
+           CASE WHEN cont_a >= cont_b THEN doc_a ELSE doc_b END AS contained_doc
+    FROM scored
+    WHERE greatest(cont_a, cont_b) >= 0.95
+    """,
+)
+def k_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection via token-set CONTAINMENT |A∩B|/|A| — the
+    dedup signal Jaccard misses: a quote-with-commentary or a
+    boilerplate-wrapped repost contains ~all of the original's tokens
+    while the union keeps Jaccard low. Pairs where either side is
+    >= 95% contained in the other are flagged, and `contained_doc`
+    names the (near-)subset side — the one a containment-dedup pass
+    drops.
+
+    Same scale shape as k_jaccard_pairs: banded md5-MinHash candidates
+    (band-bucket equi-join, mirrored verbatim in the oracle CTE) ->
+    two doc_id-keyed joins to fetch token sets -> exact containment on
+    each candidate — never all-pairs. Honest bound: MinHash banding
+    estimates JACCARD, so an extreme small-doc-in-huge-doc pair can
+    fall below the banding's similarity floor and be missed; the full
+    fix at 100 TB is an additional band on the small side's token
+    prefix (or the substring/fingerprint path, k_substring_dedup),
+    which this operator's candidates can union in. Containment itself
+    is an exact integer ratio — the >= 0.95 gate cannot flip between
+    engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    cand = band_candidate_pairs(d.select("doc_id", "text"))
+    toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tset"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("_sa"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tset").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    cont_a = inter / F.size("_sa")
+    cont_b = inter / F.size("_sb")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_ca", cont_a)
+        .withColumn("_cb", cont_b)
+        .where(F.greatest("_ca", "_cb") >= 0.95)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("_ca", 6).alias("cont_a"),
+            F.round("_cb", 6).alias("cont_b"),
+            F.when(F.col("_ca") >= F.col("_cb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )

@@ -189,3 +189,65 @@ def k_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_row_number(d, "_sk", "doc_id")
         .select(F.col("rn").alias("ord"), "doc_id")
     )
+
+
+@register(
+    "k_interleave_sources",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               1 + (('0x' || substr(md5(source), 1, 2))::BIGINT % 3) AS weight,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(r AS BIGINT)      AS src_rank,
+           CAST(row_number() OVER (
+               ORDER BY (r - 0.5) / weight, source, doc_id
+           ) AS BIGINT) AS pos
+    FROM w
+    """,
+)
+def k_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleave — the training-order construction for a
+    domain-mixture corpus: source s with weight w contributes its r-th
+    document at virtual time (r - 0.5) / w, so a weight-3 source appears
+    3x as often as a weight-1 source and every source is spread evenly
+    through the epoch (stride scheduling) instead of concatenated in
+    blocks. Weights here derive deterministically from md5(source) so
+    both engines compute the same mixture without a config table; a real
+    pipeline would broadcast-join its sampling-weights dim instead.
+
+    Per-source ranks come from windows PARTITIONED by source (parallel,
+    one shuffle on source — mixtures have few sources but each partition
+    is only that source's rows, and a heavily-skewed source can be
+    sub-salted by epoch slice); the GLOBAL position uses the distributed
+    global_row_number scheme (range repartition + per-partition rank +
+    broadcast offsets), never a single-partition ORDER BY window. The
+    interleave key is exact: small-int arithmetic in double — identical
+    in both engines — with (source, doc_id) as the total-order tiebreak.
+    """
+    from ..operators.relational import global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    weight = 1 + F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("long") % 3
+    r = F.row_number().over(
+        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        weight.alias("weight"),
+        r.cast("long").alias("src_rank"),
+    ).withColumn("_ik", (F.col("src_rank") - 0.5) / F.col("weight"))
+    return global_row_number(ranked, "_ik", "source", "doc_id").select(
+        "doc_id",
+        "source",
+        "weight",
+        "src_rank",
+        F.col("rn").alias("pos"),
+    )

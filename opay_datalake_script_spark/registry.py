@@ -91,6 +91,9 @@ _RECHECK = (
     "a_sink_orc",
     "k_gopher_quality_rules",
     "k_semantic_outlier",
+    "a_scan_partition_pruned",
+    "k_interleave_sources",
+    "k_containment_dedup",
 )
 
 

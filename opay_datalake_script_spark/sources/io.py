@@ -271,6 +271,44 @@ def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a_scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m') AS dt
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-06', '1997-06')
+    """,
+)
+def a_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end — the `WHERE dt = ...` idiom every
+    Hive-era daily job relied on to touch one partition of a years-deep
+    table. Lands orders partitioned by month (the dt layout
+    a_sink_partitioned writes), then reads it back with an equality
+    filter on the partition column. Catalyst turns that filter into
+    PartitionFilters on the scan — the listing skips every other
+    month's directory, so at 100 TB the job reads 2 months, not 80
+    (`test_partition_pruning_reaches_scan` pins PartitionFilters
+    non-empty and PushedFilters-free-of-dt).
+
+    Oracle-checked end-to-end: the pruned read must equal the
+    dt-filtered source — a partition lost to the overwrite or a row
+    mis-bucketed into the wrong dt directory breaks the hash.
+    """
+    out = scratch_path("scan_pruned", "orders")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "dt", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("dt").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.where(F.col("dt").isin("1996-06", "1997-06")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """Sqoop-import analog: snapshot an OLTP table over JDBC.
 

@@ -423,3 +423,16 @@ def test_round5b_new_ops_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """a_scan_partition_pruned's dt filter must become PartitionFilters on
+    the parquet scan (directory-level pruning — the thing that makes a
+    one-month read of a years-deep table cheap), not a post-scan Filter
+    over all partitions."""
+    df = QUERIES["a_scan_partition_pruned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines, plan
+    assert any("PartitionFilters: [" in ln and "dt" in ln.split("PartitionFilters:")[1]
+               for ln in scan_lines), scan_lines
