@@ -543,3 +543,175 @@ def k_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_kinds") >= 2)
         ).alias("keep"),
     )
+
+
+@register(
+    "k_perplexity_buckets",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)),
+                      i -> struct_pack(w1 := a[i], w2 := a[i+1]))) AS p
+        FROM t WHERE len(a) >= 2
+    ),
+    bg2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg2 GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+    lm AS (
+        SELECT c12.w1, c12.w2, ln(CAST(n12 AS DOUBLE) / n1) AS lp
+        FROM c12 JOIN c1 USING (w1) WHERE n12 >= 5
+    ),
+    sc AS (
+        SELECT bg2.doc_id,
+               round(avg(lm.lp), 6)        AS lm_score,
+               CAST(count(lm.lp) AS BIGINT) AS n_scored,
+               CAST(count(*) AS BIGINT)     AS n_bigrams
+        FROM bg2 LEFT JOIN lm ON bg2.w1 = lm.w1 AND bg2.w2 = lm.w2
+        GROUP BY bg2.doc_id
+    )
+    SELECT doc_id, lm_score, n_scored, n_bigrams,
+           CASE WHEN lm_score >= -3.37 THEN 'head'
+                WHEN lm_score >= -3.40 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc
+    """,
+)
+def k_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by its mean bigram conditional log-probability under the
+    corpus's own LM (the k_bigram_logprob table, count floor 5) and
+    split into head/middle/tail quality buckets — the standard
+    LM-filtered-pretraining partition. Unmatched bigrams (below the
+    count floor) are excluded from the mean but reported via
+    n_scored/n_bigrams so a caller can gate on OOV rate too.
+
+    Bucketing compares the ROUNDED score (6 dp) in both engines, so the
+    cut cannot flip on last-ulp float noise: if the rounded scores
+    hash-match, the buckets match by construction. Thresholds
+    -3.37/-3.40 straddle the fixture's tercile points.
+
+    Scale shape: bigram expansion is map-side; the LM is built with two
+    corpus-keyed aggs and is vocabulary²-bounded (sublinear in corpus),
+    so its join back to the bigram stream broadcasts; the final per-doc
+    agg is one uniform doc_id shuffle. No windows, no collect.
+    """
+    d = load(spark, sf_dir, "documents")
+    bg = (
+        d.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                    "             element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    lm = (
+        c12.join(F.broadcast(c1), "w1")
+        .where(F.col("n12") >= 5)
+        .select("w1", "w2", F.log(F.col("n12").cast("double") / F.col("n1")).alias("lp"))
+    )
+    sc = (
+        bg.join(F.broadcast(lm), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 6).alias("lm_score"),
+            F.count("lp").alias("n_scored"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "lm_score",
+        "n_scored",
+        "n_bigrams",
+        F.when(F.col("lm_score") >= -3.37, "head")
+        .when(F.col("lm_score") >= -3.40, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "k_vocab_coverage",
+    oracle="""
+    WITH tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tc)
+    SELECT tok, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+           round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.n, 6)
+               AS cum_coverage
+    FROM tc CROSS JOIN tot
+    """,
+)
+def k_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with cumulative corpus coverage — the
+    tokenizer-budgeting table: tokens ranked by frequency plus the
+    fraction of all corpus tokens covered by the vocab up to that rank
+    (answers "how big must the vocab be for 99.5% coverage?").
+
+    The oracle's ORDER BY window is the textbook form; at 100 TB a bare
+    unpartitioned window funnels the vocab through one task, so the
+    Spark side computes BOTH the global rank and the prefix sum with the
+    distributed two-phase scheme: range-repartition the (corpus-
+    sublinear, but still possibly 1e7-row) vocab aggregate on
+    (cnt DESC, tok), rank and cumsum per partition in parallel, then
+    add broadcast per-partition offsets (row-count offsets for rank,
+    count-sum offsets for the running total). The grand total is a
+    1-row broadcast, not another window. (tok, cnt DESC) is a total
+    order, so the result is partitioning-independent.
+    """
+    from pyspark.sql import Window as _W
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranged = tc.repartitionByRange(32, F.col("cnt").desc(), "tok").sortWithinPartitions(
+        F.col("cnt").desc(), "tok"
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    parts = with_pid.groupBy("_pid").agg(
+        F.count("*").alias("_rows"), F.sum("cnt").alias("_cnts")
+    )
+    cum = _W.orderBy("_pid").rowsBetween(_W.unboundedPreceding, -1)
+    offsets = parts.select(
+        "_pid",
+        F.coalesce(F.sum("_rows").over(cum), F.lit(0)).alias("_rank_off"),
+        F.coalesce(F.sum("_cnts").over(cum), F.lit(0)).alias("_sum_off"),
+    )
+    total = tc.agg(F.sum("cnt").alias("_n"))
+    local = _W.partitionBy("_pid").orderBy(F.col("cnt").desc(), "tok")
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(total))
+        .select(
+            "tok",
+            "cnt",
+            (F.row_number().over(local) + F.col("_rank_off")).cast("long").alias("rank"),
+            F.round(
+                (
+                    F.sum("cnt").over(
+                        local.rowsBetween(_W.unboundedPreceding, 0)
+                    )
+                    + F.col("_sum_off")
+                ).cast("double")
+                / F.col("_n"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -94,6 +94,8 @@ _RECHECK = (
     "a_scan_partition_pruned",
     "k_interleave_sources",
     "k_containment_dedup",
+    "k_perplexity_buckets",
+    "k_vocab_coverage",
 )
 
 

@@ -436,3 +436,23 @@ def test_partition_pruning_reaches_scan(spark):
     assert scan_lines, plan
     assert any("PartitionFilters: [" in ln and "dt" in ln.split("PartitionFilters:")[1]
                for ln in scan_lines), scan_lines
+
+
+def test_vocab_and_perplexity_plan_shapes(spark):
+    """k_vocab_coverage: every data-bearing window (rank + running sum)
+    must partition by _pid — the distributed prefix-sum, never one task
+    holding the whole vocab. k_perplexity_buckets: the LM and marginal
+    join back to the bigram stream must broadcast (vocabulary-bounded
+    sides), not sort-merge the corpus."""
+    vc = QUERIES["k_vocab_coverage"](spark, SF_DIR)
+    plan = vc._jdf.queryExecution().executedPlan().toString()
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and ("row_number" in ln or "sum(cnt" in ln)
+    ]
+    assert data_windows and all("_pid" in ln for ln in data_windows), data_windows
+
+    pb = QUERIES["k_perplexity_buckets"](spark, SF_DIR)
+    pplan = pb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pplan
+    assert "SortMergeJoin" not in pplan
