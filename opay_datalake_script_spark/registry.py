@@ -96,6 +96,8 @@ _RECHECK = (
     "k_containment_dedup",
     "k_perplexity_buckets",
     "k_vocab_coverage",
+    "a_scan_corrupt_records",
+    "j_scalar_iter_udf",
 )
 
 

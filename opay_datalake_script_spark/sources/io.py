@@ -309,6 +309,60 @@ def a_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a_scan_corrupt_records",
+    oracle="""
+    SELECT CASE WHEN event_id % 37 = 0 THEN '_corrupt' ELSE event_type END
+               AS grp,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a_scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion (PERMISSIVE mode) — the dirty-feed
+    reality of binlog/tracking pipelines: a JSON-lines landing where
+    some producer truncated its writes. Every event lands as one JSON
+    line; lines for event_id % 37 == 0 are deterministically corrupted
+    (tail chopped mid-object). The read uses the default PERMISSIVE
+    mode with an explicit ``_corrupt_record`` column: bad lines parse
+    to all-null data columns + the raw line in _corrupt_record, good
+    lines parse normally — nothing is silently dropped (DROPMALFORMED)
+    and nothing kills the job (FAILFAST); the quarantine count is the
+    monitoring metric.
+
+    Oracle-checked: group counts with corrupt rows bucketed under
+    '_corrupt' must equal the source-side rule — a PERMISSIVE parse
+    that mis-classifies a single line (or double-counts one) breaks
+    the hash.
+
+    At 100 TB: map-only text scan -> per-line JSON parse; the only
+    shuffle is the final tiny group count.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = scratch_path("scan_corrupt", "events")
+    line = F.to_json(F.struct("event_id", "event_type"))
+    ev.select(
+        F.when(
+            F.col("event_id") % 37 == 0,
+            line.substr(F.lit(1), F.length(line) - 5),
+        )
+        .otherwise(line)
+        .alias("value")
+    ).write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "event_id LONG, event_type STRING, _corrupt_record STRING"
+    ).json(out)
+    return (
+        back.groupBy(
+            F.when(F.col("_corrupt_record").isNotNull(), "_corrupt")
+            .otherwise(F.col("event_type"))
+            .alias("grp")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """Sqoop-import analog: snapshot an OLTP table over JDBC.
 
