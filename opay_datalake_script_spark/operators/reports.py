@@ -336,3 +336,62 @@ def r_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy(
         F.date_format("day7", "yyyy-MM-dd").alias("dt")
     ).agg(F.countDistinct("user_id").alias("active_7d"))
+
+
+@register(
+    "r_mom_yoy_report",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
+                     AS DOUBLE) / 10000, 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2)
+               AS mom_delta,
+           round(revenue / nullif(lag(revenue, 12) OVER (ORDER BY month), 0), 6)
+               AS yoy_ratio
+    FROM m
+    """,
+)
+def r_mom_yoy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month / year-over-year revenue report — the headline
+    finance-dashboard idiom of the Hive-era warehouse: monthly revenue
+    with the MoM delta (lag 1) and the YoY ratio (lag 12) on one month
+    axis.
+
+    Revenue sums in exact integer ten-thousandths (the t_q09 scheme) so
+    the month totals — and therefore every derived delta/ratio — are
+    ulp-stable across engines. The lag windows run over the MONTH-LEVEL
+    aggregate (~tens of rows for years of data, corpus-sublinear), so
+    the unpartitioned ORDER BY window is a deliberate non-issue: the
+    heavy work is the one uniform month-keyed aggregation shuffle; the
+    window input is a driver-screen-sized table. (Contrast
+    k_vocab_coverage, where the windowed table can be vocabulary-sized
+    and gets the distributed prefix-sum instead.)
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).cast(
+                "double"
+            )
+            / 10000,
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - F.lag("revenue", 1).over(w), 2).alias("mom_delta"),
+        F.round(
+            F.col("revenue")
+            / F.nullif(F.lag("revenue", 12).over(w), F.lit(0.0)),
+            6,
+        ).alias("yoy_ratio"),
+    )

@@ -453,3 +453,73 @@ def e_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(depth.alias("depth")).groupBy("depth").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "e_gap_fill_forward",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               round(sum(value), 2) AS v
+        FROM events WHERE user_id < 30
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+        SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM spans
+    )
+    SELECT g.user_id, g.hr,
+           last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hr
+               ROWS UNBOUNDED PRECEDING
+           ) AS v_filled,
+           h.v IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.hr = g.hr
+    """,
+)
+def e_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with forward fill — the metrics-dashboard
+    densification idiom: every user gets a complete hourly grid between
+    their first and last event, and silent hours carry the last
+    observed hourly total forward (is_gap marks carried rows). The
+    missing-hour case is what breaks naive rolling averages and
+    downstream joins on (user, hour).
+
+    Scale shape: one hourly pre-aggregation (user-keyed shuffle), a
+    per-user span aggregate, a map-side `sequence()` explode to build
+    the grid (no cross join against a calendar dim), a user+hour-keyed
+    left join back, and ONE forward-fill window partitioned by user —
+    every stage parallel over users, nothing global. The filled value
+    forward-fills the ROUNDED hourly sum, so both engines carry
+    identical constants. A user spanning years fans out to ~9k grid
+    rows — bounded by span, not corpus; a service-wide grid would
+    partition the window by (user, month) slices instead.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    ffill = W.partitionBy("user_id").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.last("v", ignorenulls=True).over(ffill).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )

@@ -98,6 +98,8 @@ _RECHECK = (
     "k_vocab_coverage",
     "a_scan_corrupt_records",
     "j_scalar_iter_udf",
+    "e_gap_fill_forward",
+    "r_mom_yoy_report",
 )
 
 
