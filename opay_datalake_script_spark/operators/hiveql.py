@@ -209,3 +209,49 @@ def s_hiveql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
     )
     return a.unionByName(b)
+
+
+@register(
+    "s_hiveql_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+           coalesce(o_orderstatus,   'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT)                  AS gid,
+           count(*)                          AS n,
+           round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
+                 AS DOUBLE) / 10000, 2)      AS gmv
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def s_hiveql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's `grouping__id` rollup-report idiom, run as SQL text: one
+    GROUPING SETS pass emits detail, per-priority subtotal, and grand
+    total rows, with the grouping-flag bitmask distinguishing the
+    levels (the reference scripts branched report rows on
+    `grouping__id`; Spark spells it `grouping_id()`/`grouping()` —
+    emitted here as the explicit GROUPING arithmetic both engines
+    define identically: bit i = column i is aggregated away).
+
+    NULL group keys are coalesced to 'ALL' so subtotal rows are
+    self-describing (and so the driver canonicalizer never compares
+    bare NULLs). GMV sums in exact e4 integers. One expand + one hash
+    agg — same plan family as d_grouping_sets, at text-dialect parity.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+               coalesce(o_orderstatus,   'ALL') AS status,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT)                  AS gid,
+               count(*)                          AS n,
+               round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
+                     AS DOUBLE) / 10000.0, 2)    AS gmv
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )

@@ -100,6 +100,7 @@ _RECHECK = (
     "j_scalar_iter_udf",
     "e_gap_fill_forward",
     "r_mom_yoy_report",
+    "s_hiveql_grouping_id",
 )
 
 

@@ -311,3 +311,76 @@ def test_shard_manifest_conservation(spark):
         ).alias("x")
     ).first()["x"]
     assert reduce(lambda a, b: a ^ b, (r["content_xor"] for r in man)) == corpus_xor
+
+
+def test_gap_fill_grid_is_dense_and_filled(spark):
+    """e_gap_fill_forward invariants on the fixture: per user the hour
+    grid is contiguous (span hours == rows, no holes, no dupes), the
+    first grid row is never a gap (it's the user's first observed hour),
+    and v_filled is non-null everywhere (forward fill from a non-null
+    start)."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    pdf = (
+        QUERIES["e_gap_fill_forward"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "hr"])
+    )
+    assert not pdf["v_filled"].isna().any()
+    for _, g in pdf.groupby("user_id"):
+        span = (g["hr"].iloc[-1] - g["hr"].iloc[0]).total_seconds() / 3600 + 1
+        assert len(g) == span, "hour grid has holes or duplicates"
+        assert not g["is_gap"].iloc[0], "first grid hour must be observed"
+        assert g["hr"].is_unique
+
+
+def test_interleave_positions_are_stride_ordered(spark):
+    """k_interleave_sources invariants: pos is a permutation of
+    1..n_docs; within each source, pos is strictly increasing in
+    src_rank (the stream never reorders a source against itself); and
+    each source's share of any epoch prefix tracks its weight share
+  (stride scheduling, checked at the half-way point with 25% slack)."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    pdf = QUERIES["k_interleave_sources"](spark, SF_DIR).toPandas()
+    n = len(pdf)
+    assert sorted(pdf["pos"]) == list(range(1, n + 1))
+    for _, g in pdf.groupby("source"):
+        assert g.sort_values("src_rank")["pos"].is_monotonic_increasing
+    half = pdf[pdf["pos"] <= n // 2]
+    tot_w = pdf.groupby("source")["weight"].first().sum()
+    for src, g in half.groupby("source"):
+        w = pdf[pdf["source"] == src]["weight"].iloc[0]
+        expected = (n // 2) * w / tot_w
+        n_src_docs = (pdf["source"] == src).sum()
+        # a source can exhaust before the half-way mark; then it simply
+        # contributes everything it has
+        expected = min(expected, n_src_docs)
+        assert abs(len(g) - expected) <= 0.25 * expected + 2, (
+            src, len(g), expected
+        )
+
+
+def test_vocab_coverage_is_monotone_to_one(spark):
+    """k_vocab_coverage invariants: rank is 1..V in cnt-desc order,
+    cum_coverage is non-decreasing and ends at 1.0."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    pdf = (
+        QUERIES["k_vocab_coverage"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    assert pdf["cnt"].is_monotonic_decreasing
+    assert pdf["cum_coverage"].is_monotonic_increasing
+    assert abs(pdf["cum_coverage"].iloc[-1] - 1.0) < 1e-9
