@@ -618,3 +618,36 @@ def k_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("reason"),
     )
+
+
+@register(
+    "k_anonymity_check",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS group_size,
+           count(*) < 5 AS violates_k5
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a training-data release runs after PII scrubbing
+    (k_pii_scrub removes direct identifiers; this catches
+    re-identification by attribute combination): any (segment, nation)
+    cell with fewer than k=5 members is a linkage risk and must be
+    suppressed or generalized before export. Returns every cell with
+    its size and violation flag so the caller can both enforce
+    (anti-join the violating cells) and report attrition.
+
+    One hash aggregation on the quasi-identifier tuple — the same
+    uniform-key group-by shape as k_exact_dedup; at 100 TB the cell
+    count is bounded by the QI domain product, not the row count, so
+    the output stays dashboard-sized. The k threshold compares exact
+    integers — nothing can flip between engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") < 5).alias("violates_k5"),
+    )

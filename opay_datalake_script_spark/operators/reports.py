@@ -395,3 +395,48 @@ def r_mom_yoy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_ratio"),
     )
+
+
+@register(
+    "r_dq_anomaly_zscore",
+    oracle="""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+               round(sum(value), 2) AS v,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT avg(v) AS mu, stddev_samp(v) AS sd FROM d
+    )
+    SELECT dt, v, n,
+           round((v - mu) / sd, 6)       AS z,
+           abs(round((v - mu) / sd, 6)) >= 2.0 AS is_anomaly
+    FROM d CROSS JOIN s
+    """,
+)
+def r_dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality anomaly monitor — the daily-metric sanity gate every
+    warehouse load runs before publishing: z-score each day's total
+    event value against the trailing distribution and flag |z| >= 2
+    days (a collapsed upstream feed or a double-load shows up as an
+    extreme day). Complements r_dq_referential (structural integrity)
+    with statistical integrity.
+
+    The mean/stddev come from a 1-row aggregate over the DAY-level
+    rollup (corpus-sublinear) broadcast back to the days — no global
+    window over raw events; the only corpus-sized work is the one
+    day-keyed aggregation shuffle. The anomaly flag compares the
+    ROUNDED z (6 dp), so engines agree by construction whenever the
+    hashed z values agree. A production variant would window mu/sd over
+    a trailing N days per metric — same shape, partitioned by metric.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt")
+    ).agg(F.round(F.sum("value"), 2).alias("v"), F.count("*").alias("n"))
+    s = d.agg(F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd"))
+    z = F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6)
+    return d.join(F.broadcast(s)).select(
+        "dt", "v", "n", z.alias("z"), (F.abs(z) >= 2.0).alias("is_anomaly")
+    )

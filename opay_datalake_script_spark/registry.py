@@ -101,6 +101,8 @@ _RECHECK = (
     "e_gap_fill_forward",
     "r_mom_yoy_report",
     "s_hiveql_grouping_id",
+    "r_dq_anomaly_zscore",
+    "k_anonymity_check",
 )
 
 
