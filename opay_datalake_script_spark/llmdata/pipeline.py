@@ -651,3 +651,74 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("group_size"),
         (F.count("*") < 5).alias("violates_k5"),
     )
+
+
+@register(
+    "k_tokenize_to_ids",
+    oracle="""
+    WITH tc AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id
+        FROM tc
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           array_to_string(list(v.id ORDER BY p.i), ',') AS ids
+    FROM pos p JOIN vocab v ON v.tok = p.tok
+    GROUP BY p.doc_id
+    """,
+)
+def k_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-to-id encoding — the final text->ints step before
+    k_chunk_documents / k_pack_sequences: ids come from the frequency-
+    ranked vocabulary (rank 1 = most frequent, ties broken by token, the
+    k_vocab_coverage order), and every document is re-emitted as its
+    ordered id sequence (comma-joined — array cells crash the driver
+    canonicalizer).
+
+    Scale shape: the vocab is built with one token count agg and ranked
+    with the distributed global_row_number (corpus-sublinear table, but
+    never a single-task window); the id lookup is a BROADCAST join from
+    tokens to vocab (the 100 TB reality: the vocab fits in memory, the
+    corpus does not); the sequence reassembly is one doc_id-keyed
+    collect_list wrapped in array_sort on (pos, id) — deterministic
+    order by construction, not by shuffle luck.
+    """
+    from ..operators.relational import global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = global_row_number(
+        tc, F.col("cnt").desc(), "tok", parts=8
+    ).select("tok", F.col("rn").alias("id"))
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    return (
+        pos.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+            ).alias("ids"),
+        )
+    )

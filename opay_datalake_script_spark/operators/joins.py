@@ -513,3 +513,45 @@ def c_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "dt", "promo_id")
         .distinct()
     )
+
+
+@register(
+    "c_join_null_safe",
+    oracle="""
+    WITH lhs AS (
+        SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT nullif(o_orderstatus, 'P') AS k,
+               coalesce(nullif(o_orderstatus, 'P'), 'parked') AS label
+        FROM orders
+    )
+    SELECT lhs.o_orderkey, dim.label
+    FROM lhs JOIN dim ON lhs.k IS NOT DISTINCT FROM dim.k
+    """,
+)
+def c_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    dimension-lookup idiom where NULL is a legitimate key value (here an
+    'unknown/parked' status bucket synthesized with NULLIF): a plain
+    equality join silently DROPS every NULL-keyed fact row, the classic
+    Hive-era lost-rows bug; eqNullSafe keeps them matched to the NULL
+    dim row.
+
+    Spark still plans `<=>` as a hash join (the operator hashes the
+    null-bucketed key), and the dim side broadcasts — same shape as
+    c_join_broadcast, only the equality semantics differ. NULL keys all
+    hash to one bucket, so at 100 TB a NULL-heavy fact side is a skew
+    key like any other — salt it or pre-split the NULL slice if the
+    unknown bucket dominates.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    lhs = o.select("o_orderkey", k.alias("k"))
+    dim = (
+        o.select(k.alias("k"), F.coalesce(k, F.lit("parked")).alias("label"))
+        .distinct()
+    )
+    return lhs.join(F.broadcast(dim), lhs["k"].eqNullSafe(dim["k"])).select(
+        "o_orderkey", "label"
+    )

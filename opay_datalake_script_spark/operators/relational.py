@@ -345,3 +345,24 @@ def g_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_keys = o.select("o_custkey")
     f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return all_keys.exceptAll(f_keys)
+
+
+@register(
+    "g_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'P')
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O', 'P')
+    """,
+)
+def g_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag-semantics intersection (min multiplicity per
+    key), completing the set-op family next to g_intersect's DISTINCT
+    form: a customer with 3 F/P orders and 2 O/P orders contributes the
+    key TWICE. Spark plans intersectAll as one aggregate counting per
+    branch + a generate replaying min(count) copies — a single shuffle
+    on the key, no join."""
+    o = load(spark, sf_dir, "orders")
+    lhs = o.where(F.col("o_orderstatus").isin("F", "P")).select("o_custkey")
+    rhs = o.where(F.col("o_orderstatus").isin("O", "P")).select("o_custkey")
+    return lhs.intersectAll(rhs)

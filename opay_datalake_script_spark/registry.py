@@ -103,6 +103,9 @@ _RECHECK = (
     "s_hiveql_grouping_id",
     "r_dq_anomaly_zscore",
     "k_anonymity_check",
+    "g_intersect_all",
+    "c_join_null_safe",
+    "k_tokenize_to_ids",
 )
 
 
