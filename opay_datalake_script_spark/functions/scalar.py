@@ -564,3 +564,38 @@ def h_geo_grid_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("gmv"),
         )
     )
+
+
+@register(
+    "h_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                         AS low_byte,
+           o_orderkey | 4096                        AS with_flag,
+           xor(o_orderkey, 21845)                   AS xored,
+           o_orderkey << 3                          AS shl3,
+           o_orderkey >> 2                          AS shr2,
+           CAST(bit_count(o_orderkey) AS INTEGER)   AS popcount
+    FROM orders
+    """,
+)
+def h_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function battery — the flag-mask / hash-mixing / bucket
+    arithmetic primitives (SimHash's bit votes, grouping_id masks, and
+    bloom-style fingerprints all reduce to these): AND/OR/XOR, shifts,
+    and population count on a bigint key. All JVM codegen; the one
+    dialect seam is bit_count's return width (Spark INT vs DuckDB
+    TINYINT), aligned by casting the oracle UP to the Spark type per
+    the repo's widen-don't-narrow rule.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -106,6 +106,8 @@ _RECHECK = (
     "g_intersect_all",
     "c_join_null_safe",
     "k_tokenize_to_ids",
+    "h_bitwise",
+    "a_snapshot_retention",
 )
 
 

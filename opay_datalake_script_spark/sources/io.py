@@ -706,3 +706,58 @@ def a_cluster_by_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_dt"),
         "l_extendedprice",
     )
+
+
+@register(
+    "a_snapshot_retention",
+    oracle="""
+    SELECT 'v2' AS version, count(*) AS n_rows
+    FROM orders WHERE o_orderkey % 100 <> 0
+    UNION ALL
+    SELECT 'v3', count(*)
+    FROM orders WHERE o_orderkey % 100 <> 0 AND o_orderkey % 10 <> 0
+    """,
+)
+def a_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention / VACUUM analog on the immutable version-
+    directory scheme of a_snapshot_time_travel: three versions land
+    (v1 = full orders, v2 = v1 minus a delete batch, v3 = v2 minus
+    another), then a keep-last-2 retention pass physically removes v1 —
+    the Delta `VACUUM` / Iceberg `expire_snapshots` operation that
+    bounds storage growth under daily INSERT OVERWRITE churn.
+
+    The returned table reads the RETAINED versions back from disk, so
+    the oracle checks both retention correctness (v2/v3 content intact
+    after the vacuum — a retention bug that deletes a live version or a
+    shared data file shows up as missing rows) and the version
+    lineage's delete semantics. `test_snapshot_retention_vacuums_v1`
+    pins the physical removal and that the expired version is truly
+    unreadable.
+
+    At 100 TB: retention is pure manifest/directory manipulation — no
+    data is read or shuffled to expire a snapshot; only the survivors'
+    footer listing happens at read time.
+    """
+    import shutil
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tag = "ret_" + sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    root = scratch_path("snapshots", tag, "_")[: -len("/_")]
+    v = {i: f"{root}/v{i}" for i in (1, 2, 3)}
+    base.write.mode("overwrite").parquet(v[1])
+    base.where(F.col("o_orderkey") % 100 != 0).write.mode("overwrite").parquet(v[2])
+    base.where(
+        (F.col("o_orderkey") % 100 != 0) & (F.col("o_orderkey") % 10 != 0)
+    ).write.mode("overwrite").parquet(v[3])
+    # keep-last-2 retention: expire v1 (directory removal = manifest drop;
+    # immutability guarantees no retained version shares its files)
+    shutil.rmtree(v[1], ignore_errors=True)
+    out = None
+    for i in (2, 3):
+        part = (
+            spark.read.parquet(v[i])
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(f"v{i}").alias("version"), "n_rows")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

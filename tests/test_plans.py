@@ -456,3 +456,19 @@ def test_vocab_and_perplexity_plan_shapes(spark):
     pplan = pb._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in pplan
     assert "SortMergeJoin" not in pplan
+
+
+def test_snapshot_retention_vacuums_v1(spark):
+    """After a_snapshot_retention, the expired v1 directory must be gone
+    from disk (physical vacuum, not just exclusion from the result) while
+    v2/v3 stay readable."""
+    import os
+
+    from opay_datalake_script_spark.sources.io import scratch_path
+
+    QUERIES["a_snapshot_retention"](spark, SF_DIR).collect()
+    tag = "ret_" + SF_DIR.rstrip("/").replace("/", "_").lstrip("_")
+    root = scratch_path("snapshots", tag, "_")[: -len("/_")]
+    assert not os.path.exists(f"{root}/v1")
+    assert os.path.exists(f"{root}/v2") and os.path.exists(f"{root}/v3")
+    assert spark.read.parquet(f"{root}/v3").count() > 0
