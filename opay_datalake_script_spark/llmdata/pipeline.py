@@ -722,3 +722,63 @@ def k_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids"),
         )
     )
+
+
+@register(
+    "k_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comps AS (
+        SELECT node AS doc_id, min(lab) AS comp FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, c.comp, d.n_chars,
+           row_number() OVER (PARTITION BY c.comp
+                              ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
+    FROM comps c JOIN documents d USING (doc_id)
+    """,
+)
+def k_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep policy: within each near-dup cluster
+    (the k_dedup_components graph), keep the BEST document — here
+    longest-first (n_chars DESC, doc_id tiebreak), the keep-longest
+    policy most corpus builds use — instead of min-doc_id. Decouples
+    cluster RESOLUTION (label propagation) from keeper SELECTION
+    (any scoring column: quality score, source priority, recency —
+    swap the ORDER BY), which is exactly how a production pass
+    parameterizes it.
+
+    One broadcast-sized join of the component labels back to doc
+    metadata plus one comp-partitioned row_number window — both keyed
+    on uniform ids; cluster sizes are dedup-cluster-sized (small), so
+    the per-partition window never sees a skewed giant group unless the
+    corpus is one giant near-dup cluster, in which case the dedup
+    itself is the alarm.
+    """
+    comps = k_dedup_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("comp").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        comps.join(d, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "comp", "n_chars", "keep")
+    )

@@ -108,6 +108,7 @@ _RECHECK = (
     "k_tokenize_to_ids",
     "h_bitwise",
     "a_snapshot_retention",
+    "k_dedup_keep_best",
 )
 
 
