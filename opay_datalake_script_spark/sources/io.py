@@ -259,7 +259,8 @@ def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     each input split writes its own ORC stripe set in parallel.
     """
     src = load(spark, sf_dir, "orders")
-    out = scratch_path("sink_orc", "orders")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = scratch_path("sink_orc", f"orders_{tag}")
     src.write.mode("overwrite").option("compression", "zlib").orc(out)
     back = spark.read.schema(SCHEMAS["orders"]).orc(out)
     return back.select(
@@ -295,7 +296,8 @@ def a_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt-filtered source — a partition lost to the overwrite or a row
     mis-bucketed into the wrong dt directory breaks the hash.
     """
-    out = scratch_path("scan_pruned", "orders")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = scratch_path("scan_pruned", f"orders_{tag}")
     orders = load(spark, sf_dir, "orders").withColumn(
         "dt", F.date_format("o_orderdate", "yyyy-MM")
     )
@@ -340,7 +342,8 @@ def a_scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the final tiny group count.
     """
     ev = load(spark, sf_dir, "events")
-    out = scratch_path("scan_corrupt", "events")
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = scratch_path("scan_corrupt", f"events_{tag}")
     line = F.to_json(F.struct("event_id", "event_type"))
     ev.select(
         F.when(
