@@ -428,3 +428,82 @@ def d_bitmap_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tags.groupBy(F.col("tag_bits").cast("long").alias("tag_bits")).agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "d_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    n AS (SELECT count(*) AS total FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM toks CROSS JOIN n
+    GROUP BY tok, n.total
+    HAVING count(*) >= n.total / 64.0
+    """,
+)
+def d_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy hitters (freq >= n/64) via the two-pass sketch
+    design — the only shape that works at 100 TB, where a plain
+    groupBy(term) shuffles the whole term universe: pass 1 runs a
+    Misra-Gries summary (capacity 256) INSIDE each partition with
+    mapInPandas, so only <= 256 (term, est) rows per partition ever
+    shuffle; merged MG estimates underestimate a term's true count by
+    at most n/256 total (sum of per-partition MG error bounds), so
+    every true phi=1/64 heavy hitter survives the est >= n/64 - n/256
+    candidate cut; pass 2 exact-counts ONLY the candidate terms
+    (broadcast isin filter on the token stream) and applies the exact
+    threshold. Output = exact frequencies of exactly the true heavy
+    hitters — deterministic regardless of partitioning, which is what
+    makes an approximate-sketch pipeline fully oracle-checkable.
+
+    The scan runs twice (sketch + verify) — the standard trade: two
+    cheap map passes instead of one full-vocabulary shuffle. The
+    per-batch MG loop is plain Python over a dict, capped at 256
+    entries — CPU-trivial next to Arrow IO and honest about the
+    algorithm (a vectorized value_counts-then-truncate would have a
+    weaker guarantee).
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.count()
+    cap = 256
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["tok"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < cap:
+                    counters[t] = 1
+                else:
+                    # decrement step: all counters shrink by 1, zeros evicted
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame(
+                {"tok": list(counters), "est": list(counters.values())}
+            )
+
+    summaries = toks.mapInPandas(mg_partition, schema="tok string, est long")
+    cand = (
+        summaries.groupBy("tok")
+        .agg(F.sum("est").alias("est"))
+        .where(F.col("est") >= total / 64.0 - total / float(cap))
+        .select("tok")
+    )
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= total / 64.0)
+    )

@@ -109,6 +109,7 @@ _RECHECK = (
     "h_bitwise",
     "a_snapshot_retention",
     "k_dedup_keep_best",
+    "d_heavy_hitters",
 )
 
 
