@@ -715,3 +715,59 @@ def k_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+@register(
+    "k_dataset_card",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    dup AS (
+        SELECT count(*) - count(DISTINCT
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+               AS n_exact_dups
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT)                     AS n_docs,
+           CAST(count(DISTINCT d.lang) AS BIGINT)       AS n_langs,
+           CAST(count(DISTINCT d.source) AS BIGINT)     AS n_sources,
+           CAST(sum(t.n_tok) AS BIGINT)                 AS total_tokens,
+           CAST(min(t.n_tok) AS BIGINT)                 AS min_tokens,
+           CAST(max(t.n_tok) AS BIGINT)                 AS max_tokens,
+           round(avg(t.n_tok), 6)                       AS avg_tokens,
+           CAST(max(dup.n_exact_dups) AS BIGINT)        AS n_exact_dups
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    CROSS JOIN dup
+    """,
+)
+def k_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the one-row release summary published next to a
+    training corpus (docs, languages, sources, token totals/spread,
+    exact-dup count): the aggregate every downstream consumer reads
+    before anything else, and the regression canary a nightly corpus
+    rebuild diffs against.
+
+    One pass computes the corpus aggregates (count-distincts on two
+    low-cardinality columns; token counts map-side) plus the exact-dup
+    count as count(*) - count(distinct content-hash) — all in two
+    1-row-output aggregations joined by literal cross join; no
+    wide shuffle, output is a single row regardless of corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    content_h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.min(n_tok).alias("min_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+    )
+    dup = d.agg(
+        (F.count("*") - F.countDistinct(content_h)).alias("n_exact_dups")
+    )
+    return stats.join(dup)

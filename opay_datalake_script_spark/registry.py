@@ -110,6 +110,7 @@ _RECHECK = (
     "a_snapshot_retention",
     "k_dedup_keep_best",
     "d_heavy_hitters",
+    "k_dataset_card",
 )
 
 
