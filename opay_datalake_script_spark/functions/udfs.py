@@ -246,3 +246,57 @@ def j_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(weighted("event_type", "value"), 6).alias("weighted")
     )
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user EWMA over the hour-ordered series; adjust=True is the
+    direct weighted form sum((1-a)^(t-i) x_i) / sum((1-a)^(t-i)) — the
+    exact closed form the SQL oracle mirrors with a pairwise join."""
+    pdf = pdf.sort_values("hr")
+    out = pdf[["user_id", "hr"]].copy()
+    out["ewma"] = pdf["v"].ewm(alpha=0.3, adjust=True).mean().round(6)
+    return out
+
+
+@register(
+    "j_ewma_grouped",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               round(sum(value), 2) AS v,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY date_trunc('hour', ts)) AS rn
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT a.user_id, a.hr,
+           round(sum(power(0.7, a.rn - b.rn) * b.v)
+                 / sum(power(0.7, a.rn - b.rn)), 6) AS ewma
+    FROM hourly a JOIN hourly b
+      ON b.user_id = a.user_id AND b.rn <= a.rn
+    GROUP BY a.user_id, a.hr
+    """,
+)
+def j_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothed-
+    metric idiom (alerting baselines, spend trends) whose recursive
+    definition has no built-in Spark window form: a grouped-map pandas
+    UDF applies pandas' vectorized `ewm` to each user's hour-ordered
+    series. The oracle reproduces the identical adjust=True closed form
+    with an O(n_u^2) pairwise self-join — fine for an oracle at sf0.01,
+    exactly the shape you must NOT run at scale; the applyInPandas
+    pass is O(n_u) per user.
+
+    Group = one user's hourly series (bounded: hours per month, never
+    power-law) — the safe applyInPandas regime per this module's
+    header. Input values are the ROUNDED hourly sums so both engines
+    weight identical constants; (0.7)^k underflows to +0.0 identically
+    in IEEE doubles, so deep tails cannot diverge.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    return hourly.groupBy("user_id").applyInPandas(
+        _ewma_group, schema="user_id long, hr timestamp, ewma double"
+    )

@@ -366,3 +366,33 @@ def g_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     lhs = o.where(F.col("o_orderstatus").isin("F", "P")).select("o_custkey")
     rhs = o.where(F.col("o_orderstatus").isin("O", "P")).select("o_custkey")
     return lhs.intersectAll(rhs)
+
+
+@register(
+    "f_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100 OFFSET 200
+    """,
+)
+def f_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LIMIT/OFFSET pagination (page 3 of a price-ranked
+    listing) — the report-export idiom. Spark has no OFFSET pushdown
+    worth leaning on for deep pages: the naive `orderBy().limit(offset+
+    page)` plans a global TakeOrdered of offset+page rows on the driver,
+    which degrades linearly with page depth (page 10 000 of a 100 TB
+    listing = shipping 1M rows to one task). This uses the distributed
+    global_row_number (range repartition + per-partition rank +
+    broadcast offsets) and filters the [201, 300] rank band — constant
+    work per page regardless of depth, pages served straight from the
+    ranked partitions. The (o_totalprice DESC, o_orderkey) key is a
+    total order, so the page content is engine-independent.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(o, F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        ranked.where(F.col("rn").between(201, 300))
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -111,6 +111,8 @@ _RECHECK = (
     "k_dedup_keep_best",
     "d_heavy_hitters",
     "k_dataset_card",
+    "f_offset_pagination",
+    "j_ewma_grouped",
 )
 
 
