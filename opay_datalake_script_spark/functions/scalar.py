@@ -599,3 +599,53 @@ def h_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shr2"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "h_nested_hof",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> len(x) >= 5)) AS INTEGER)
+               AS n_long,
+           len(list_filter(toks, x -> x = 'spark')) > 0     AS has_spark,
+           len(list_filter(toks, x -> len(x) < 12)) = len(toks)
+                                                            AS all_short,
+           CAST(list_reduce(list_transform(toks, x -> len(x)),
+                            (a, b) -> a + b) AS BIGINT)     AS total_chars,
+           coalesce(array_to_string(
+               list_filter(toks, x -> len(x) >= 6), ','), '') AS long_toks
+    FROM t
+    """,
+)
+def h_nested_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery on array columns — filter / exists /
+    forall / aggregate / filtered projection, the JVM-side lambda
+    surface that keeps per-row collection logic OUT of Python (each of
+    these over a UDF is the difference between codegen and an Arrow
+    round trip). DuckDB's list_filter/list_reduce lambdas mirror each
+    form; exists/forall are spelled via list_filter lengths there since
+    the engines' truth-aggregation builtins differ, and DuckDB's
+    array_to_string maps an EMPTY list to NULL where Spark concat_ws
+    yields '' — coalesced in the oracle.
+
+    Map-only, zero shuffles; the arrays never leave their row.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) >= 5)).alias("n_long"),
+        F.exists(toks, lambda x: x == "spark").alias("has_spark"),
+        F.forall(toks, lambda x: F.length(x) < 12).alias("all_short"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.concat_ws(",", F.filter(toks, lambda x: F.length(x) >= 6)).alias(
+            "long_toks"
+        ),
+    )

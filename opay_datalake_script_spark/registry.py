@@ -113,6 +113,7 @@ _RECHECK = (
     "k_dataset_card",
     "f_offset_pagination",
     "j_ewma_grouped",
+    "h_nested_hof",
 )
 
 
