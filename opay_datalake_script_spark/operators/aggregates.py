@@ -507,3 +507,42 @@ def d_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .where(F.col("freq") >= total / 64.0)
     )
+
+
+@register(
+    "d_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+               CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+               CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cnt
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n
+    FROM wide
+    UNPIVOT (n FOR status IN (f_cnt, o_cnt, p_cnt))
+    """,
+)
+def d_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of d_pivot: a wide per-status count
+    report folded back to long (key, measure) rows, the step that turns
+    a spreadsheet-shaped upstream table back into something joinable.
+    Spark's native `unpivot` (3.4+) compiles to a map-side Expand — one
+    input row fans to 3 output rows with zero shuffle beyond the
+    aggregation that built the wide table. DuckDB's UNPIVOT keeps
+    column-name labels verbatim, so both engines emit identical
+    (status, n) pairs.
+    """
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("f_cnt"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("o_cnt"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("p_cnt"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["f_cnt", "o_cnt", "p_cnt"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )

@@ -114,6 +114,7 @@ _RECHECK = (
     "f_offset_pagination",
     "j_ewma_grouped",
     "h_nested_hof",
+    "d_unpivot",
 )
 
 
