@@ -440,3 +440,40 @@ def r_dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(s)).select(
         "dt", "v", "n", z.alias("z"), (F.abs(z) >= 2.0).alias("is_anomaly")
     )
+
+
+@register(
+    "r_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def r_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (Markov counts of consecutive event pairs
+    per user) — the journey-analysis idiom behind sankey dashboards and
+    next-action models: one lag window per user stream, then a tiny
+    (from, to) count. (ts, event_id) is a total order within each user,
+    so the transition pairs are engine-independent even with same-second
+    events.
+
+    One user-keyed window shuffle + one k²-cell aggregate (k = event
+    types); the matrix output is constant-size regardless of corpus.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -523,3 +523,59 @@ def e_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(ffill).alias("v_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "e_streaks_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, min(d) AS streak_start,
+               CAST(count(*) AS BIGINT) AS streak_days
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(streak_days) AS BIGINT)          AS longest_streak,
+           CAST(count(*) AS BIGINT)                  AS n_streaks,
+           strftime(min(streak_start), '%Y-%m-%d')   AS first_streak_start
+    FROM streaks GROUP BY user_id
+    """,
+)
+def e_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks (the
+    retention/engagement-streak idiom) via the classic date-minus-
+    row_number island key — calendar-consecutive grouping, distinct
+    from e_sessionize_batch's time-gap sessions. Reported as longest
+    streak + streak count + first streak start per user.
+
+    Two user-keyed aggs and one user-partitioned window — all parallel
+    over users, the island arithmetic is map-side; no cross-user data
+    movement at any stage.
+    """
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.min("d").alias("streak_start"), F.count("*").alias("streak_days")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias(
+            "first_streak_start"
+        ),
+    )

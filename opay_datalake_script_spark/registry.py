@@ -115,6 +115,8 @@ _RECHECK = (
     "j_ewma_grouped",
     "h_nested_hof",
     "d_unpivot",
+    "r_event_transitions",
+    "e_streaks_islands",
 )
 
 
