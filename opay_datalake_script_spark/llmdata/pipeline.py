@@ -782,3 +782,62 @@ def k_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("doc_id", "comp", "n_chars", "keep")
     )
+
+
+@register(
+    "k_cluster_size_histogram",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comps AS (
+        SELECT node AS doc_id, min(lab) AS comp FROM reach GROUP BY node
+    ),
+    sizes AS (
+        SELECT comp, count(*) AS csize FROM comps GROUP BY comp
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(csize * count(*) AS BIGINT) AS n_docs,
+           CAST((csize - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY csize
+    """,
+)
+def k_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health dashboard
+    behind any dedup run: how many singletons vs small clusters vs
+    boilerplate blobs, and how many docs a keep-one-per-cluster pass
+    would remove (n_removable = (size-1) per cluster). A sudden fat
+    tail here is the first sign of a template flood or a scraped
+    mirror entering the corpus.
+
+    Composes k_dedup_components (LSH candidates -> exact verify ->
+    label propagation) with two tiny aggregations; output is
+    histogram-sized.
+    """
+    comps = k_dedup_components(spark, sf_dir)
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("csize"))
+    return sizes.groupBy("csize").agg(F.count("*").alias("n_clusters")).select(
+        F.col("csize").alias("cluster_size"),
+        "n_clusters",
+        (F.col("csize") * F.col("n_clusters")).alias("n_docs"),
+        ((F.col("csize") - 1) * F.col("n_clusters")).alias("n_removable"),
+    )

@@ -396,3 +396,42 @@ def f_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.where(F.col("rn").between(201, 300))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "b_mask_export",
+    oracle="""
+    SELECT c_custkey,
+           md5('pepper:' || c_name)                      AS name_token,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END                          AS balance_band,
+           substr(c_mktsegment, 1, 1) || '***'           AS segment_hint
+    FROM customer
+    """,
+)
+def b_mask_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking for a privacy-tiered export — the
+    de-identified extract a warehouse ships to analysts without
+    row-level entitlements: names tokenized with a peppered hash
+    (joinable across exports, not reversible without the pepper),
+    balances coarsened to bands, categorical fields reduced to a
+    prefix hint. Complements k_pii_scrub (free-text PII) and
+    k_anonymity_check (does the masked table still over-identify?)
+    as the structured-column leg of the privacy pipeline.
+
+    Map-only projection — every mask is a JVM expression, no shuffle,
+    no UDF; at 100 TB this is a pass-through transcode.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.concat(F.lit("pepper:"), F.col("c_name"))).alias("name_token"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.concat(F.substring("c_mktsegment", 1, 1), F.lit("***")).alias(
+            "segment_hint"
+        ),
+    )

@@ -117,6 +117,8 @@ _RECHECK = (
     "d_unpivot",
     "r_event_transitions",
     "e_streaks_islands",
+    "b_mask_export",
+    "k_cluster_size_histogram",
 )
 
 
