@@ -771,3 +771,116 @@ def k_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.countDistinct(content_h)).alias("n_exact_dups")
     )
     return stats.join(dup)
+
+
+@register(
+    "k_augment_token_dropout",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, tok, i
+        FROM pos
+        WHERE ('0x' || substr(md5(doc_id || ':' || i), 1, 4))::BIGINT % 10 <> 0
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT)                    AS n_tokens,
+           CAST(count(*) FILTER (
+               ('0x' || substr(md5(p.doc_id || ':' || p.i), 1, 4))::BIGINT % 10 = 0
+           ) AS BIGINT)                                AS n_dropped,
+           coalesce(array_to_string(
+               list(k.tok ORDER BY k.i) FILTER (k.tok IS NOT NULL), ' '), '')
+                                                       AS augmented
+    FROM pos p LEFT JOIN kept k ON k.doc_id = p.doc_id AND k.i = p.i
+    GROUP BY p.doc_id
+    """,
+)
+def k_augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation — the noising pass a
+    pretraining/denoising objective applies to build corrupted inputs:
+    ~10% of token POSITIONS are dropped, selected by md5(doc_id:pos)
+    so the augmentation is reproducible across reruns and engines (a
+    rand()-based dropout could never be oracle-checked, and
+    non-reproducible augmentation breaks training resumption). Emits
+    the augmented text plus kept/dropped counts.
+
+    Map-only: the drop decision and re-join happen inside ONE
+    two-arg filter lambda (element, index) over the token array —
+    no explode, no shuffle, the doc never leaves its row. The oracle
+    reproduces the identical md5 position rule relationally
+    (unnest + subscripts + ordered list_agg).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    keep = lambda x, i: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), (i + 1).cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        != 0
+    )
+    kept = F.filter(toks, keep)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
+        F.concat_ws(" ", kept).alias("augmented"),
+    )
+
+
+@register(
+    "k_winsorize_clip",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (e.value < q.p01) AS BIGINT) AS n_clip_low,
+           CAST(count(*) FILTER (e.value > q.p99) AS BIGINT) AS n_clip_high,
+           CAST(sum(CAST(round(greatest(least(e.value, q.p99), q.p01) * 10000, 0)
+                AS BIGINT)) AS BIGINT) AS winsorized_sum_e4
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def k_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-clamping normalization a feature/
+    metric pipeline applies before aggregation (a fat-fingered value or
+    a bot burst would otherwise dominate sums): per-group p01/p99
+    bounds, values clamped into [p01, p99], clip counts reported as the
+    audit trail. The clamped sum is accumulated in exact integer
+    ten-thousandths (the repo's e4 money rule) so the check is
+    ulp-stable.
+
+    Scale shape: the quantile bounds are ONE per-group aggregate (k
+    groups — broadcast back), the clamp is map-side, and the final
+    rollup is the same single group-by; no window over raw events, no
+    second shuffle of the fact stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    clamped = F.greatest(F.least("value", F.col("p99")), F.col("p01"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("value") < F.col("p01"), 1)).alias("n_clip_low"),
+        F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clip_high"),
+        F.sum(F.round(clamped * 10000, 0).cast("long")).alias("winsorized_sum_e4"),
+    )

@@ -119,6 +119,8 @@ _RECHECK = (
     "e_streaks_islands",
     "b_mask_export",
     "k_cluster_size_histogram",
+    "k_augment_token_dropout",
+    "k_winsorize_clip",
 )
 
 
