@@ -555,3 +555,35 @@ def c_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lhs.join(F.broadcast(dim), lhs["k"].eqNullSafe(dim["k"])).select(
         "o_orderkey", "label"
     )
+
+
+@register(
+    "c_join_exists_flag",
+    oracle="""
+    SELECT c.c_custkey,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'O') AS has_open_order
+    FROM customer c
+    """,
+)
+def c_join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS projected as a boolean column — keep EVERY left row and
+    flag matches, the segmentation idiom between semi join (drops
+    non-matches) and left join (duplicates on multi-match): distinct
+    match keys + left join + flag, so a customer with 10 open orders
+    still yields ONE row. Planned as one shuffle on the uniform
+    custkey after the match-key side is reduced to distinct keys
+    (smaller than the fact table by the match multiplicity).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    open_keys = (
+        o.where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return c.join(open_keys, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("_hit", F.lit(False)).alias("has_open_order")
+    )

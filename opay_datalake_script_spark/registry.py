@@ -121,6 +121,7 @@ _RECHECK = (
     "k_cluster_size_histogram",
     "k_augment_token_dropout",
     "k_winsorize_clip",
+    "c_join_exists_flag",
 )
 
 
