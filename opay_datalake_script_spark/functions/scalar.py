@@ -649,3 +649,36 @@ def h_nested_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long_toks"
         ),
     )
+
+
+@register(
+    "h_try_arith",
+    oracle="""
+    SELECT event_id,
+           try_cast(event_type AS INTEGER)            AS bad_cast,
+           try_cast(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast,
+           value / nullif(event_id % 5, 0)            AS safe_ratio,
+           string_split(event_type, '_')[5]           AS oob_element
+    FROM events
+    """,
+)
+def h_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (`try_`) arithmetic battery — the ANSI-mode survival
+    kit for dirty feeds: try_cast of a non-numeric string -> NULL (not
+    a job-killing cast error), try_divide by a zero denominator ->
+    NULL, try_element_at past the array end -> NULL. Under ANSI SQL
+    mode (Spark 4 default) the non-try forms THROW, so every dirty-feed
+    projection at 100 TB uses these — one malformed row must not kill
+    a 10k-task stage. Dialect seams: DuckDB double/0 is NULL for its
+    nullable division only via nullif (spelled explicitly), and its
+    1-based list index returns NULL out of bounds natively, matching
+    try_element_at.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        F.col("event_id").cast("string").try_cast("bigint").alias("good_cast"),
+        F.try_divide("value", F.col("event_id") % 5).alias("safe_ratio"),
+        F.try_element_at(F.split("event_type", "_"), F.lit(5)).alias("oob_element"),
+    )

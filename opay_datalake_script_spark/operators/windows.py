@@ -579,3 +579,43 @@ def e_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_streak_start"
         ),
     )
+
+
+@register(
+    "e_value_change_points",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, prev_type
+    FROM seq
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    """,
+)
+def e_value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point compaction — the polled-snapshot-to-change-feed
+    idiom (a binlog substitute when upstream only exposes state dumps):
+    keep a row only where the tracked value DIFFERS from the previous
+    row in its (user, time) stream, dropping the steady-state
+    repetition. The first row per user is kept (prev NULL = initial
+    state). Output carries (new, previous) so downstream gets
+    transitions, not states.
+
+    One user-partitioned lag window — the same single shuffle as
+    e_lag_lead; the filter is map-side after it. (ts, event_id) is a
+    total order within user, so the kept set is engine-independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return seq.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )

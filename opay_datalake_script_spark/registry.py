@@ -122,6 +122,8 @@ _RECHECK = (
     "k_augment_token_dropout",
     "k_winsorize_clip",
     "c_join_exists_flag",
+    "e_value_change_points",
+    "h_try_arith",
 )
 
 
