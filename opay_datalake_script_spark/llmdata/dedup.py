@@ -756,8 +756,10 @@ def k_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cand = band_candidate_pairs(d.select("doc_id", "text"))
     toks = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tset"))
-    # Broadcast the per-doc sets to the (much larger) candidate stream —
-    # same rationale and fallback as exact_jaccard_scores.
+    # Broadcast the per-doc sets to the (much larger) candidate stream,
+    # and re-spread the AQE-coalesced candidate output before the
+    # scoring stage (pinned count — see exact_jaccard_scores).
+    cand = cand.repartition(64, F.col("doc_a"))
     a = F.broadcast(
         toks.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("_sa"))
     )
