@@ -249,7 +249,12 @@ def lsh_candidate_pairs(
 
     if docs is None:
         docs = load(spark, sf_dir, "documents")
-    d = docs.select("doc_id", "text")
+    # The fixture lands as ONE parquet file -> one input partition, and
+    # every downstream ML transform plus the approxSimilarityJoin
+    # explode inherits that serial split (measured: candidate
+    # generation alone >590 s at sf0.1 on 1 task). Spread the docs
+    # before hashing; the join's own exchanges then stay wide too.
+    d = docs.select("doc_id", "text").repartition(64, "doc_id")
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True

@@ -322,19 +322,25 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # borderline 0.6-similarity edges in the candidate set. The exact
     # verifier below re-scores candidates on true token sets, so a wider
     # net costs a few extra verifications, never a wrong edge.
-    cand = lsh_candidate_pairs(
-        spark, sf_dir, max_dist=0.5, num_tables=16
-    ).select("doc_a", "doc_b")
-    a = toks.select(
+    # Pinned-count repartition + broadcast sets: the candidate stream's
+    # exchange coalesces to ~1 partition under AQE (two-long rows), which
+    # would serialize the exact-verify stage — same fix as
+    # exact_jaccard_scores (dedup.py).
+    cand = (
+        lsh_candidate_pairs(spark, sf_dir, max_dist=0.5, num_tables=16)
+        .select("doc_a", "doc_b")
+        .repartition(64, F.col("doc_a"))
+    )
+    a = F.broadcast(toks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("tset").alias("ta"),
-    )
-    b = toks.select(
+    ))
+    b = F.broadcast(toks.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("tset").alias("tb"),
-    )
+    ))
     jac = (
         F.size(F.array_intersect("ta", "tb")).cast("double")
         / F.size(F.array_union("ta", "tb"))
@@ -346,9 +352,16 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = fwd.unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    ).localCheckpoint()
+    # Edges are re-joined every propagation round: pin their partitioning
+    # on the join key so each round's join runs wide, not on the
+    # AQE-coalesced remnant of the verify stage.
+    edges = (
+        fwd.unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .repartition(64, F.col("a"))
+        .localCheckpoint()
+    )
 
     labels = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("comp")
