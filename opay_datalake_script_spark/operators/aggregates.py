@@ -546,3 +546,43 @@ def d_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status",
         valueColumnName="n",
     )
+
+
+@register(
+    "d_argmax_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice)  AS biggest_order,
+           min_by(o_orderkey, o_totalprice)  AS smallest_order,
+           max(o_totalprice)                 AS max_price,
+           arg_max(o_orderstatus,
+                   CAST(epoch(o_orderdate) AS BIGINT) * 1000000 + o_orderkey)
+                                             AS latest_status
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def d_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (max_by / min_by) — "the key of the row
+    that maximizes X" in ONE aggregation, replacing the Hive-era
+    self-join-back-on-max idiom (two scans + a join) and the window
+    row_number + filter idiom (a full sort per group): one hash agg,
+    one shuffle, carries a single (value, arg) pair per group upstream.
+
+    Determinism note: ties in the maximized value make max_by
+    engine-dependent — multiple orders share a date, so latest_status
+    maximizes a PACKED key (epoch-seconds * 1e6 + orderkey: a total
+    order in one BIGINT, since DuckDB's arg_max takes no composite
+    key). o_totalprice is tie-free in the fixture; real data would
+    pack those too.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.max_by(
+            "o_orderstatus",
+            F.unix_timestamp("o_orderdate") * 1000000 + F.col("o_orderkey"),
+        ).alias("latest_status"),
+    )

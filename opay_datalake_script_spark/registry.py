@@ -124,6 +124,7 @@ _RECHECK = (
     "c_join_exists_flag",
     "e_value_change_points",
     "h_try_arith",
+    "d_argmax_aggregates",
 )
 
 
