@@ -586,3 +586,30 @@ def d_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("o_orderdate") * 1000000 + F.col("o_orderkey"),
         ).alias("latest_status"),
     )
+
+
+@register(
+    "d_boolean_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)        AS all_over_1k,
+           bool_or(o_orderstatus = 'P')         AS any_pending,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(*) FILTER (o_totalprice > 300000) AS BIGINT) AS n_large
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate battery — every(), some(), count_if(): the
+    assertion-style rollups data-quality checks are made of ("ALL rows
+    priced", "ANY stuck in pending", "how many matched"). One hash agg,
+    partial-aggregated map-side like any min/max — booleans fold to a
+    byte per group upstream.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_large"),
+    )

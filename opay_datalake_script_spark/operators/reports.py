@@ -477,3 +477,77 @@ def r_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "r_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate)  AS last_order,
+               count(*)          AS frequency,
+               round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
+                     AS DOUBLE) / 10000, 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               CASE WHEN last_order >= TIMESTAMP '2000-01-01' THEN 'recent'
+                    WHEN last_order >= TIMESTAMP '1998-01-01' THEN 'lapsing'
+                    ELSE 'dormant' END AS r_band,
+               CASE WHEN frequency >= 15 THEN 'frequent'
+                    WHEN frequency >= 8  THEN 'regular'
+                    ELSE 'rare' END    AS f_band,
+               CASE WHEN monetary >= 2000000 THEN 'whale'
+                    WHEN monetary >= 1000000 THEN 'mid'
+                    ELSE 'small' END   AS m_band
+        FROM per_cust
+    )
+    SELECT r_band, f_band, m_band,
+           count(*) AS n_customers
+    FROM scored GROUP BY r_band, f_band, m_band
+    """,
+)
+def r_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the growth-analytics workhorse: per-customer
+    Recency / Frequency / Monetary metrics banded into segments and
+    cross-tabulated (who is a recent frequent whale vs a dormant rare
+    small). Bands use FIXED business thresholds rather than ntile
+    quantile cuts: quantile band edges sit exactly on tied customers
+    and flip between engines, while fixed thresholds on exact
+    integers/e4 sums cannot. The e4 rule keeps monetary itself
+    ulp-stable.
+
+    Two aggregations, both on uniform keys (custkey, then the
+    3³-cell segment tuple); the segment matrix output is
+    constant-size.
+    """
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).cast(
+                "double"
+            )
+            / 10000,
+            2,
+        ).alias("monetary"),
+    )
+    scored = per_cust.select(
+        F.when(F.col("last_order") >= "2000-01-01", "recent")
+        .when(F.col("last_order") >= "1998-01-01", "lapsing")
+        .otherwise("dormant")
+        .alias("r_band"),
+        F.when(F.col("frequency") >= 15, "frequent")
+        .when(F.col("frequency") >= 8, "regular")
+        .otherwise("rare")
+        .alias("f_band"),
+        F.when(F.col("monetary") >= 2000000, "whale")
+        .when(F.col("monetary") >= 1000000, "mid")
+        .otherwise("small")
+        .alias("m_band"),
+    )
+    return scored.groupBy("r_band", "f_band", "m_band").agg(
+        F.count("*").alias("n_customers")
+    )

@@ -125,6 +125,8 @@ _RECHECK = (
     "e_value_change_points",
     "h_try_arith",
     "d_argmax_aggregates",
+    "r_rfm_segments",
+    "d_boolean_aggs",
 )
 
 
