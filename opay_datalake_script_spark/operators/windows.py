@@ -619,3 +619,74 @@ def e_value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.where(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     )
+
+
+@register(
+    "e_merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s <= max(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS is_new
+        FROM iv
+    ),
+    grouped AS (
+        SELECT user_id, s, e,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_spans,
+           CAST(sum(span_us) AS BIGINT)        AS covered_us
+    FROM (
+        SELECT user_id, grp,
+               epoch_us(max(e) - min(s)) AS span_us
+        FROM grouped GROUP BY user_id, grp
+    ) GROUP BY user_id
+    """,
+)
+def e_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-overlapping-intervals — the coverage/uptime computation
+    (each event opens a 10-minute activity window; overlapping windows
+    fuse): the classic sweep is a running max of interval ends — a row
+    starts a NEW span iff its start exceeds every previous end — then a
+    running sum of new-span flags labels the spans. Reported per user
+    as span count + covered seconds (naively summing window lengths
+    would double-count overlaps).
+
+    Both windows share ONE user-partitioned sort — a single shuffle,
+    same cost class as sessionization; span labels then aggregate on
+    (user, span). Sessionize (gap between POINTS) and this (union of
+    INTERVALS) are different primitives: a 9-minute gap between two
+    events fuses here only because the windows overlap, regardless of
+    any session gap parameter.
+    """
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(F.col("s") <= prev_max_e, 0).otherwise(1),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = grouped.groupBy("user_id", "grp").agg(
+        (F.unix_micros(F.max("e")) - F.unix_micros(F.min("s"))).alias("span_us")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count_distinct("grp").alias("n_spans"),
+        F.sum("span_us").alias("covered_us"),
+    )

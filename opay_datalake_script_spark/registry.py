@@ -127,6 +127,7 @@ _RECHECK = (
     "d_argmax_aggregates",
     "r_rfm_segments",
     "d_boolean_aggs",
+    "e_merge_intervals",
 )
 
 
