@@ -587,3 +587,71 @@ def c_join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(open_keys, "c_custkey", "left").select(
         "c_custkey", F.coalesce("_hit", F.lit(False)).alias("has_open_order")
     )
+
+
+@register(
+    "c_join_scd2_asof",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS version_no,
+               o_orderdate AS valid_from,
+               coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                        TIMESTAMP '9999-12-31') AS valid_to
+        FROM orders
+    ),
+    fact AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linenumber = 1
+    )
+    SELECT f.l_orderkey, f.l_linenumber,
+           CAST(d.version_no AS BIGINT) AS version_no
+    FROM fact f JOIN dim d
+      ON d.o_custkey = f.o_custkey
+     AND f.l_shipdate >= d.valid_from
+     AND f.l_shipdate <  d.valid_to
+    """,
+)
+def c_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity join — "which VERSION of the dimension was true when
+    the fact happened": every shipment is matched to the customer
+    version (order-history timeline, half-open [valid_from, valid_to)
+    windows) in force at its ship date. THE slowly-changing-dimension
+    lookup of a Hive-era DWD layer, and the join shape matters: the
+    validity predicate alone would plan as a nested-loop range join, so
+    it rides on the custkey EQUI-join (hash join on the uniform key)
+    with the interval test applied as a residual filter — per-key
+    version counts are small (a customer's history), so the per-row
+    fan-in is bounded and no interval index is needed. Half-open
+    windows make the match unique even when a version closes the same
+    instant the next opens.
+
+    Two shuffles (dim window + fact join key), both on custkey;
+    zero-length [d, d) versions from same-instant order ties are
+    unmatched by construction, keeping the mapping deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w), F.lit("9999-12-31").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    fact = li.join(
+        o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+    return (
+        fact.join(dim, "o_custkey")
+        .where(
+            (F.col("l_shipdate") >= F.col("valid_from"))
+            & (F.col("l_shipdate") < F.col("valid_to"))
+        )
+        .select("l_orderkey", "l_linenumber", "version_no")
+    )

@@ -128,6 +128,7 @@ _RECHECK = (
     "r_rfm_segments",
     "d_boolean_aggs",
     "e_merge_intervals",
+    "c_join_scd2_asof",
 )
 
 
