@@ -248,6 +248,90 @@ def j_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_attribute(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """One user's purchases merged as-of against that user's clicks
+    (backward: latest click at-or-before each purchase)."""
+    if left.empty:
+        # user has clicks but no purchases: nothing to attribute
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"),
+             "purchase_ts": pd.Series(dtype="datetime64[ns]"),
+             "click_ts": pd.Series(dtype="datetime64[ns]")}
+        )
+    purchases = left.sort_values("ts")
+    if right.empty:
+        # a one-sided group pair arrives as an EMPTY pdf — every
+        # purchase is unattributed
+        out = purchases[["user_id", "ts"]].rename(columns={"ts": "purchase_ts"})
+        out["click_ts"] = pd.NaT
+        return out
+    clicks = right.sort_values("click_ts")
+    merged = pd.merge_asof(
+        purchases, clicks[["click_ts"]], left_on="ts", right_on="click_ts",
+        direction="backward", allow_exact_matches=True,
+    )
+    out = merged[["user_id", "ts", "click_ts"]].rename(columns={"ts": "purchase_ts"})
+    return out
+
+
+@register(
+    "j_cogroup_asof",
+    oracle="""
+    SELECT p.user_id, p.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS click_ts,
+           (SELECT date_diff('microsecond', max(c.ts), p.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts) AS lag_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def j_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided grouped-map API: purchases
+    and clicks are each grouped by user_id, and each (left, right) group
+    PAIR lands in one pandas call, here running `pd.merge_asof` for
+    last-touch click attribution (which prior click drove each purchase).
+
+    This is the escape hatch for per-key merge logic with no relational
+    form (as-of itself has one — see c_join_asof — but e.g. interval
+    interpolation or per-key reconciliation do not); the cogroup shuffle
+    co-partitions BOTH inputs on user_id in a single exchange each, so at
+    100 TB it costs exactly what the equivalent join would, and the group
+    pair stays bounded (one user's events), never power-law.
+
+    The lag is computed JVM-side from the matched timestamps
+    (microsecond-exact integer arithmetic — see e_merge_intervals for why
+    second-granular forms drift per engine); the oracle mirrors as-of
+    with a correlated max(ts <= ts) subquery, an O(n²)-ish shape that is
+    fine for DuckDB at sf0.01 and exactly what you must not run at scale.
+
+    Gotcha (pinned here by the renamed right column): when both cogroup
+    sides are filters of the SAME parent plan, the analyzer resolves the
+    right side's columns to the left side's attribute IDs and PRUNES
+    them from the right projection — the right pdf then arrives with the
+    grouping key only (silent at plan time, KeyError in the worker).
+    Aliasing the right side's payload column mints a fresh attribute ID
+    and breaks the false identity, same family as the self-join
+    ambiguity Spark documents for join(df, df).
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    matched = purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        _asof_attribute,
+        schema="user_id long, purchase_ts timestamp, click_ts timestamp",
+    )
+    return matched.select(
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
 def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-user EWMA over the hour-ordered series; adjust=True is the
     direct weighted form sum((1-a)^(t-i) x_i) / sum((1-a)^(t-i)) — the

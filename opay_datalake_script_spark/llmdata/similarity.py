@@ -511,3 +511,144 @@ def k_semantic_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "vec_id", "label", F.round(sim, 6).alias("sim"), (sim < 0.0).alias("is_outlier")
     )
+
+
+def _rp_signs(out_dim: int = 16, in_dim: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher (+1/-1) projection matrix derived from
+    md5 — reproducible across runs, engines, and languages, so the
+    oracle can bake the identical matrix into its SQL."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def _rp_chain(signs: list[int], one_based: bool) -> str:
+    """A fixed left-associated +/- chain over the cast vector elements.
+    The TEXTUAL order is identical in both engines, so the IEEE result
+    is bit-identical — no rounding needed anywhere downstream."""
+    off = 1 if one_based else 0
+    parts = []
+    for i, s in enumerate(signs):
+        term = f"CAST(embedding[{i + off}] AS DOUBLE)"
+        if i == 0:
+            parts.append(term if s > 0 else f"(0.0 - {term})")
+        else:
+            parts.append(f"{'+' if s > 0 else '-'} {term}")
+    return "(" + " ".join(parts) + ") / 4.0"
+
+
+_RP_SIGNS = _rp_signs()
+_RP_ORACLE = "SELECT vec_id, label,\n" + ",\n".join(
+    f"       {_rp_chain(row, one_based=True)} AS y{j:02d}"
+    for j, row in enumerate(_RP_SIGNS)
+) + "\nFROM embeddings"
+
+
+@register("k_random_projection", oracle=_RP_ORACLE)
+def k_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher random projection 64 -> 16 dims (Johnson-Lindenstrauss
+    sketch): y_j = (1/sqrt(16)) * sum_i s_ij * x_i with s_ij in {+1,-1}
+    drawn deterministically from md5. The cheap dimensionality-reduction
+    pass a 100 TB embedding pipeline runs before clustering / ANN /
+    storage-tiering — distances are preserved within (1 +/- eps) while
+    vector bytes drop 4x (and the +/-1 matrix needs no multiplies on
+    SIMD hardware).
+
+    Engine parity is exact-by-construction: both sides evaluate the SAME
+    left-associated +/- chain over the SAME float32-to-double casts, so
+    every output double is bit-identical and nothing is rounded. A
+    seeded-rand matrix could never be oracle-checked (engine RNGs
+    differ) and would break re-runs — same rule as
+    k_augment_token_dropout.
+
+    Scale shape: map-only whole-stage-codegen projection, zero
+    shuffles, zero Python. The 16x64 sign matrix is folded into the
+    plan as literals (no broadcast table needed).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        *[
+            F.expr(_rp_chain(row, one_based=False)).alias(f"y{j:02d}")
+            for j, row in enumerate(_RP_SIGNS)
+        ],
+    )
+
+
+@register(
+    "k_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.q_id, e.vec_id, e.label,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv), 6) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.q_label
+    )
+    SELECT q_id, vec_id, label, sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (SimCSE/CLIP-style):
+    for each anchor (vec_id < 8), the 5 most-similar embeddings with a
+    DIFFERENT label — maximally confusable examples, the negatives that
+    actually move a contrastive loss (random negatives are trivially
+    easy). Also doubles as a mislabel auditor: a hard negative at
+    sim ~1.0 is usually a labeling error (see k_semantic_outlier for
+    the centroid-based form).
+
+    Ranking uses the ROUNDED sim (ties broken by vec_id) so the rank
+    cannot disagree across engines on last-ulp score noise — the same
+    rule every top-k op in this repo follows.
+
+    Scale shape: the anchor set broadcasts (a training batch's worth of
+    queries, never the corpus), scoring is one map-only pass over the
+    embedding table, and the per-anchor top-5 is a window over
+    candidates hash-partitioned by q_id — no all-pairs materialization.
+    For anchor sets too big to broadcast, the same mining runs through
+    the k_similarity_topk block-pair tiles with a label-mismatch filter
+    inside the tile.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id", "vec_id", "label",
+            F.round(dot / (norm(e) * norm(qd)), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "label", "sim", "rnk")
+    )

@@ -884,3 +884,68 @@ def k_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clip_high"),
         F.sum(F.round(clamped * 10000, 0).cast("long")).alias("winsorized_sum_e4"),
     )
+
+
+@register(
+    "k_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), cnt AS (
+        SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_total,
+           count(*) AS n_distinct_chars,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                                       * ln(CAST(c AS DOUBLE))
+                                       * 1000000.0) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 / CAST(sum(c) AS DOUBLE), 6) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def k_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish / boilerplate / encoding-garbage detector (CCNet and C4
+    both gate on it): natural prose sits near 4.1-4.4 nats, base64
+    blobs and repeated-template pages fall far outside the band.
+
+    H = ln(n) - (1/n) * sum_i c_i*ln(c_i) over the per-doc character
+    histogram. The sum of transcendental terms is the cross-engine
+    hazard here: Spark and DuckDB aggregate the c_i*ln(c_i) doubles in
+    different orders, and a reassociated double sum drifts ~1e-12
+    relative — enough to flip a round(6) on ~2% of docs. So each TERM
+    is quantized to an exact integer (round(c*ln(c)*1e6) AS BIGINT —
+    both engines compute the identical double from the identical
+    integer c, and HALF_UP rounding matches) and the terms are summed
+    exactly as bigints in any order; only then does the final, shared
+    float expression run once per doc on bit-identical inputs.
+
+    Scale shape: explode to (doc_id, char) -> two aggregations both
+    keyed on doc_id (uniform key, map-side partial combine); the char
+    alphabet bounds the intermediate at ~100 rows per doc. No window,
+    no join, no driver collect.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_total"),
+        F.count("*").alias("n_distinct_chars"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(
+                F.round(
+                    F.col("c").cast("double")
+                    * F.log(F.col("c").cast("double"))
+                    * 1000000.0
+                ).cast("long")
+            )
+            / 1000000.0
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy"),
+    )

@@ -613,3 +613,70 @@ def d_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.count_if(F.col("o_totalprice") > 300000).alias("n_large"),
     )
+
+
+@register(
+    "d_mode",
+    oracle="""
+    WITH qcnt AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), pcnt AS (
+        SELECT o.o_orderstatus, o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders o GROUP BY 1, 2
+    )
+    SELECT q.l_returnflag, q.mode_qty, p.mode_priority, p.n_modal_orders
+    FROM (SELECT l_returnflag,
+                 arg_max(qty, c * 1000 - qty) AS mode_qty
+          FROM qcnt GROUP BY l_returnflag) q
+    CROSS JOIN (
+          SELECT arg_max(o_orderpriority,
+                         c * 1000 - CAST(ascii(o_orderpriority) AS BIGINT))
+                     AS mode_priority,
+                 max(c) AS n_modal_orders
+          FROM pcnt WHERE o_orderstatus = 'O') p
+    """,
+)
+def d_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE — the most-frequent value per group (the
+    categorical analog of median; "what quantity do customers usually
+    order", "which priority dominates open orders"). Built-in
+    F.mode()/DuckDB mode() are both UNSPECIFIED on frequency ties, so a
+    differential pipeline can never use them raw; this is the two-level
+    shape: count per (group, value), then argmax over a PACKED key
+    (count * 1000 - value_order) that folds the smallest-value-wins
+    tiebreak into one bigint (same rule as d_argmax_aggregates — DuckDB
+    arg_max takes no composite key). The string mode packs via
+    ascii(first char), which totally orders the priority domain
+    ('1-'..'5-'); wider domains pack a dictionary id instead.
+
+    Scale shape: two hash aggregations, both keyed on uniform
+    (group, value) then group — each with map-side partial combine;
+    the second agg's input is at most |group-domain| x |value-domain|
+    rows. No window, no sort, no self-join-back-on-max.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qcnt = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count("*").alias("c"))
+    qmode = qcnt.groupBy("l_returnflag").agg(
+        F.max_by("qty", F.col("c") * 1000 - F.col("qty")).alias("mode_qty")
+    )
+    o = load(spark, sf_dir, "orders")
+    pcnt = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+    )
+    pmode = pcnt.agg(
+        F.max_by(
+            "o_orderpriority",
+            F.col("c") * 1000 - F.ascii("o_orderpriority").cast("long"),
+        ).alias("mode_priority"),
+        F.max("c").alias("n_modal_orders"),
+    )
+    return qmode.crossJoin(F.broadcast(pmode)).select(
+        "l_returnflag", "mode_qty", "mode_priority", "n_modal_orders"
+    )

@@ -551,3 +551,55 @@ def r_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_band", "f_band", "m_band").agg(
         F.count("*").alias("n_customers")
     )
+
+
+@register(
+    "r_user_path_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def r_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step user journeys (the sankey / next-
+    action path-mining idiom behind funnel exploration dashboards):
+    each user's event stream ordered by time yields sliding event-type
+    trigrams via two leads over ONE user-partitioned window, then a
+    uniform-key count with a deterministic (n DESC, path) top-k.
+
+    Extends r_event_transitions (the order-1 Markov matrix) to order-2
+    paths. Tie-break: ts collisions within a user are ordered by
+    event_id so both engines walk the identical sequence; count ties
+    order lexicographically.
+
+    Scale shape: one shuffle to partition by user (bounded per-user
+    groups), trigram formation is in-window (no self-join — the naive
+    form is two self-joins on consecutive ranks, i.e. two more fact
+    shuffles), then a k^3-bounded aggregate and TakeOrderedAndProject.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

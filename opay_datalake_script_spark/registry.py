@@ -129,6 +129,12 @@ _RECHECK = (
     "d_boolean_aggs",
     "e_merge_intervals",
     "c_join_scd2_asof",
+    "j_cogroup_asof",
+    "k_char_entropy",
+    "k_random_projection",
+    "r_user_path_topk",
+    "k_hard_negatives",
+    "d_mode",
 )
 
 

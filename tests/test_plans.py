@@ -472,3 +472,36 @@ def test_snapshot_retention_vacuums_v1(spark):
     assert not os.path.exists(f"{root}/v1")
     assert os.path.exists(f"{root}/v2") and os.path.exists(f"{root}/v3")
     assert spark.read.parquet(f"{root}/v3").count() > 0
+
+
+def test_round5c_new_ops_plan_shapes(spark):
+    """Round-5c batch: k_random_projection must be a pure map-only
+    projection (0 shuffles — the sign matrix is plan literals, not a
+    broadcast table); k_char_entropy exactly the two doc_id-keyed
+    aggregations; k_hard_negatives broadcasts the anchor set (never a
+    shuffled join of 8 rows) and spends its one shuffle on the per-
+    anchor window; r_user_path_topk forms trigrams in ONE user window
+    (no self-joins) and finishes with TakeOrderedAndProject."""
+    from opay_datalake_script_spark.plans.inspect import (
+        count_shuffles,
+        uses_broadcast_join,
+        uses_take_ordered,
+    )
+
+    rp = QUERIES["k_random_projection"](spark, SF_DIR)
+    assert count_shuffles(rp) == 0
+    assert "Join" not in rp._jdf.queryExecution().executedPlan().toString()
+
+    ce = QUERIES["k_char_entropy"](spark, SF_DIR)
+    assert count_shuffles(ce) == 2
+    assert "Join" not in ce._jdf.queryExecution().executedPlan().toString()
+
+    hn = QUERIES["k_hard_negatives"](spark, SF_DIR)
+    assert uses_broadcast_join(hn)
+    assert count_shuffles(hn) == 1
+    assert "SortMergeJoin" not in hn._jdf.queryExecution().executedPlan().toString()
+
+    pt = QUERIES["r_user_path_topk"](spark, SF_DIR)
+    pplan = pt._jdf.queryExecution().executedPlan().toString()
+    assert uses_take_ordered(pt)
+    assert "Join" not in pplan
