@@ -603,3 +603,173 @@ def r_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@register(
+    "r_user_trend_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2020-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS x,
+               CAST(round(sum(value) * 10000, 0) AS BIGINT) AS y
+        FROM events WHERE user_id < 100
+        GROUP BY 1, 2
+    ), sums AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT)   AS n,
+               CAST(sum(x) AS BIGINT)     AS sx,
+               CAST(sum(y) AS BIGINT)     AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_e4_per_day
+    FROM sums WHERE n >= 2
+    """,
+)
+def r_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend trend: least-squares slope of daily totals over
+    the day index (growth/churn scoring — positive slope = ramping
+    user). The built-in regr_slope aggregates double products in
+    arbitrary order, which is cross-engine unstable (the Q1/Q8/Q14
+    ratio lesson); instead the slope is assembled from EXACT integer
+    accumulators — x is a day ordinal, y an e4-integer daily sum, so
+    n, Σx, Σy, Σxy, Σx² are all exact bigints in any aggregation order
+    — and (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides two identical doubles.
+    No rounding anywhere, and the result is the bit-exact OLS slope.
+
+    Single-day users are excluded (denominator zero: no trend from one
+    point). Magnitudes: day ordinals ~2e4, e4 daily sums ~1e7 →
+    Σxy ~1e13·days, well inside int64 even at 100 TB per-user volumes
+    (the per-USER day count, not corpus size, bounds the sum).
+
+    Scale shape: two chained uniform-key aggregations (user×day, then
+    user) with map-side partial combine; no window, no join, no sort.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("2020-01-01")).alias("x"),
+    ).agg(F.round(F.sum("value") * 10000, 0).cast("long").alias("y"))
+    sums = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        sums.where(F.col("n") >= 2)
+        .select("user_id", F.col("n").alias("n_days"), (num / den).alias("slope_e4_per_day"))
+    )
+
+
+@register(
+    "r_table_profile",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(o_orderkey) AS BIGINT)   AS nn_k,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT)     AS nd_k,
+               CAST(min(o_orderkey) AS DOUBLE) AS mn_k, CAST(max(o_orderkey) AS DOUBLE) AS mx_k,
+               CAST(count(*) - count(o_custkey) AS BIGINT)    AS nn_c,
+               CAST(count(DISTINCT o_custkey) AS BIGINT)      AS nd_c,
+               CAST(min(o_custkey) AS DOUBLE) AS mn_c, CAST(max(o_custkey) AS DOUBLE) AS mx_c,
+               CAST(count(*) - count(o_totalprice) AS BIGINT) AS nn_p,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT)   AS nd_p,
+               min(o_totalprice) AS mn_p, max(o_totalprice) AS mx_p,
+               CAST(count(*) - count(o_orderdate) AS BIGINT)  AS nn_d,
+               CAST(count(DISTINCT o_orderdate) AS BIGINT)    AS nd_d,
+               CAST(min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS DOUBLE) AS mn_d,
+               CAST(max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS DOUBLE) AS mx_d,
+               CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nn_s,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT)   AS nd_s,
+               min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+               CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nn_o,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT)   AS nd_o,
+               min(o_orderpriority) AS mn_o, max(o_orderpriority) AS mx_o
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n_rows, nn_k AS n_null, nd_k AS n_distinct,
+           mn_k AS min_num, mx_k AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM m
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn_c, nd_c, mn_c, mx_c, NULL, NULL FROM m
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_p, nd_p, mn_p, mx_p, NULL, NULL FROM m
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, nn_d, nd_d, mn_d, mx_d, NULL, NULL FROM m
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_s, nd_s, NULL, NULL, mn_s, mx_s FROM m
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, nn_o, nd_o, NULL, NULL, mn_o, mx_o FROM m
+    """,
+)
+def r_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the schema-drift / DQ canary a warehouse runs
+    after every load (rows, null count, cardinality, value range per
+    column): ONE row per column, numeric ranges as doubles (dates as
+    epoch-day ordinals), string ranges in their own typed pair. Next to
+    r_dq_referential (FK orphans) and r_dq_anomaly_zscore (metric
+    drift), this is the structural layer: a column suddenly going
+    nullable, a key collapsing to one value, or a price range exploding
+    all surface here.
+
+    Scale shape: every metric folds in ONE aggregation pass over the
+    table (the multi-distinct is Catalyst's Expand — one scan, k×
+    shuffle rows, still far cheaper than k scans; at 100 TB swap the
+    exact distincts for approx_count_distinct and the Expand
+    disappears). The 1-row metric struct then UNPIVOTS map-side via
+    stack() into the per-column report — never 6 per-column scans, and
+    the oracle's UNION-ALL-from-CTE mirrors that single-pass shape.
+    """
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_dateday", F.datediff(F.to_date(F.date_trunc("day", "o_orderdate")), F.lit("1970-01-01"))
+    )
+
+    def metrics(col, num_expr=None):
+        num = num_expr if num_expr is not None else F.col(col)
+        return [
+            (F.count("*") - F.count(col)).alias(f"nn_{col}"),
+            F.count_distinct(F.col(col)).alias(f"nd_{col}"),
+            F.min(num).cast("double").alias(f"mn_{col}"),
+            F.max(num).cast("double").alias(f"mx_{col}"),
+        ]
+
+    def str_metrics(col):
+        return [
+            (F.count("*") - F.count(col)).alias(f"nn_{col}"),
+            F.count_distinct(F.col(col)).alias(f"nd_{col}"),
+            F.min(col).alias(f"mns_{col}"),
+            F.max(col).alias(f"mxs_{col}"),
+        ]
+
+    m = o.agg(
+        F.count("*").alias("n_rows"),
+        *metrics("o_orderkey"),
+        *metrics("o_custkey"),
+        *metrics("o_totalprice"),
+        *[
+            (F.count("*") - F.count("o_orderdate")).alias("nn_dt"),
+            F.count_distinct("o_orderdate").alias("nd_dt"),
+            F.min("o_dateday").cast("double").alias("mn_dt"),
+            F.max("o_dateday").cast("double").alias("mx_dt"),
+        ],
+        *str_metrics("o_orderstatus"),
+        *str_metrics("o_orderpriority"),
+    )
+    return m.selectExpr(
+        """stack(6,
+            'o_orderkey',      n_rows, nn_o_orderkey,    nd_o_orderkey,    mn_o_orderkey,    mx_o_orderkey,    CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'o_custkey',       n_rows, nn_o_custkey,     nd_o_custkey,     mn_o_custkey,     mx_o_custkey,     CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'o_totalprice',    n_rows, nn_o_totalprice,  nd_o_totalprice,  mn_o_totalprice,  mx_o_totalprice,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'o_orderdate',     n_rows, nn_dt,            nd_dt,            mn_dt,            mx_dt,            CAST(NULL AS STRING), CAST(NULL AS STRING),
+            'o_orderstatus',   n_rows, nn_o_orderstatus, nd_o_orderstatus, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_o_orderstatus, mxs_o_orderstatus,
+            'o_orderpriority', n_rows, nn_o_orderpriority, nd_o_orderpriority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_o_orderpriority, mxs_o_orderpriority
+        ) AS (col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"""
+    )

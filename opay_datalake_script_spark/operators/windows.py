@@ -690,3 +690,56 @@ def e_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("grp").alias("n_spans"),
         F.sum("span_us").alias("covered_us"),
     )
+
+
+@register(
+    "e_rolling_median",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               CAST(round(sum(value) * 10000, 0) AS BIGINT) AS v_e4
+        FROM events WHERE user_id < 30
+        GROUP BY 1, 2
+    )
+    SELECT user_id, hr, v_e4,
+           median(v_e4) OVER (PARTITION BY user_id ORDER BY hr
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS med5_e4
+    FROM hourly
+    """,
+)
+def e_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing 5 hourly points per user —
+    the robust smoother ops dashboards use where a rolling MEAN
+    (e_rolling_rows) gets dragged by one spiked hour. No
+    approx_percentile: the frame is 5 rows, exact is free.
+
+    Cross-engine exactness: the frame median interpolates the two
+    middle values on even frames, and Spark's percentile computes
+    a + f*(b-a) while DuckDB's median may compute (a+b)/2 — for
+    arbitrary doubles those differ by an ulp. The inputs here are e4
+    INTEGERS (exact hourly sums, the repo's money rule), and for
+    integers under 2^52 both formulas are IEEE-exact (b-a, 0.5*(b-a),
+    and a+b are all exactly representable), so the two engines agree
+    bit-for-bit with no rounding.
+
+    Scale shape: the hourly rollup is one uniform-key agg; the rolling
+    frame rides a single user-partitioned sort (same shuffle class as
+    every window op here); the frame holds 5 values regardless of data
+    size. percentile() as a WINDOW aggregate re-sorts 5 values per row
+    — constant work, not the O(frame log frame) hazard a wide frame
+    would be.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.sum("value") * 10000, 0).cast("long").alias("v_e4"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return hourly.select(
+        "user_id", "hr", "v_e4",
+        F.percentile("v_e4", 0.5).over(w).alias("med5_e4"),
+    )

@@ -135,6 +135,9 @@ _RECHECK = (
     "r_user_path_topk",
     "k_hard_negatives",
     "d_mode",
+    "e_rolling_median",
+    "r_user_trend_slope",
+    "r_table_profile",
 )
 
 
