@@ -949,3 +949,131 @@ def k_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+_BPE_ORACLE = r"""
+WITH w AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+),
+s1 AS (SELECT freq, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq FROM w),
+p1 AS (
+    SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS c
+    FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS t FROM s1))
+    GROUP BY 1
+),
+t1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+s2 AS (SELECT freq,
+               replace(seq, ' ' || replace((SELECT pair FROM t1), ' ', '  ') || ' ',
+                       ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS seq
+        FROM s1),
+p2 AS (
+    SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS c
+    FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS t FROM s2))
+    GROUP BY 1
+),
+t2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+s3 AS (SELECT freq,
+               replace(seq, ' ' || replace((SELECT pair FROM t2), ' ', '  ') || ' ',
+                       ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS seq
+        FROM s2),
+p3 AS (
+    SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS c
+    FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
+          FROM (SELECT freq, string_split(trim(seq), '  ') AS t FROM s3))
+    GROUP BY 1
+),
+t3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+SELECT 1 AS rnd, pair, replace(pair, ' ', '') AS merged, c AS w_count FROM t1
+UNION ALL
+SELECT 2, pair, replace(pair, ' ', ''), c FROM t2
+UNION ALL
+SELECT 3, pair, replace(pair, ' ', ''), c FROM t3
+"""
+
+
+@register("k_bpe_train", oracle=_BPE_ORACLE)
+def k_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
+    """BPE tokenizer TRAINING — learn the merge table itself (the piece
+    k_token_count_bpe and k_tokenize_to_ids consume): classic byte-pair
+    encoding over the word-frequency dictionary. Each round counts
+    frequency-weighted adjacent symbol pairs, merges the most frequent
+    pair corpus-wide, and repeats; the output is the ordered merge
+    table (round, pair, merged symbol, weighted count).
+
+    Two design points make this distributable AND differentially
+    checkable:
+
+    * The iteration state lives in the WORD DICT, not the corpus: BPE
+      statistics only need (distinct word, freq) — corpus-sublinear
+      (vocab-bounded), so after ONE corpus-sized aggregation every
+      merge round runs on a small table. That is also exactly how
+      the original Sennrich implementation trains. Each round's merged
+      dict is localCheckpoint()ed: 3 rounds of replace() would
+      otherwise nest the plan 3 deep and re-run all prior rounds per
+      round (the k_dedup_components lineage lesson).
+
+    * Symbol sequences are kept as DOUBLE-SPACED text ("  b  a  n  "),
+      so one plain (non-regex) replace of ' a  n ' -> ' an ' performs
+      the greedy left-to-right non-overlapping merge with IDENTICAL
+      semantics in Spark and DuckDB — each match donates one margin
+      space back, so the two-space invariant between tokens survives
+      and consecutive pairs ("a n a n" -> "an an") merge exactly like
+      the reference fold. A per-word Python fold (the naive port)
+      would drag every round through Arrow; this stays JVM-side.
+
+    The top pair per round is ONE collected row (count desc, pair asc
+    tiebreak) — bounded driver traffic, same class as the components
+    convergence probe. The oracle unrolls the identical 3 rounds in
+    SQL, so the merge table is value-hash-checked end to end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seqs = w.select(
+        "freq",
+        F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("seq"),
+    ).localCheckpoint(eager=False)
+
+    out_rows = []
+    for rnd in range(1, n_merges + 1):
+        toks = seqs.select("freq", F.split(F.trim("seq"), "  ").alias("t"))
+        pairs = toks.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> x || ' ' || element_at(t, i + 2))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .first()
+        )
+        if top is None:
+            break
+        a_b, count = top["pair"], top["c"]
+        merged = a_b.replace(" ", "")
+        out_rows.append((rnd, a_b, merged, count))
+        seqs = seqs.select(
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.lit(" " + a_b.replace(" ", "  ") + " "),
+                F.lit(" " + merged + " "),
+            ).alias("seq"),
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        out_rows, "rnd int, pair string, merged string, w_count long"
+    )

@@ -138,6 +138,7 @@ _RECHECK = (
     "e_rolling_median",
     "r_user_trend_slope",
     "r_table_profile",
+    "k_bpe_train",
 )
 
 

@@ -423,3 +423,42 @@ def test_heavy_hitters_guarantee_with_large_vocab(spark):
     finally:
         agg.load = real_load
     assert got == exact
+
+
+def test_bpe_train_merge_table_invariants(spark):
+    """BPE merge-table invariants: (a) top-pair weighted counts are
+    non-increasing across rounds — any pair involving a merged symbol
+    covers a subset of the occurrences its constituents covered, so no
+    later round can beat an earlier top; (b) the merged symbol is the
+    pair with its separator removed; (c) a known toy dict learns the
+    textbook merges greedily (banana x3: 'a n' wins round 1 with 6,
+    then 'an a')."""
+    from opay_datalake_script_spark.llmdata.textstats import k_bpe_train
+
+    rows = sorted(
+        k_bpe_train(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rnd"],
+    )
+    assert [r["rnd"] for r in rows] == [1, 2, 3]
+    counts = [r["w_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["pair"].replace(" ", "")
+
+    import opay_datalake_script_spark.llmdata.textstats as ts
+
+    toy = spark.createDataFrame(
+        [("banana",), ("banana",), ("banana",), ("bans",)], "text string"
+    )
+    real_load = ts.load
+    try:
+        ts.load = lambda _s, _d, _t: toy
+        learned = sorted(
+            k_bpe_train(spark, "ignored").collect(), key=lambda r: r["rnd"]
+        )
+    finally:
+        ts.load = real_load
+    # banana: pairs (b,a) 4, (a,n) 3*2+1=7, (n,a) 6, (n,s) 1
+    assert (learned[0]["pair"], learned[0]["w_count"]) == ("a n", 7)
+    # after merge: banana = b an an a -> pairs (b,an) 4, (an,an) 3, (an,a) 3
+    assert (learned[1]["pair"], learned[1]["w_count"]) == ("b an", 4)
