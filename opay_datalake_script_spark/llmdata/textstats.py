@@ -951,13 +951,17 @@ def k_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_ORACLE = r"""
+# Shared 3-round BPE CTE chain (word threaded through so the encode
+# oracle can map word -> final symbol sequence; the train oracle simply
+# ignores it). s4 is the post-3-merges word dict.
+_BPE_CTES = r"""
 WITH w AS (
     SELECT word, CAST(count(*) AS BIGINT) AS freq
     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     WHERE word <> '' GROUP BY word
 ),
-s1 AS (SELECT freq, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq FROM w),
+s1 AS (SELECT word, freq,
+              '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seq FROM w),
 p1 AS (
     SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS c
     FROM (SELECT freq, t, unnest(generate_series(1, len(t) - 1)) AS i
@@ -965,7 +969,7 @@ p1 AS (
     GROUP BY 1
 ),
 t1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
-s2 AS (SELECT freq,
+s2 AS (SELECT word, freq,
                replace(seq, ' ' || replace((SELECT pair FROM t1), ' ', '  ') || ' ',
                        ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS seq
         FROM s1),
@@ -976,7 +980,7 @@ p2 AS (
     GROUP BY 1
 ),
 t2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
-s3 AS (SELECT freq,
+s3 AS (SELECT word, freq,
                replace(seq, ' ' || replace((SELECT pair FROM t2), ' ', '  ') || ' ',
                        ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS seq
         FROM s2),
@@ -986,12 +990,33 @@ p3 AS (
           FROM (SELECT freq, string_split(trim(seq), '  ') AS t FROM s3))
     GROUP BY 1
 ),
-t3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+t3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1),
+s4 AS (SELECT word, freq,
+               replace(seq, ' ' || replace((SELECT pair FROM t3), ' ', '  ') || ' ',
+                       ' ' || replace((SELECT pair FROM t3), ' ', '') || ' ') AS seq
+        FROM s3)
+"""
+
+_BPE_ORACLE = _BPE_CTES + r"""
 SELECT 1 AS rnd, pair, replace(pair, ' ', '') AS merged, c AS w_count FROM t1
 UNION ALL
 SELECT 2, pair, replace(pair, ' ', ''), c FROM t2
 UNION ALL
 SELECT 3, pair, replace(pair, ' ', ''), c FROM t3
+"""
+
+_BPE_ENCODE_ORACLE = _BPE_CTES + r"""
+, enc AS (
+    SELECT word, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok
+    FROM s4
+)
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(sum(e.n_tok) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+JOIN enc e USING (word)
+WHERE d.word <> ''
+GROUP BY d.doc_id
 """
 
 
@@ -1030,6 +1055,15 @@ def k_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFram
     convergence probe. The oracle unrolls the identical 3 rounds in
     SQL, so the merge table is value-hash-checked end to end.
     """
+    rows, _ = _bpe_merge_rounds(spark, sf_dir, n_merges)
+    return spark.createDataFrame(
+        rows, "rnd int, pair string, merged string, w_count long"
+    )
+
+
+def _bpe_merge_rounds(spark: SparkSession, sf_dir: str, n_merges: int):
+    """Run the BPE merge loop; returns (merge rows, the post-merge word
+    dict as (word, freq, seq)) — shared by train and encode."""
     docs = load(spark, sf_dir, "documents")
     w = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1038,6 +1072,7 @@ def k_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFram
         .agg(F.count("*").alias("freq"))
     )
     seqs = w.select(
+        "word",
         "freq",
         F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias("seq"),
     ).localCheckpoint(eager=False)
@@ -1066,6 +1101,7 @@ def k_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFram
         merged = a_b.replace(" ", "")
         out_rows.append((rnd, a_b, merged, count))
         seqs = seqs.select(
+            "word",
             "freq",
             F.replace(
                 F.col("seq"),
@@ -1074,6 +1110,39 @@ def k_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFram
             ).alias("seq"),
         ).localCheckpoint(eager=False)
 
-    return spark.createDataFrame(
-        out_rows, "rnd int, pair string, merged string, w_count long"
+    return out_rows, seqs
+
+
+@register("k_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def k_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — apply the merge table k_bpe_train just learned back
+    to the corpus and report per-document BPE token counts (the number
+    a sequence-packing / context-budget stage actually needs; raw word
+    counts under-estimate rare-word-heavy docs).
+
+    The encoding rides the trained word dict: each distinct WORD's
+    final symbol sequence is already known after the merge rounds, so
+    encoding the corpus is a broadcast join from exploded corpus words
+    to the vocab-bounded (word -> n_subtokens) map — no per-document
+    re-segmentation, no Python. This is the standard fast-tokenizer
+    trick (word-level memoization) expressed relationally; at 100 TB
+    the dict stays vocab-bounded and broadcastable while the corpus
+    side is one map-side explode + one uniform doc_id aggregation.
+
+    Oracle: the identical 3 unrolled merge rounds (shared CTE chain
+    with k_bpe_train) extended by the word->count map and the same
+    join+group — per-doc totals are value-hash-checked.
+    """
+    _, seqs = _bpe_merge_rounds(spark, sf_dir, 3)
+    enc = seqs.select(
+        "word", F.size(F.split(F.trim("seq"), "  ")).cast("long").alias("n_tok")
+    )
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("n_tok").alias("n_bpe_tokens"))
     )

@@ -139,6 +139,8 @@ _RECHECK = (
     "r_user_trend_slope",
     "r_table_profile",
     "k_bpe_train",
+    "k_bpe_encode",
+    "a_scan_dynamic_pruning",
 )
 
 

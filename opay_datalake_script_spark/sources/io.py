@@ -764,3 +764,62 @@ def a_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "a_scan_dynamic_pruning",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS dt,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_e4
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-04', '1996-05', '1996-06')
+    GROUP BY 1
+    """,
+)
+def a_scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the star-join upgrade of
+    a_scan_partition_pruned: the fact filter is NOT a literal on the
+    partition column but comes from a JOIN to a filtered calendar
+    dimension ("all months of 1996-Q2"). Catalyst plants a
+    DynamicPruningExpression on the fact scan that is fed by the dim
+    side's broadcast at RUNTIME, so the partitioned fact still reads 3
+    month directories of ~84 — without DPP this shape silently
+    full-scans, which at 100 TB is the difference between touching 3%
+    and 100% of the table (the pinned plan in
+    test_dynamic_pruning_reaches_scan is the proof).
+
+    The calendar dim is generated with sequence() (84 rows, no driver
+    loop) and broadcast; the oracle collapses dim+join to the literal
+    month list — same rows, so a mis-pruned or double-read partition
+    breaks the hash.
+    """
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = scratch_path("scan_dpp", f"orders_{tag}")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "dt", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("dt").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+
+    months = spark.sql(
+        "SELECT explode(sequence(to_date('1992-01-01'), to_date('1998-12-01'),"
+        " interval 1 month)) AS m"
+    ).select(
+        F.date_format("m", "yyyy-MM").alias("dt"),
+        F.concat(
+            F.date_format("m", "yyyy"), F.lit("-Q"), F.quarter("m").cast("string")
+        ).alias("qtr"),
+    )
+    dim = months.where(F.col("qtr") == "1996-Q2")
+    return (
+        fact.join(F.broadcast(dim), "dt")
+        .groupBy(F.col("dt").cast("string").alias("dt"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias(
+                "revenue_e4"
+            ),
+        )
+    )

@@ -505,3 +505,14 @@ def test_round5c_new_ops_plan_shapes(spark):
     pplan = pt._jdf.queryExecution().executedPlan().toString()
     assert uses_take_ordered(pt)
     assert "Join" not in pplan
+
+
+def test_dynamic_pruning_reaches_scan(spark):
+    """a_scan_dynamic_pruning: the fact scan's PartitionFilters must
+    carry a DynamicPruningExpression (runtime dim-driven pruning), not
+    a literal month list — proving the star-join shape reads 3 month
+    directories of ~84 at any scale."""
+    df = QUERIES["a_scan_dynamic_pruning"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "BroadcastHashJoin" in plan
