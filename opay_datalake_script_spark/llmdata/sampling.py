@@ -251,3 +251,84 @@ def k_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_rank",
         F.col("rn").alias("pos"),
     )
+
+
+@register(
+    "k_temperature_mixture",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    wts AS (
+        SELECT source, c,
+               CAST(round(power(CAST(c AS DOUBLE) / (SELECT n FROM tot), 0.7)
+                          * 1000000.0) AS BIGINT) AS w_e6
+        FROM cnt
+    ),
+    tw AS (SELECT CAST(sum(w_e6) AS BIGINT) AS sw FROM wts),
+    quota AS (
+        SELECT source,
+               CAST(round(250.0 * w_e6 / (SELECT sw FROM tw)) AS BIGINT) AS n_keep
+        FROM wts
+    )
+    SELECT doc_id, source FROM (
+        SELECT d.doc_id, d.source, q.n_keep,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('temp:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d JOIN quota q USING (source)
+    ) WHERE rn <= n_keep
+    """,
+)
+def k_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the mC4/XLM-R upsampling rule):
+    per-source keep quotas COMPUTED from the corpus's own counts as
+    p_s^alpha / sum(p^alpha) with alpha=0.7 — flattening the source
+    distribution so long-tail domains survive — then the deterministic
+    md5-ordered keep, scaled to a 250-doc budget. k_domain_mixture is
+    the fixed-quota cousin; this one derives the weights.
+
+    Cross-engine exactness: each source's p^0.7 is one pow() on
+    identical doubles (identical result), but the NORMALIZER is a sum
+    of those 5 doubles in engine-chosen order — so each weight is
+    quantized to an e6 integer first and the normalizer is an exact
+    bigint sum (the k_char_entropy term-quantization rule). The final
+    quota divides exactly-representable numbers, so round() cannot
+    disagree.
+
+    Scale shape: one uniform source aggregation (source-domain-bounded
+    output) -> two 1-row broadcasts for the totals -> quota table
+    broadcast back into the same source-partitioned rank window
+    k_domain_mixture uses. The corpus is scanned twice (count + rank);
+    a cached count table collapses that to once per rebuild.
+    """
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    wts = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.pow(F.col("c").cast("double") / F.col("n").cast("double"), 0.7)
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("w_e6"),
+    )
+    tw = wts.agg(F.sum("w_e6").alias("sw"))
+    quota = wts.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.round(F.lit(250.0) * F.col("w_e6") / F.col("sw")).cast("long").alias("n_keep"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")).cast("binary")),
+        "doc_id",
+    )
+    return (
+        d.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n_keep"))
+        .select("doc_id", "source")
+    )

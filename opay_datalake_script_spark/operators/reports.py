@@ -773,3 +773,55 @@ def r_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             'o_orderpriority', n_rows, nn_o_orderpriority, nd_o_orderpriority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_o_orderpriority, mxs_o_orderpriority
         ) AS (col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"""
     )
+
+
+@register(
+    "r_observed_load_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+           max(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def r_observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-time observability via the Observation API: the metrics a
+    DQ gate needs (row count, exact e4 revenue, open-order count, max
+    price) are captured DURING the landing write itself — Spark folds
+    the observe() aggregates into the write job, so the table is
+    scanned ONCE for load + metrics together. The naive form (write,
+    then re-aggregate the written table) doubles the scan cost, which
+    at 100 TB is the whole bill; this is the free-metrics idiom every
+    ingestion job should ship with (quality.run_gates is the
+    one-extra-pass cousin for checks that must gate AFTER landing).
+
+    The op returns the observed metrics as a 1-row DataFrame; the
+    oracle recomputes the same aggregates relationally, so a metric
+    silently dropped or double-counted by the observed write breaks
+    the hash. Observation restricts aggregates to shuffle-free forms
+    (no distinct) — exactly the ones that piggyback on a write.
+    """
+    from pyspark.sql import Observation
+
+    from ..sources.io import scratch_path
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out = scratch_path("observed_load", f"orders_{tag}")
+    obs = Observation(f"load_metrics_{tag}")
+    o = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias(
+            "revenue_e4"
+        ),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    o.write.mode("overwrite").parquet(out)  # the action that feeds obs
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["revenue_e4"], m["n_open"], m["max_price"])],
+        "n_rows long, revenue_e4 long, n_open long, max_price double",
+    )

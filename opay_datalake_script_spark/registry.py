@@ -141,6 +141,8 @@ _RECHECK = (
     "k_bpe_train",
     "k_bpe_encode",
     "a_scan_dynamic_pruning",
+    "k_temperature_mixture",
+    "r_observed_load_metrics",
 )
 
 
