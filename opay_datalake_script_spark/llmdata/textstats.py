@@ -1146,3 +1146,69 @@ def k_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_words"), F.sum("n_tok").alias("n_bpe_tokens"))
     )
+
+
+@register(
+    "k_flesch_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+    FROM (
+        SELECT doc_id,
+               greatest(len(list_filter(string_split_regex(text, '[.!?]'),
+                                        x -> trim(x) <> '')), 1) AS n_sent,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+               greatest(len(regexp_extract_all(text, '[aeiouy]+')), 1) AS n_syll
+        FROM documents
+    ) WHERE n_words > 0
+    """,
+)
+def k_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (simple-English filters and age-band corpus splits
+    gate on it): 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/word). Syllables use the standard vowel-group
+    heuristic (runs of [aeiouy]); sentences are [.!?]-delimited
+    segments with a floor of 1 — this fixture's synthetic docs carry no
+    sentence punctuation, so the sentence term degenerates to
+    words/1 here (documented; on punctuated corpora the same code
+    measures real sentence length). All three counts are exact
+    integers in both engines (same regex semantics in RE2 and Java for
+    these patterns — no lookaround, no lazy quantifiers), so the final
+    formula divides identical doubles and round(6) is safe.
+
+    Scale shape: map-only — three regexp passes per row, no explode,
+    no shuffle, no Python.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.filter(F.split("text", r"[.!?]"), lambda x: F.trim(x) != "")),
+        F.lit(1),
+    )
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")), F.lit(1)
+    )
+    out = docs.select(
+        "doc_id",
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )

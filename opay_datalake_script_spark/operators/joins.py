@@ -655,3 +655,42 @@ def c_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "version_no")
     )
+
+
+@register(
+    "c_join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    """,
+)
+def c_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k join — "for each customer, their 2
+    priciest orders" written the way an analyst thinks (a per-row
+    correlated subquery with ORDER BY .. LIMIT), executed the way a
+    cluster needs: Catalyst DECORRELATES the lateral subquery into a
+    partitioned row_number window + equi-join, so the physical plan is
+    the same single-shuffle shape as e_topk_per_group — never one
+    subquery execution per outer row (the O(n) round-trip disaster a
+    naive engine makes of this syntax; verified by the Window node in
+    the executed plan, pinned in test_plans).
+
+    Both ORDER BYs carry the unique o_orderkey tiebreak so tied prices
+    cannot legitimately differ between engines (the LIMIT-oracle rule).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("lat_customer")
+    o.createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        """
+    )

@@ -825,3 +825,76 @@ def r_observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["revenue_e4"], m["n_open"], m["max_price"])],
         "n_rows long, revenue_e4 long, n_open long, max_price double",
     )
+
+
+@register(
+    "r_pareto_deciles",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+                   AS rev_e4
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev_e4,
+               row_number() OVER (ORDER BY rev_e4 DESC, o_custkey) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM rev
+    )
+    SELECT CAST(floor((rn - 1) * 10 / n) AS BIGINT) + 1 AS decile,
+           count(*) AS n_customers,
+           CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+           round(CAST(sum(rev_e4) AS DOUBLE)
+                 / (SELECT CAST(sum(rev_e4) AS DOUBLE) FROM rev), 6) AS revenue_share
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def r_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): customers ranked by
+    lifetime revenue, cut into deciles, each decile's share of total —
+    the classic whale-curve input for account-management and fraud
+    review ("do 10% of customers carry 60% of GMV?").
+
+    The decile comes from ARITHMETIC on the distributed global rank
+    ((rn-1)*10/n in integer math), not ntile() — an unpartitioned
+    ntile()/row_number() window is the single-task global-sort
+    bottleneck at 100 TB, while global_row_number ranks via
+    range-partition + per-partition window + broadcast offsets (the
+    e_ntile lesson; the oracle's textbook window is fine at sf0.01).
+    Revenue is exact e4 integers end-to-end; the share divides two
+    exactly-agreed doubles, so round(6) cannot flip.
+    """
+    from .relational import global_row_number
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias("rev_e4")
+    )
+    ranked = global_row_number(rev, F.desc("rev_e4"), F.asc("o_custkey"))
+    total = rev.agg(F.sum("rev_e4").cast("double").alias("tot"))
+    n_row = rev.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            # floor() on both sides: DuckDB CAST(double AS BIGINT) ROUNDS
+            # while Spark's cast truncates (the h_geo_grid_heatmap seam)
+            F.floor((F.col("rn") - 1) * 10 / F.col("n")).cast("long").alias("dec0"),
+            "rev_e4",
+        )
+        .groupBy((F.col("dec0") + 1).alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev_e4").alias("revenue_e4"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_e4",
+            F.round(F.col("revenue_e4").cast("double") / F.col("tot"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )

@@ -743,3 +743,67 @@ def e_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "hr", "v_e4",
         F.percentile("v_e4", 0.5).over(w).alias("med5_e4"),
     )
+
+
+@register(
+    "e_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 10000, 0) AS BIGINT) AS v_e4
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, median(v_e4) AS med_e4 FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.v_e4, m.med_e4, abs(v.v_e4 - m.med_e4) AS d
+        FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(d) AS mad_e4 FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           min(d.med_e4) AS med_e4,
+           min(m2.mad_e4) AS mad_e4,
+           CAST(count(*) FILTER (d.d > 3 * m2.mad_e4) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def e_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    resistant alternative to r_dq_anomaly_zscore (mean/stddev are
+    themselves dragged by the outliers they're hunting; median/MAD have
+    a 50% breakdown point): per event type, flag values whose absolute
+    deviation from the median exceeds 3x the MAD.
+
+    Everything is exact cross-engine WITHOUT rounding: inputs are e4
+    integers; the median of integers interpolates to an exact .5-step
+    double in both engines' formulas (the e_rolling_median argument);
+    deviations are then exact .5-step doubles, their median an exact
+    .25-step double, and 3*MAD exact — so the > comparison can never
+    flip on ulp noise.
+
+    Scale shape: two grouped exact medians over the k event types (at
+    100 TB swap percentile() for approx_percentile's t-digest — the
+    flag stays the same shape) with the k-row median/MAD tables
+    broadcast back; deviations and flags are map-side; one final
+    uniform-key count. No global sort, no window over the fact stream.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10000, 0).cast("long").alias("v_e4")
+    )
+    med = ev.groupBy("event_type").agg(F.percentile("v_e4", 0.5).alias("med_e4"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("v_e4") - F.col("med_e4"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad_e4"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.min("med_e4").alias("med_e4"),
+        F.min("mad_e4").alias("mad_e4"),
+        F.count_if(F.col("d") > 3 * F.col("mad_e4")).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )

@@ -143,6 +143,10 @@ _RECHECK = (
     "a_scan_dynamic_pruning",
     "k_temperature_mixture",
     "r_observed_load_metrics",
+    "c_join_lateral_topk",
+    "e_anomaly_mad",
+    "r_pareto_deciles",
+    "k_flesch_readability",
 )
 
 

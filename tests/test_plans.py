@@ -516,3 +516,14 @@ def test_dynamic_pruning_reaches_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_lateral_topk_is_decorrelated(spark):
+    """c_join_lateral_topk: the correlated LATERAL ORDER BY..LIMIT must
+    decorrelate into a window (row_number) + join — one per-row subquery
+    execution per outer row would be the plan-shape disaster this op
+    exists to disprove."""
+    df = QUERIES["c_join_lateral_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "row_number" in plan
