@@ -790,3 +790,47 @@ def k_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contained_doc"),
         )
     )
+
+
+@register(
+    "k_lsh_tuning_curve",
+    oracle="""
+    SELECT s_pct,
+           round(1.0 - power(1.0 - power(s_pct / 100.0, 2.0), 8.0), 6)
+               AS p_candidate_b8_r2,
+           round(1.0 - power(1.0 - power(s_pct / 100.0, 4.0), 4.0), 6)
+               AS p_candidate_b4_r4,
+           round(1.0 - power(1.0 - power(s_pct / 100.0, 8.0), 2.0), 6)
+               AS p_candidate_b2_r8
+    FROM (SELECT unnest(generate_series(5, 95, 5)) AS s_pct)
+    """,
+)
+def k_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve tuning table: candidate probability
+    P = 1 - (1 - s^r)^b over a Jaccard-similarity grid for the three
+    (bands, rows) splits of a 16-hash MinHash signature. This is the
+    design sheet behind k_lsh_band_candidates' 8x2 choice: b8/r2 keeps
+    recall >= 0.99 at s = 0.6 (the pipeline's near-dup threshold) while
+    b2/r8 would crater it — and it documents the precision cost (b8/r2
+    fires on ~18% of s = 0.3 pairs, why the exact Jaccard verifier
+    stays downstream). Shipping the curve as a query keeps the tuning
+    auditable next to the operator it justifies, the way BASELINE.md
+    pins perf numbers.
+
+    Parity is pure arithmetic: both engines evaluate the identical
+    power() chain on the identical s grid (integer percent points /
+    100.0 — exactly representable inputs), so round(6) is cosmetic.
+    Plan: a generated 19-row series, map-only, zero scans of anything.
+    """
+    grid = spark.sql("SELECT explode(sequence(5, 95, 5)) AS s_pct")
+
+    def curve(r: int, b: int):
+        s = F.col("s_pct") / 100.0
+        return F.round(1.0 - F.pow(1.0 - F.pow(s, float(r)), float(b)), 6)
+
+    return grid.select(
+        "s_pct",
+        curve(2, 8).alias("p_candidate_b8_r2"),
+        curve(4, 4).alias("p_candidate_b4_r4"),
+        curve(8, 2).alias("p_candidate_b2_r8"),
+    )

@@ -898,3 +898,69 @@ def r_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "r_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(ts) FILTER (event_type = 'signup')   AS signup_ts,
+               min(ts) FILTER (event_type = 'purchase') AS first_buy_ts
+        FROM events GROUP BY user_id
+    ),
+    lags AS (
+        SELECT strftime(signup_ts, '%Y-%m') AS cohort,
+               CASE WHEN first_buy_ts >= signup_ts
+                    THEN date_diff('microsecond', signup_ts, first_buy_ts)
+               END AS lag_us
+        FROM firsts WHERE signup_ts IS NOT NULL
+    )
+    SELECT cohort,
+           count(*) AS n_signups,
+           CAST(count(lag_us) AS BIGINT) AS n_converted,
+           round(CAST(count(lag_us) AS DOUBLE) / count(*), 6) AS conversion_rate,
+           median(lag_us) AS median_lag_us
+    FROM lags GROUP BY cohort
+    """,
+)
+def r_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert by signup cohort — the activation metric behind
+    every growth dashboard: for each user, the lag from first signup to
+    first purchase AT-OR-AFTER it; per signup month, how many signed
+    up, how many converted, and the median lag. Complements
+    r_cohort_retention (did they come back) with how FAST they
+    activated.
+
+    Exactness: lags are integer microseconds (the e_merge_intervals
+    rule), the median interpolates integers (IEEE-exact both engines),
+    and the conversion rate divides two exact counts — round(6) safe.
+    A user whose only purchases precede their signup counts as
+    unconverted, not negative-lag (the FILTER + CASE guard).
+
+    Scale shape: ONE pass over events builds both firsts via filtered
+    min aggregates (no self-join of signups to purchases), then a
+    cohort-month-bounded rollup. All keys uniform.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy_ts"
+        ),
+    )
+    lags = firsts.where(F.col("signup_ts").isNotNull()).select(
+        F.date_format("signup_ts", "yyyy-MM").alias("cohort"),
+        F.when(
+            F.col("first_buy_ts") >= F.col("signup_ts"),
+            F.unix_micros("first_buy_ts") - F.unix_micros("signup_ts"),
+        ).alias("lag_us"),
+    )
+    return lags.groupBy("cohort").agg(
+        F.count("*").alias("n_signups"),
+        F.count("lag_us").alias("n_converted"),
+        F.round(F.count("lag_us").cast("double") / F.count("*"), 6).alias(
+            "conversion_rate"
+        ),
+        F.percentile("lag_us", 0.5).alias("median_lag_us"),
+    )

@@ -147,6 +147,8 @@ _RECHECK = (
     "e_anomaly_mad",
     "r_pareto_deciles",
     "k_flesch_readability",
+    "r_time_to_convert",
+    "k_lsh_tuning_curve",
 )
 
 
