@@ -149,6 +149,7 @@ _RECHECK = (
     "k_flesch_readability",
     "r_time_to_convert",
     "k_lsh_tuning_curve",
+    "a_python_datasource",
 )
 
 

@@ -823,3 +823,69 @@ def a_scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "a_python_datasource",
+    oracle="""
+    SELECT tx_id % 8 AS bucket,
+           count(*) AS n,
+           CAST(sum(('0x' || substr(md5('tx:' || CAST(tx_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100000) AS BIGINT) AS amount_e2
+    FROM (SELECT unnest(generate_series(0, 9999)) AS tx_id)
+    GROUP BY 1
+    """,
+)
+def a_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python Data Source API — the
+    no-JVM extensibility story: a DataSource subclass declares schema +
+    partitions, each InputPartition's read() generator runs in parallel
+    on the executors (8 partitions here), and the result is a normal
+    DataFrame that every downstream operator composes with. This is the
+    template for the long tail of sources the reference reached through
+    Sqoop/scripts (internal REST feeds, message dumps, custom binary
+    logs) when no first-class connector exists — the read path stays
+    partition-parallel instead of a driver-side download.
+
+    The source synthesizes a deterministic transaction feed (amounts
+    md5-derived per tx_id, the repo's seeded-rand substitute), so the
+    DuckDB oracle regenerates the identical rows arithmetically and the
+    whole connector path — schema, partition planning, executor-side
+    generators, aggregation — is value-hash-checked, not just smoke-run.
+
+    Scale shape: partitions() is the parallelism contract (map one
+    partition per shard/file/offset-range of the real feed); nothing
+    touches the driver but the partition list.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SynthTxReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(8)]
+
+        def read(self, partition):
+            import hashlib
+
+            base = partition.value * 1250
+            for k in range(1250):
+                tx_id = base + k
+                amount = int(hashlib.md5(f"tx:{tx_id}".encode()).hexdigest()[:8], 16) % 100000
+                yield (tx_id, amount)
+
+    class SynthTxSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_tx"
+
+        def schema(self):
+            return "tx_id bigint, amount_e2 bigint"
+
+        def reader(self, schema):
+            return _SynthTxReader()
+
+    spark.dataSource.register(SynthTxSource)
+    feed = spark.read.format("synth_tx").load()
+    return feed.groupBy((F.col("tx_id") % 8).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("amount_e2").alias("amount_e2"),
+    )
