@@ -150,6 +150,7 @@ _RECHECK = (
     "r_time_to_convert",
     "k_lsh_tuning_curve",
     "a_python_datasource",
+    "a_python_datasource_sink",
 )
 
 

@@ -889,3 +889,102 @@ def a_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("amount_e2").alias("amount_e2"),
     )
+
+
+@register(
+    "a_python_datasource_sink",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_e4
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python Data Source writer contract — the
+    other half of a_python_datasource: each executor partition streams
+    its rows through a Python DataSourceWriter.write() into one
+    JSON-lines shard (the stand-in for any push-style target with no
+    JVM connector — REST bulk endpoints, bespoke wire formats), and
+    returns a WriterCommitMessage; commit() runs once on the driver
+    with all shard manifests — the two-phase-commit hook where a real
+    sink would atomically publish (rename temp shards, POST the
+    manifest). Task retries mean write() can run twice for a
+    partition — shard files are keyed by partition id, so replays
+    overwrite instead of duplicating (idempotence, the
+    i_foreach_batch_sink rule).
+
+    Verified end-to-end, not smoke-run: the landed shards are read
+    back with the JSON reader and aggregated; the oracle computes the
+    same rollup from the source table, so a dropped shard, double
+    write, or mangled row breaks the hash.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    out_dir = scratch_path("pyds_sink", f"orders_{tag}", "_")[: -len("/_")]
+    for old in _glob.glob(f"{out_dir}/part-*.jsonl"):
+        _os.remove(old)
+
+    class _ShardWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self._path = path
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            shard = f"{self._path}/part-{pid:05d}.jsonl"
+            n = 0
+            with open(shard + ".tmp", "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "o_orderstatus": row["o_orderstatus"],
+                                "price_e4": row["price_e4"],
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            _os.replace(shard + ".tmp", shard)  # atomic per-shard publish
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            pass  # all shards landed; a real sink publishes the manifest here
+
+        def abort(self, messages):
+            pass
+
+    class ShardSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonl_shards"
+
+        def writer(self, schema, overwrite):
+            return _ShardWriter(self.options["path"])
+
+    spark.dataSource.register(ShardSink)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 10000, 0).cast("long").alias("price_e4"),
+    )
+    o.write.format("jsonl_shards").option("path", out_dir).mode("append").save()
+
+    back = spark.read.schema("o_orderstatus string, price_e4 long").json(
+        f"{out_dir}/part-*.jsonl"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("price_e4").alias("revenue_e4")
+    )
