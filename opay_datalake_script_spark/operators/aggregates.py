@@ -13,7 +13,7 @@ BIGINT to match Spark's long.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -679,4 +679,68 @@ def d_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return qmode.crossJoin(F.broadcast(pmode)).select(
         "l_returnflag", "mode_qty", "mode_priority", "n_modal_orders"
+    )
+
+
+@register(
+    "d_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 10000, 0) AS BIGINT) AS val,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT g, val, CAST(sum(wt) AS BIGINT) AS w FROM v GROUP BY g, val
+    ),
+    cum AS (
+        SELECT g, val, w,
+               CAST(sum(w) OVER (PARTITION BY g ORDER BY val) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+        FROM agg
+    )
+    SELECT g AS l_returnflag,
+           min(val) AS wmedian_e4,
+           min(tw) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY g
+    """,
+)
+def d_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the quantity-weighted "typical unit price"
+    (each line votes with its quantity, so one 50-unit order counts
+    like fifty 1-unit orders; the plain median over-weights small
+    orders). Definition: the smallest value whose cumulative weight
+    reaches half the total — all-integer (2*cw >= tw avoids the half),
+    so there is NO interpolation and both engines agree exactly with
+    zero rounding. No built-in does this in either engine; the
+    relational form is pre-aggregate weights per (group, value) ->
+    cumulative-weight window -> threshold argmin.
+
+    Scale shape: the per-(group, value) pre-aggregation bounds the
+    window input at |value domain| rows per group (the fact stream
+    never enters a window), one uniform-key shuffle each for the agg
+    and the group-partitioned cumsum. At 100 TB with an unbounded
+    value domain, band values first (the k_doc_len_histogram bucket
+    rule) or switch to approx weighted quantiles.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 10000, 0).cast("long").alias("val"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    agg = v.groupBy("g", "val").agg(F.sum("wt").alias("w"))
+    wg = W.partitionBy("g")
+    cum = agg.select(
+        "g",
+        "val",
+        F.sum("w").over(wg.orderBy("val")).alias("cw"),
+        F.sum("w").over(wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("g").alias("l_returnflag"))
+        .agg(F.min("val").alias("wmedian_e4"), F.min("tw").alias("total_weight"))
     )

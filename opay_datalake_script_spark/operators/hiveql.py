@@ -255,3 +255,65 @@ def s_hiveql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "s_hiveql_script_transform",
+    oracle="""
+    SELECT band, count(*) AS n, CAST(sum(price_e4) AS BIGINT) AS total_e4
+    FROM (
+        SELECT CASE WHEN CAST(round(o_totalprice * 10000, 0) AS BIGINT) > 1500000000
+                    THEN 'big' ELSE 'small' END AS band,
+               CAST(round(o_totalprice * 10000, 0) AS BIGINT) AS price_e4
+        FROM orders
+    )
+    GROUP BY band
+    """,
+)
+def s_hiveql_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive `TRANSFORM ... USING 'script'` — the Hive-era escape hatch
+    that streamed rows through an external process (python/awk/perl
+    mappers predating UDFs); Spark SQL runs the same text in no-serde
+    mode: rows leave as tab-separated strings, the script writes
+    tab-separated lines back, output columns re-cast in SQL. Here an
+    awk one-liner re-emits (band, price) with the banding done INSIDE
+    the external script, so the oracle only matches if the subprocess
+    pipe actually transformed every row (15k rows through the child
+    process — a mangled row or dropped shard breaks the hash).
+
+    Migration note (docstring-level, deliberately): this is the ONLY
+    §2/S op whose hot path forks a per-executor child process — modern
+    replacements are the pandas UDF surface (functions/udfs.py); keep
+    TRANSFORM for verbatim legacy-script compatibility, not new code.
+    Integer ten-thousandths cross the pipe as strings — exact; doubles
+    would round-trip through decimal text and drift.
+    """
+    from ..sources.io import scratch_path
+
+    _views(spark, sf_dir, "orders")
+    # Two empirically-pinned gotchas:
+    # 1. An inline awk program is shell-quoting quicksand inside a SQL
+    #    string literal (a mangled quote silently NULLs casts downstream
+    #    — caught by the dtype gate), so the program ships as a file,
+    #    the way Hive's ADD FILE did.
+    # 2. Spark's no-serde TRANSFORM delimits fields with Hive's \001
+    #    (SOH), NOT tab — a tab-joined output line lands whole in the
+    #    first output column with the rest NULL. The script must split
+    #    AND join on \001 (verified by piping through tee).
+    prog = scratch_path("hiveql", "band.awk")
+    with open(prog, "w") as fh:
+        fh.write('BEGIN { FS = OFS = "\\001" }\n')
+        fh.write('{ print ($1 > 1500000000 ? "big" : "small"), $1 }\n')
+    return spark.sql(
+        f"""
+        SELECT band, count(*) AS n,
+               CAST(sum(CAST(price_e4 AS BIGINT)) AS BIGINT) AS total_e4
+        FROM (
+            SELECT TRANSFORM(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
+            USING 'awk -f {prog}'
+            AS (band string, price_e4 string)
+            FROM orders
+        )
+        GROUP BY band
+        """
+    )

@@ -151,6 +151,8 @@ _RECHECK = (
     "k_lsh_tuning_curve",
     "a_python_datasource",
     "a_python_datasource_sink",
+    "s_hiveql_script_transform",
+    "d_weighted_median",
 )
 
 
