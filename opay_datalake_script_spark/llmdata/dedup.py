@@ -834,3 +834,82 @@ def k_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         curve(4, 4).alias("p_candidate_b4_r4"),
         curve(8, 2).alias("p_candidate_b2_r8"),
     )
+
+
+_MH_EST_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_MINHASH_K)
+)
+
+_MH_EST_ORACLE = f"""
+    WITH {_BAND_CAND_CTES},
+    est_tsets AS (
+        SELECT doc_id,
+               list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tset
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           ({_MH_EST_MATCH_SQL}) / 16.0 AS est_jaccard,
+           round(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ta.tset, tb.tset))), 6) AS jaccard,
+           round(abs(({_MH_EST_MATCH_SQL}) / 16.0
+                 - CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.tset, tb.tset)))), 6) AS abs_err
+    FROM band_cand c
+    JOIN mh_sig a ON a.doc_id = c.doc_a
+    JOIN mh_sig b ON b.doc_id = c.doc_b
+    JOIN est_tsets ta ON ta.doc_id = c.doc_a
+    JOIN est_tsets tb ON tb.doc_id = c.doc_b
+"""
+
+
+@register("k_minhash_jaccard_estimate", oracle=_MH_EST_ORACLE)
+def k_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CALIBRATION: for every banded candidate pair, the MinHash
+    Jaccard estimate (matching signature positions / 16) next to the
+    exact token-set Jaccard and the absolute error — the measurement
+    that justifies trusting (or not trusting) signature-only dedup
+    decisions at 100 TB, where re-scoring every pair exactly is the
+    expensive step this would skip. E[match/k] = J with sd
+    sqrt(J(1-J)/16) ~ 0.12 — the table makes that error budget
+    concrete per pair, and aggregating abs_err is the regression
+    canary for any change to the hash family.
+
+    Everything is deterministic md5 arithmetic (the k_minhash_signature
+    family), so even the ESTIMATES are value-hash-checked — est is an
+    exact multiple of 1/16, the exact Jaccard an integer ratio, and
+    their difference a difference of identical doubles in both engines.
+    Exact sets use the same normalized tokens the signatures hash
+    (calibration must compare like with like; the raw-token sets of
+    k_jaccard_pairs measure a slightly different quantity).
+
+    Scale shape: candidates from the banded equi-join, signatures and
+    token sets fetched by doc_id-keyed joins (broadcast-hinted like
+    exact_jaccard_scores) — no all-pairs anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    cand = band_candidate_pairs(d)
+    a = F.broadcast(sig.select(F.col("doc_id").alias("doc_a"),
+                               *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)]))
+    b = F.broadcast(sig.select(F.col("doc_id").alias("doc_b"),
+                               *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)]))
+    toks = d.select(
+        "doc_id", F.lit("x").alias("lang"),
+        F.array_distinct(F.split(normalized_text(), " ")).alias("tset"),
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    est = cand.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", (matches / 16.0).alias("est_jaccard")
+    )
+    exact = exact_jaccard_scores(toks, cand, "tset").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "est_jaccard",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )

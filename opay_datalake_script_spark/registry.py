@@ -153,6 +153,7 @@ _RECHECK = (
     "a_python_datasource_sink",
     "s_hiveql_script_transform",
     "d_weighted_median",
+    "k_minhash_jaccard_estimate",
 )
 
 
