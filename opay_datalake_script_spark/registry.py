@@ -154,6 +154,7 @@ _RECHECK = (
     "s_hiveql_script_transform",
     "d_weighted_median",
     "k_minhash_jaccard_estimate",
+    "i_stream_python_datasource",
 )
 
 

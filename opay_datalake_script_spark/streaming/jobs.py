@@ -628,3 +628,102 @@ def i_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "click_id", "user_id")
     )
+
+
+@register(
+    "i_stream_python_datasource",
+    oracle="""
+    SELECT tx_id % 4 AS bucket,
+           count(*) AS n,
+           CAST(sum(('0x' || substr(md5('stx:' || CAST(tx_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 100000) AS BIGINT) AS amount_e2
+    FROM (SELECT unnest(generate_series(0, 2999)) AS tx_id)
+    GROUP BY 1
+    """,
+)
+def i_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom source via the Python DataSourceStreamReader
+    contract — the third leg of the connector story (batch read:
+    a_python_datasource, batch write: a_python_datasource_sink): the
+    reader owns the OFFSET LOG (initialOffset -> latestOffset), plans
+    each micro-batch as InputPartitions (4 shards per epoch — the
+    partition-parallel API, NOT SimpleDataSourceStreamReader, which
+    reads on the driver and caps throughput), and executors pull each
+    shard's rows. Three epochs of 1000 deterministic transactions are
+    exposed up front, so one availableNow run drains exactly ids
+    0..2999 — the replayable-offsets semantics a Kafka-style source
+    needs for exactly-once (offsets are data positions, never
+    wall-clock).
+
+    The landed per-bucket rollup is value-hash-checked against the
+    regenerated feed — a lost epoch, double-read shard, or off-by-one
+    offset range breaks the hash.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _EpochPartition(InputPartition):
+        def __init__(self, epoch: int, shard: int):
+            self.epoch, self.shard = epoch, shard
+
+    class _StreamTxReader(DataSourceStreamReader):
+        N_EPOCHS, SHARDS, PER_EPOCH = 3, 4, 1000
+
+        def initialOffset(self):
+            return {"epoch": 0}
+
+        def latestOffset(self):
+            return {"epoch": self.N_EPOCHS}
+
+        def partitions(self, start, end):
+            return [
+                _EpochPartition(e, s)
+                for e in range(start["epoch"], end["epoch"])
+                for s in range(self.SHARDS)
+            ]
+
+        def read(self, partition):
+            import hashlib
+
+            per_shard = self.PER_EPOCH // self.SHARDS
+            base = partition.epoch * self.PER_EPOCH + partition.shard * per_shard
+            for k in range(per_shard):
+                tx_id = base + k
+                amount = (
+                    int(hashlib.md5(f"stx:{tx_id}".encode()).hexdigest()[:8], 16)
+                    % 100000
+                )
+                yield (tx_id, amount)
+
+        def commit(self, end):
+            pass
+
+    class StreamTxSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synth_tx_stream"
+
+        def schema(self):
+            return "tx_id bigint, amount_e2 bigint"
+
+        def streamReader(self, schema):
+            return _StreamTxReader()
+
+    spark.dataSource.register(StreamTxSource)
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synth_tx_stream")
+        .load()
+        .groupBy((F.col("tx_id") % 4).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("amount_e2").alias("amount_e2"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
