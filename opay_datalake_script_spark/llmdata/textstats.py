@@ -1212,3 +1212,102 @@ def k_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@register(
+    "k_quality_features",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+                   AS n_tokens,
+               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS ttr,
+               round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+                   AS avg_token_len,
+               round(206.835
+                     - 1.015 * CAST(len(list_filter(string_split(text, ' '),
+                                                    x -> x <> '')) AS DOUBLE)
+                     - 84.6 * (CAST(greatest(len(regexp_extract_all(text, '[aeiouy]+')), 1)
+                                    AS DOUBLE)
+                               / len(list_filter(string_split(text, ' '), x -> x <> ''))),
+                     6) AS flesch
+        FROM documents
+    ),
+    ent AS (
+        SELECT doc_id,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                                           * ln(CAST(c AS DOUBLE))
+                                           * 1000000.0) AS BIGINT)) AS BIGINT)
+                       / 1000000.0 / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        FROM (
+            SELECT doc_id, ch, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+            GROUP BY doc_id, ch
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.ttr, b.avg_token_len, b.flesch, e.entropy
+    FROM base b JOIN ent e USING (doc_id)
+    """,
+)
+def k_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-classifier FEATURE TABLE: every per-doc quality
+    signal this module computes — token count, type-token ratio, mean
+    token length, Flesch score, character entropy — assembled into one
+    wide row per document. This is the supervised step's input: label a
+    few thousand rows (or distill labels from a teacher model) and
+    train the fastText/logreg quality gate that replaces hand-tuned
+    Gopher thresholds; it is also the drift dashboard (feature
+    distributions per crawl snapshot).
+
+    Built fresh in one composition rather than joining the individual
+    query outputs: the map-only signals (counts, ratios, Flesch) ride a
+    single projection, and only entropy needs its own doc_id-keyed
+    aggregation — so the whole table costs one explode-agg plus one
+    doc_id join (the sentence term of Flesch is dropped here: this
+    fixture has no sentence punctuation, so it would be words/1 —
+    see k_flesch_readability).
+
+    Scale: both shuffles key on doc_id (uniform); output rows = docs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok_nz = F.size(F.filter(toks, lambda x: x != ""))
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")), F.lit(1)
+    )
+    base = docs.select(
+        "doc_id",
+        n_tok_nz.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias(
+            "ttr"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.size(toks), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * n_tok_nz.cast("double")
+            - F.lit(84.6) * (n_syll.cast("double") / n_tok_nz),
+            6,
+        ).alias("flesch"),
+    )
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch")).where(
+        F.col("ch") != ""
+    )
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(
+                F.round(
+                    F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1000000.0
+                ).cast("long")
+            )
+            / 1000000.0
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy")
+    )
+    return base.join(ent, "doc_id")

@@ -155,6 +155,7 @@ _RECHECK = (
     "d_weighted_median",
     "k_minhash_jaccard_estimate",
     "i_stream_python_datasource",
+    "k_quality_features",
 )
 
 
