@@ -694,3 +694,71 @@ def c_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
         """
     )
+
+
+@register(
+    "c_join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+    cand AS (
+        SELECT p.user_id, p.ts AS purchase_ts, c.click_ts,
+               abs(date_diff('microsecond', c.click_ts, p.ts)) AS abs_us,
+               date_diff('microsecond', c.click_ts, p.ts) AS lag_us
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.click_ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts + INTERVAL 1 DAY
+    )
+    SELECT user_id, purchase_ts, click_ts, lag_us FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, purchase_ts
+            ORDER BY abs_us, click_ts) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def c_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join — sensor/stream alignment where the
+    best match may be on EITHER side of the probe time (c_join_asof and
+    j_cogroup_asof are backward-only): each purchase aligns to the
+    closest click within a +/-1 day tolerance, ties (equidistant
+    before/after) broken toward the earlier click so both engines pick
+    identically.
+
+    Relational shape: the tolerance turns the per-user pairing into a
+    bounded band join — user equi-join with the interval as residual
+    filter (the c_join_scd2_asof rule: ride the equi-key, never a
+    nested-loop time join), then one (user, purchase) window keeps the
+    arg-min distance. At 100 TB the tolerance bounds per-probe fan-in;
+    without one, nearest-asof degrades to all-pairs per key — that's a
+    design property, not an implementation detail, so the API requires
+    it.
+
+    Lags are signed integer microseconds (positive = click preceded
+    purchase); abs/compare/rank all integer-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select(
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    w = W.partitionBy("user_id", "purchase_ts").orderBy(
+        F.abs(F.col("lag_us")), "click_ts"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "purchase_ts", "click_ts", "lag_us")
+    )

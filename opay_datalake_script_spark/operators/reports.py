@@ -964,3 +964,53 @@ def r_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.percentile("lag_us", 0.5).alias("median_lag_us"),
     )
+
+
+@register(
+    "r_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS day, f.first_day
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS dt,
+           CAST(count(*) FILTER (day = first_day) AS BIGINT)  AS new_users,
+           CAST(count(*) FILTER (day > first_day) AS BIGINT)  AS returning_users,
+           round(CAST(count(*) FILTER (day > first_day) AS DOUBLE) / count(*), 6)
+               AS returning_share
+    FROM daily GROUP BY dt
+    """,
+)
+def r_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split NEW vs RETURNING — the growth chart
+    every product dashboard leads with (and the denominator sanity
+    check for r_cohort_retention's triangle): a user is "new" on their
+    first-ever active day, "returning" on any later one.
+
+    One min-over-user window (single user_id shuffle, reused by the
+    distinct — the r_cohort_retention plan shape) classifies every
+    active (user, day); the rollup is calendar-bounded. The share
+    divides two exact counts, so round(6) is safe.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    w = W.partitionBy("user_id")
+    daily = (
+        ev.withColumn("first_day", F.min("day").over(w))
+        .select("user_id", "day", "first_day")
+        .distinct()
+    )
+    return daily.groupBy(F.date_format("day", "yyyy-MM-dd").alias("dt")).agg(
+        F.count_if(F.col("day") == F.col("first_day")).alias("new_users"),
+        F.count_if(F.col("day") > F.col("first_day")).alias("returning_users"),
+        F.round(
+            F.count_if(F.col("day") > F.col("first_day")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("returning_share"),
+    )

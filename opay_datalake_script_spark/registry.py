@@ -156,6 +156,8 @@ _RECHECK = (
     "k_minhash_jaccard_estimate",
     "i_stream_python_datasource",
     "k_quality_features",
+    "r_new_vs_returning",
+    "c_join_asof_nearest",
 )
 
 
