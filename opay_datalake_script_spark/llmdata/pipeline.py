@@ -854,3 +854,118 @@ def k_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("csize") * F.col("n_clusters")).alias("n_docs"),
         ((F.col("csize") - 1) * F.col("n_clusters")).alias("n_removable"),
     )
+
+
+def _incremental_dedup_oracle() -> str:
+    from .dedup import _BAND_CAND_CTES
+
+    return f"""
+    WITH {_BAND_CAND_CTES},
+    inc_norm AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+    ),
+    inc_tset AS (
+        SELECT doc_id,
+               list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+        FROM documents
+    ),
+    exact_dup AS (
+        SELECT DISTINCT n.doc_id
+        FROM inc_norm n JOIN inc_norm e ON n.h = e.h AND e.doc_id % 10 <> 0
+        WHERE n.doc_id % 10 = 0
+    ),
+    cross_cand AS (
+        SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+               CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS old_id
+        FROM band_cand WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+    ),
+    near_dup AS (
+        SELECT DISTINCT c.new_id AS doc_id
+        FROM cross_cand c
+        JOIN inc_tset a ON a.doc_id = c.new_id
+        JOIN inc_tset b ON b.doc_id = c.old_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.t, b.t))) >= 0.6
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+                WHEN nd.doc_id IS NOT NULL THEN 'dup_near'
+                ELSE 'keep' END AS label
+    FROM documents d
+    LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+    LEFT JOIN near_dup nd ON nd.doc_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """
+
+
+@register("k_incremental_dedup", oracle=_incremental_dedup_oracle())
+def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the daily-ingest reality
+    k_corpus_dedup_pipeline's full-rebuild form doesn't cover: a new
+    batch (doc_id % 10 == 0 stands in for today's crawl) is deduped
+    against the EXISTING corpus without re-comparing existing docs to
+    each other. Each new doc gets keep / dup_exact (normalized-hash
+    match against history) / dup_near (banded-MinHash candidate against
+    history, verified at Jaccard >= 0.6), exact taking precedence.
+
+    Scale design: this is why the corpus pipeline persists its hash and
+    signature columns — incremental dedup is two hash-keyed joins of
+    the NEW batch against stored indexes (here recomputed from the
+    fixture; in production read from the signature store), and the
+    banding join only ever emits new-x-existing candidate pairs for
+    verification. Cost scales with the increment times collision rate,
+    never with history size re-pairing itself. The exact-hash join keys
+    on uniform md5 (at extreme history sizes, a bloom/broadcast
+    prefilter of new-batch hashes cuts the shuffle).
+    """
+    from .dedup import band_candidate_pairs, normalized_text
+
+    d = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    hashes = d.select("doc_id", F.md5(normalized_text().cast("binary")).alias("h"))
+    new_h = hashes.where(is_new)
+    old_h = hashes.where(~is_new).select(F.col("h").alias("h_old")).distinct()
+    exact_dup = (
+        new_h.join(old_h, new_h.h == old_h.h_old, "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    cand = band_candidate_pairs(d).where(
+        (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0)
+    )
+    cross = cand.select(
+        F.when(F.col("doc_a") % 10 == 0, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
+        F.when(F.col("doc_a") % 10 == 0, F.col("doc_b")).otherwise(F.col("doc_a")).alias("old_id"),
+    )
+    tsets = d.select(
+        "doc_id", F.array_distinct(F.split(normalized_text(), " ")).alias("t")
+    )
+    a = F.broadcast(tsets.select(F.col("doc_id").alias("new_id"), F.col("t").alias("ta")))
+    b = F.broadcast(tsets.select(F.col("doc_id").alias("old_id"), F.col("t").alias("tb")))
+    jac = (
+        F.size(F.array_intersect("ta", "tb")).cast("double")
+        / F.size(F.array_union("ta", "tb"))
+    )
+    near_dup = (
+        cross.join(a, "new_id").join(b, "old_id")
+        .where(jac >= 0.6)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+
+    new_docs = d.where(is_new).select("doc_id")
+    return (
+        new_docs.join(exact_dup.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_dup.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e").isNotNull(), "dup_exact")
+            .when(F.col("_n").isNotNull(), "dup_near")
+            .otherwise("keep")
+            .alias("label"),
+        )
+    )

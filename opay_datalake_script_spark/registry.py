@@ -158,6 +158,8 @@ _RECHECK = (
     "k_quality_features",
     "r_new_vs_returning",
     "c_join_asof_nearest",
+    "a_write_audit_publish",
+    "k_incremental_dedup",
 )
 
 

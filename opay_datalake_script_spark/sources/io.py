@@ -988,3 +988,70 @@ def a_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.sum("price_e4").alias("revenue_e4")
     )
+
+
+@register(
+    "a_write_audit_publish",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 10000, 0) AS BIGINT) AS price_e4,
+           strftime(o_orderdate, '%Y-%m') AS dt
+    FROM orders
+    """,
+)
+def a_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (WAP) — the production landing discipline the
+    ACID-table world calls branch-and-merge, expressed on plain
+    directories: (1) WRITE the derived table to a staging path no
+    reader knows about; (2) AUDIT the staged files with the declarative
+    quality gates (quality.run_gates — row floor, key not-null +
+    unique, accepted status domain — ONE aggregation pass over the
+    staged data, the fail-the-DAG analog); (3) PUBLISH atomically by
+    directory rename only if every gate passed, so consumers only ever
+    see audited data. A failed audit leaves the previous published
+    version untouched and raises — bad data cannot be half-visible.
+
+    The oracle compares the PUBLISHED read-back against the source
+    projection row-for-row: a gate that silently mutated data, a
+    partial publish, or a stale-version read all break the hash.
+
+    At 100 TB the rename becomes the metastore pointer swap /
+    table-format commit (a_snapshot_time_travel's version flip); the
+    audit cost stays one scan of the new partition only.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from ..quality import accepted_values, not_null, row_count, run_gates, unique_key
+
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    root = scratch_path("wap", tag, "_")[: -len("/_")]
+    stage = f"{root}/_stage"
+    published = f"{root}/published"
+
+    derived = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 10000, 0).cast("long").alias("price_e4"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("dt"),
+    )
+    derived.write.mode("overwrite").parquet(stage)  # 1. WRITE (invisible)
+
+    staged = spark.read.parquet(stage)
+    report = run_gates(  # 2. AUDIT the actual landed files
+        staged,
+        [
+            row_count(min_rows=1),
+            not_null("o_orderkey"),
+            unique_key("o_orderkey"),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+        ],
+    )
+    report.raise_if_failed()
+
+    if _os.path.exists(published):  # 3. PUBLISH (atomic swap)
+        _shutil.rmtree(f"{root}/_prev", ignore_errors=True)
+        _os.replace(published, f"{root}/_prev")
+    _os.replace(stage, published)
+
+    return spark.read.parquet(published)

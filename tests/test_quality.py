@@ -105,3 +105,30 @@ def test_schema_evolution_null_fills_old_generation(spark):
     nulls = out.where(F.col("channel").isNull())
     assert nulls.count() == out.where(F.col("o_orderkey") % 2 == 0).count()
     assert nulls.where(F.col("o_orderkey") % 2 == 1).count() == 0
+
+
+def test_wap_failed_audit_keeps_published_version(spark):
+    """a_write_audit_publish: a failing audit must raise AND leave the
+    previously published directory untouched — bad data can never be
+    half-visible (the whole point of WAP)."""
+    import pytest
+
+    from opay_datalake_script_spark.quality import row_count, run_gates
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import scratch_path
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    # publish once (good data)
+    good = QUERIES["a_write_audit_publish"](spark, SF_DIR)
+    n_before = good.count()
+    tag = SF_DIR.rstrip("/").replace("/", "_").lstrip("_")
+    published = scratch_path("wap", tag, "_")[: -len("/_")] + "/published"
+
+    # simulate the audit step failing on a bad staged batch: the gate
+    # raises, and the published dir still serves the prior version
+    bad = spark.range(0)
+    with pytest.raises(AssertionError):
+        run_gates(bad, [row_count(min_rows=1)]).raise_if_failed()
+    assert spark.read.parquet(published).count() == n_before
