@@ -527,3 +527,40 @@ def test_lateral_topk_is_decorrelated(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "row_number" in plan
+
+
+def test_round5d_new_ops_plan_shapes(spark):
+    """Continuation-session batch invariants: no CartesianProduct
+    anywhere; SinglePartition exchanges appear ONLY for 1-row scalar
+    aggregates (grand totals / normalizers — the t_q11 broadcast
+    pattern), never for data-sized streams; r_pareto_deciles ranks via
+    the distributed global_row_number (its data windows are
+    _pid-partitioned, not one unpartitioned ORDER BY window);
+    d_weighted_median spends exactly its two uniform-key shuffles."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    for name, max_single in [
+        ("d_mode", 1),
+        ("d_weighted_median", 0),
+        ("k_temperature_mixture", 3),
+        ("r_pareto_deciles", 3),
+        ("k_incremental_dedup", 0),
+        ("c_join_asof_nearest", 0),
+        ("r_new_vs_returning", 0),
+        ("e_anomaly_mad", 0),
+    ]:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("SinglePartition") <= max_single, (
+            f"{name}: unexpected single-partition exchange"
+        )
+
+    assert count_shuffles(QUERIES["d_weighted_median"](spark, SF_DIR)) == 2
+
+    pareto = QUERIES["r_pareto_deciles"](spark, SF_DIR)
+    pplan = pareto._jdf.queryExecution().executedPlan().toString()
+    data_windows = [
+        ln for ln in pplan.splitlines() if "Window" in ln and "row_number" in ln
+    ]
+    assert data_windows and all("_pid" in ln for ln in data_windows), data_windows
