@@ -462,3 +462,97 @@ def test_bpe_train_merge_table_invariants(spark):
     assert (learned[0]["pair"], learned[0]["w_count"]) == ("a n", 7)
     # after merge: banana = b an an a -> pairs (b,an) 4, (an,an) 3, (an,a) 3
     assert (learned[1]["pair"], learned[1]["w_count"]) == ("b an", 4)
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """d_weighted_median == the definitional brute force (expand each
+    value `weight` times, take the lower median) on the sf0.001 fixture."""
+    import numpy as np
+
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    load_all_queries()
+    got = {
+        r["l_returnflag"]: (r["wmedian_e4"], r["total_weight"])
+        for r in QUERIES["d_weighted_median"](spark, "/root/testdata/sf0.001").collect()
+    }
+    li = load(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 10000, 0).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    pdf = li.toPandas()
+    for g, grp in pdf.groupby("l_returnflag"):
+        expanded = np.sort(np.repeat(grp["v"].to_numpy(), grp["w"].to_numpy()))
+        tw = int(grp["w"].sum())
+        # smallest v whose cumulative weight reaches half: element at
+        # ceil(tw/2) - 1 of the expanded sorted array
+        brute = int(expanded[(tw + 1) // 2 - 1])
+        assert got[g] == (brute, tw), (g, got[g], brute, tw)
+
+
+def test_random_projection_preserves_norms_jl(spark):
+    """Johnson-Lindenstrauss sanity — test what the lemma actually
+    guarantees at k=16: squared norms are preserved in expectation
+    (E[||y||^2] = ||x||^2) with relative sd sqrt(2/k) ~ 0.35, and
+    pairwise cosine error stays inside the ~1/sqrt(k) noise band.
+    (Cosine CORRELATION is the wrong assertion here: this fixture's
+    true cosines have sd ~0.12, smaller than the k=16 noise floor, so
+    r ~ 0.4 is the theoretically expected value, not a bug — measured
+    0.408 vs predicted 0.12/sqrt(0.12^2+0.25^2) = 0.43.)"""
+    import numpy as np
+
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    load_all_queries()
+    emb = (
+        load(spark, "/root/testdata/sf0.001", "embeddings")
+        .where(F.col("vec_id") < 40)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    proj = (
+        QUERIES["k_random_projection"](spark, "/root/testdata/sf0.001")
+        .where(F.col("vec_id") < 40)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    Y = proj[[c for c in proj.columns if c.startswith("y")]].to_numpy()
+
+    ratio = (Y**2).sum(axis=1) / (X**2).sum(axis=1)
+    assert 0.9 < ratio.mean() < 1.1, ratio.mean()
+    assert ratio.std() < 0.5, ratio.std()
+
+    def cos_mat(M):
+        n = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return (n @ n.T)[np.triu_indices(len(M), k=1)]
+
+    mae = np.abs(cos_mat(X) - cos_mat(Y)).mean()
+    assert mae < 0.3, mae  # ~0.8/sqrt(k) noise band for k=16
+
+
+def test_incremental_dedup_labels_are_sound(spark):
+    """k_incremental_dedup soundness: every dup_exact new doc has an
+    existing doc with byte-identical normalized text; every keep doc
+    has NO exact normalized twin in the existing corpus."""
+    from opay_datalake_script_spark.llmdata.dedup import normalized_text
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    load_all_queries()
+    labels = {
+        r["doc_id"]: r["label"]
+        for r in QUERIES["k_incremental_dedup"](spark, "/root/testdata/sf0.001").collect()
+    }
+    d = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", normalized_text().alias("norm")
+    ).toPandas()
+    existing = set(d[d.doc_id % 10 != 0]["norm"])
+    for _, row in d[d.doc_id % 10 == 0].iterrows():
+        if labels[row.doc_id] == "dup_exact":
+            assert row.norm in existing, row.doc_id
+        elif labels[row.doc_id] == "keep":
+            assert row.norm not in existing, row.doc_id
