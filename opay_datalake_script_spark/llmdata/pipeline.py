@@ -969,3 +969,210 @@ def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label"),
         )
     )
+
+
+def _corpus_build_oracle() -> str:
+    from .dedup import _BANDS, _MINHASH_K, _mh_expr_sql
+
+    sig_cols = ", ".join(
+        f"min({_mh_expr_sql(i)}) AS mh{i}" for i in range(_MINHASH_K)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, md5(mh{a} || ':' || mh{b}) AS bucket FROM bld_sig"
+        for j, (a, b) in enumerate(_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE gate AS (
+        SELECT doc_id, lang, source, text,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+               (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) > 0.2) AS q_pass
+        FROM documents
+    ),
+    keepmap AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper
+        FROM gate WHERE q_pass
+    ),
+    surv AS (SELECT * FROM keepmap WHERE doc_id = keeper),
+    bld_toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+        FROM surv
+    ),
+    bld_sig AS (SELECT doc_id, {sig_cols} FROM bld_toks GROUP BY doc_id),
+    bld_buckets AS ({band_union}),
+    bld_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bld_buckets a JOIN bld_buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    tsets AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
+        FROM surv
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM bld_cand c
+        JOIN tsets a ON a.doc_id = c.doc_a
+        JOIN tsets b ON b.doc_id = c.doc_b
+        WHERE a.lang = b.lang
+          AND CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tset, b.tset))) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS canonical FROM reach GROUP BY node),
+    kept AS (
+        SELECT s.doc_id, s.source FROM surv s
+        JOIN comp c ON c.doc_id = s.doc_id AND c.canonical = s.doc_id
+    ),
+    cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY source),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    wts AS (
+        SELECT source,
+               CAST(round(power(CAST(c AS DOUBLE) / (SELECT n FROM tot), 0.7)
+                          * 1000000.0) AS BIGINT) AS w_e6
+        FROM cnt
+    ),
+    tw AS (SELECT CAST(sum(w_e6) AS BIGINT) AS sw FROM wts),
+    quota AS (
+        SELECT source,
+               CAST(round(150.0 * w_e6 / (SELECT sw FROM tw)) AS BIGINT) AS n_keep
+        FROM wts
+    ),
+    sampled AS (
+        SELECT doc_id, source FROM (
+            SELECT k.doc_id, k.source, q.n_keep,
+                   row_number() OVER (
+                       PARTITION BY k.source
+                       ORDER BY md5('build:' || CAST(k.doc_id AS VARCHAR)), k.doc_id
+                   ) AS rn
+            FROM kept k JOIN quota q USING (source)
+        ) WHERE rn <= n_keep
+    )
+    SELECT row_number() OVER (
+               ORDER BY md5('build:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS ord,
+           doc_id, source
+    FROM sampled
+    """
+
+
+@register("k_corpus_build_pipeline", oracle=_corpus_build_oracle())
+def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE corpus build — every stage a production
+    pre-training data run chains, as ONE dataflow, each stage keeping
+    its operator's proven scale shape:
+
+      1. quality gate (k_quality_score's length band + TTR floor,
+         map-only),
+      2. exact dedup among gate survivors (min-doc_id keeper per
+         normalized hash — uniform 128-bit key window),
+      3. near-dup connected components among exact survivors (banded
+         md5-MinHash candidates -> exact Jaccard >= 0.6 verify ->
+         driver-steered min-label fixed point; candidates only ever
+         come from band buckets, never all-pairs),
+      4. temperature-scaled source mixture over the kept set
+         (k_temperature_mixture's p^0.7 rule with the e6-quantized
+         normalizer, 150-doc budget),
+      5. deterministic md5 training order via the DISTRIBUTED global
+         rank (k_corpus_shuffle's rule — no single-partition window).
+
+    Output: the final training manifest (ord, doc_id, source). The
+    oracle replays all five stages in one recursive-CTE SQL chain —
+    the whole pipeline, not just its pieces, is value-hash-checked.
+    Every cross-engine hazard in the composition is one this repo has
+    already neutralized stage-by-stage: md5 hash family, e6 weight
+    quantization, unique-key rank tiebreaks.
+
+    At 100 TB: stages 1-2 are one scan + one hash window; stage 3 runs
+    on the survivor set with banded equi-join candidates; stage 4's
+    tables are source-domain-bounded; stage 5 is the range-partitioned
+    global rank. Nothing materializes on the driver but component
+    convergence scalars and the source quota map.
+    """
+    from ..operators.relational import global_row_number
+    from .dedup import band_candidate_pairs, normalized_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    gate = d.select(
+        "doc_id", "lang", "source", "text",
+        F.md5(normalized_text().cast("binary")).alias("h"),
+    ).where(n_tok.between(20, 1000) & (ttr > 0.2))
+
+    keepmap = gate.withColumn("keeper", F.min("doc_id").over(W.partitionBy("h")))
+    surv = keepmap.where(F.col("doc_id") == F.col("keeper"))
+
+    cand = band_candidate_pairs(surv.select("doc_id", "text"))
+    tsets = surv.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
+    )
+    a = F.broadcast(tsets.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("lang").alias("lang_a"),
+                                 F.col("tset").alias("ta")))
+    b = F.broadcast(tsets.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("lang").alias("lang_b"),
+                                 F.col("tset").alias("tb")))
+    jac = (
+        F.size(F.array_intersect("ta", "tb")).cast("double")
+        / F.size(F.array_union("ta", "tb"))
+    )
+    pairs = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .where((F.col("lang_a") == F.col("lang_b")) & (jac >= 0.6))
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = surv.select("doc_id", F.col("doc_id").alias("comp"))
+    comp = _propagate_min_labels(labels, edges)
+    kept = (
+        surv.join(
+            comp.where(F.col("comp") == F.col("doc_id")).select("doc_id"), "doc_id"
+        )
+        .select("doc_id", "source")
+    )
+
+    cnt = kept.groupBy("source").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    wts = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.pow(F.col("c").cast("double") / F.col("n").cast("double"), 0.7)
+            * 1000000.0
+        ).cast("long").alias("w_e6"),
+    )
+    tw = wts.agg(F.sum("w_e6").alias("sw"))
+    quota = wts.crossJoin(F.broadcast(tw)).select(
+        "source",
+        F.round(F.lit(150.0) * F.col("w_e6") / F.col("sw")).cast("long").alias("n_keep"),
+    )
+    order_key = F.md5(
+        F.concat(F.lit("build:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    wsrc = W.partitionBy("source").orderBy(order_key, "doc_id")
+    sampled = (
+        kept.join(F.broadcast(quota), "source")
+        .withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") <= F.col("n_keep"))
+        .select("doc_id", "source")
+    )
+    ranked = global_row_number(
+        sampled.withColumn("_ok", order_key), F.asc("_ok"), F.asc("doc_id")
+    )
+    return ranked.select(F.col("rn").alias("ord"), "doc_id", "source")

@@ -160,6 +160,7 @@ _RECHECK = (
     "c_join_asof_nearest",
     "a_write_audit_publish",
     "k_incremental_dedup",
+    "k_corpus_build_pipeline",
 )
 
 
