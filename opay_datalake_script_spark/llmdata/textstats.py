@@ -1311,3 +1311,53 @@ def k_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy")
     )
     return base.join(ent, "doc_id")
+
+
+@register(
+    "k_blocklist_filter",
+    oracle="""
+    WITH hits AS (
+        SELECT doc_id,
+               list_sort(list_intersect(
+                   list_distinct(string_split(lower(text), ' ')),
+                   ['drop', 'leak', 'spill', 'corrupt'])) AS matched
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(matched) AS BIGINT) AS n_matched,
+           coalesce(array_to_string(matched, ','), '') AS matched_terms,
+           len(matched) = 0 AS keep
+    FROM hits
+    """,
+)
+def k_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate — the C4-style "bad words" filter (C4 dropped any
+    page containing a listed term; production corpora keep the matched
+    terms for auditability instead of silently dropping): each doc gets
+    its sorted matched-term list, match count, and a keep flag. The
+    audit trail matters — blocklists over-trigger (the classic
+    "Scunthorpe problem"), so reviewers need WHAT matched, not just
+    that something did.
+
+    The blocklist here is a 4-term stand-in folded into the plan as an
+    array literal; a real list (thousands of terms) broadcasts as a
+    lookup table and the intersect becomes a token-explode + broadcast
+    semi-join keyed on the term, grouped back per doc — same output,
+    join-shaped for lists too big for a literal.
+
+    Matching is whole-token on the lowercased split (substring matching
+    is the Scunthorpe trap), map-only, zero shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in ["drop", "leak", "spill", "corrupt"]])
+    matched = F.array_sort(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower("text"), " ")), terms
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(matched).cast("long").alias("n_matched"),
+        F.concat_ws(",", matched).alias("matched_terms"),
+        (F.size(matched) == 0).alias("keep"),
+    )

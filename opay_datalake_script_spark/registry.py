@@ -161,6 +161,7 @@ _RECHECK = (
     "a_write_audit_publish",
     "k_incremental_dedup",
     "k_corpus_build_pipeline",
+    "k_blocklist_filter",
 )
 
 

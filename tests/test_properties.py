@@ -556,3 +556,48 @@ def test_incremental_dedup_labels_are_sound(spark):
             assert row.norm in existing, row.doc_id
         elif labels[row.doc_id] == "keep":
             assert row.norm not in existing, row.doc_id
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=120), min_size=1, max_size=40
+    )
+)
+def test_merge_intervals_matches_sweep(spark, offsets):
+    """e_merge_intervals vs a pure-Python sweep on generated interval
+    sets: span count and total covered microseconds must match the
+    definitional union of [t, t+10min) windows for any input."""
+    import datetime as dtm
+
+    import opay_datalake_script_spark.operators.windows as wmod
+    from opay_datalake_script_spark.operators.windows import e_merge_intervals
+    from opay_datalake_script_spark.registry import load_all_queries
+
+    load_all_queries()
+    base = dtm.datetime(2024, 1, 1)
+    rows = [(1, base + dtm.timedelta(minutes=m)) for m in offsets]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    real_load = wmod.load
+    try:
+        wmod.load = lambda _s, _d, _t: ev
+        got = e_merge_intervals(spark, "ignored").collect()
+    finally:
+        wmod.load = real_load
+    assert len(got) == 1
+    got_spans, got_us = got[0]["n_spans"], got[0]["covered_us"]
+
+    ivs = sorted((m * 60, m * 60 + 600) for m in offsets)
+    merged = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    assert got_spans == len(merged)
+    assert got_us == sum((e - s) for s, e in merged) * 1_000_000
