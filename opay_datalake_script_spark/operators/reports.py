@@ -1014,3 +1014,62 @@ def r_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("returning_share"),
     )
+
+
+@register(
+    "r_event_order_violations",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               count(*) FILTER (event_type = 'view') OVER w  AS views_before,
+               count(*) FILTER (event_type = 'click') OVER w AS clicks_before
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (
+               (event_type = 'click' AND coalesce(views_before, 0) = 0)
+               OR (event_type = 'purchase' AND coalesce(clicks_before, 0) = 0)
+           ) AS BIGINT) AS n_violations
+    FROM seq GROUP BY event_type
+    """,
+)
+def r_event_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-ORDER validation — the state-machine DQ gate for tracking
+    streams (a click with no prior view, a purchase with no prior
+    click, usually mean lost events, client clock skew, or binlog
+    replay out of order — the reference-era pipelines' most common
+    silent corruption): per user, running counts of prerequisite
+    events feed a per-event legality flag, rolled up to violation
+    counts per event type. Complements r_event_transitions (what
+    transitions happen) with what transitions are ILLEGAL.
+
+    The prerequisite counts are two filtered running-count frames over
+    ONE user-partitioned sort (same single shuffle as sessionization);
+    ties resolve by event_id in both engines, and the 1-PRECEDING
+    frame excludes the event itself (an event cannot satisfy its own
+    prerequisite). All counts exact integers.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("views_before"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("clicks_before"),
+    )
+    viol = (
+        (F.col("event_type") == "click") & (F.coalesce("views_before", F.lit(0)) == 0)
+    ) | (
+        (F.col("event_type") == "purchase")
+        & (F.coalesce("clicks_before", F.lit(0)) == 0)
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(viol).alias("n_violations"),
+    )

@@ -162,6 +162,7 @@ _RECHECK = (
     "k_incremental_dedup",
     "k_corpus_build_pipeline",
     "k_blocklist_filter",
+    "r_event_order_violations",
 )
 
 
