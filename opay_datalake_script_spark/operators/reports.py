@@ -1073,3 +1073,111 @@ def r_event_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_if(viol).alias("n_violations"),
     )
+
+
+@register(
+    "r_revenue_bridge",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mo,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) AS BIGINT)
+                   AS s_e4
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT mo, n, s_e4,
+               lag(n)    OVER (ORDER BY mo) AS n0,
+               lag(s_e4) OVER (ORDER BY mo) AS s0
+        FROM m
+    )
+    SELECT mo, n, s_e4,
+           s_e4 - s0 AS delta_e4,
+           (n - n0) * s0      AS volume_effect_n0e4,
+           n0 * s_e4 - n * s0 AS price_effect_n0e4
+    FROM lagged WHERE n0 IS NOT NULL
+    """,
+)
+def r_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue BRIDGE (price/volume decomposition) — the month-over-
+    month delta split every finance review asks for: how much of the
+    change came from MORE ORDERS (volume effect, Δn x last month's
+    average ticket) vs BIGGER ORDERS (price effect, this month's count
+    x Δ average ticket). The two effects sum to the total delta by
+    construction.
+
+    Exactness: effects are emitted SCALED BY n0 — volume = (n-n0)*s0,
+    price = n0*s_e4 - n*s0 — pure bigint arithmetic with zero floats,
+    because the natural form divides by n0 and then a fine-precision
+    round() diverges: DuckDB's round(double, 4) goes through x*1e4
+    floating-point scaling while Spark rounds the exact binary value
+    via BigDecimal, and the two disagree by one ulp exactly at a
+    rounding boundary (observed live on the 1997-12 row). Dividing by
+    n0 for display is a presentation-layer concern. The identity
+    volume + price = n0 * delta holds EXACTLY in integers. The lag
+    window runs over the MONTH table (corpus-sublinear, the
+    r_mom_yoy_report rule), never the fact stream; at 100 TB revenue
+    scales, widen the products to decimal(38,0).
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mo")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias("s_e4"),
+    )
+    w = W.orderBy("mo")
+    lagged = m.select(
+        "mo", "n", "s_e4",
+        F.lag("n").over(w).alias("n0"),
+        F.lag("s_e4").over(w).alias("s0"),
+    ).where(F.col("n0").isNotNull())
+    return lagged.select(
+        "mo", "n", "s_e4",
+        (F.col("s_e4") - F.col("s0")).alias("delta_e4"),
+        ((F.col("n") - F.col("n0")) * F.col("s0")).alias("volume_effect_n0e4"),
+        (F.col("n0") * F.col("s_e4") - F.col("n") * F.col("s0")).alias(
+            "price_effect_n0e4"
+        ),
+    )
+
+
+@register(
+    "r_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def r_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining — which part PAIRS appear in
+    the same order (the bought-together signal behind recommendations
+    and bundle pricing): distinct parts per order self-joined within
+    the order key, pair counts, deterministic top-50 with a >= 2
+    support floor.
+
+    Scale shape: the pair join is keyed on l_orderkey, so fan-out is
+    bounded by (lines-per-order choose 2) — single-digit squared per
+    basket, NEVER corpus-quadratic (the same bounded-fan-in argument
+    as c_join_scd2_asof); the distinct collapses multi-line repeats of
+    one part first. Pair counts then aggregate on uniform (a, b) keys
+    and finish in TakeOrderedAndProject. The support floor is the
+    a-priori trick: it keeps the report the size of real signal.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(50)
+    )

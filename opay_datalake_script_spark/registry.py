@@ -163,6 +163,8 @@ _RECHECK = (
     "k_corpus_build_pipeline",
     "k_blocklist_filter",
     "r_event_order_violations",
+    "r_revenue_bridge",
+    "r_copurchase_pairs",
 )
 
 
