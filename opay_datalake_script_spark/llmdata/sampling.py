@@ -332,3 +332,56 @@ def k_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("n_keep"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "k_rejection_sample_quality",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr,
+               ('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / 4503599627370496.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, round(ttr, 6) AS ttr, round(u, 6) AS u, u < ttr AS kept
+    FROM scored
+    """,
+)
+def k_rejection_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REJECTION sampling by quality weight — the CCNet
+    soft-sampling idiom (keep probability proportional to a quality
+    score, here type-token ratio, instead of a hard threshold, so
+    borderline docs survive at reduced rate and the kept distribution
+    tilts toward quality without a cliff). The acceptance draw is an
+    md5-derived uniform u in [0,1) (13 hex chars / 2^52 — exactly
+    representable), keep iff u < score: reproducible across reruns,
+    engines, and partitionings, where rand() would break resumption
+    and could never be oracle-checked (the k_augment_token_dropout
+    rule).
+
+    The comparison u < ttr happens on the UNROUNDED values in both
+    engines — both are single-division doubles from identical exact
+    integers, so the boolean cannot flip; the rounded columns are
+    display-only. Map-only, zero shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rs:"), F.col("doc_id").cast("string")).cast("binary")),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4503599627370496.0)
+    )
+    return d.select(
+        "doc_id",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(u, 6).alias("u"),
+        (u < ttr).alias("kept"),
+    )

@@ -165,6 +165,7 @@ _RECHECK = (
     "r_event_order_violations",
     "r_revenue_bridge",
     "r_copurchase_pairs",
+    "k_rejection_sample_quality",
 )
 
 
