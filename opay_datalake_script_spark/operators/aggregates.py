@@ -744,3 +744,53 @@ def d_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("g").alias("l_returnflag"))
         .agg(F.min("val").alias("wmedian_e4"), F.min("tw").alias("total_weight"))
     )
+
+
+@register(
+    "d_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           min(n) AS n,
+           min(o_totalprice) AS p90_disc
+    FROM ranked
+    WHERE rn = (9 * n + 9) // 10
+    GROUP BY o_orderpriority
+    """,
+)
+def d_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentile — the p90 as an ACTUAL ROW's value, never an
+    interpolated midpoint (for "show me the order at the 90th
+    percentile" and for types where interpolation is meaningless —
+    timestamps, ids, enums). Both engines select the element at rank
+    ceil(0.9*n) computed as (9n+9) div 10 in INTEGER arithmetic — the
+    float form ceil(0.9*n) is a trap: 0.9 is not binary-exact, so
+    0.9*10 = 9.000000000000002 and ceil() jumps a whole rank. Rank
+    ties carry the unique o_orderkey tiebreak (the LIMIT-oracle rule),
+    so the selected row is identical in both engines with no rounding
+    anywhere.
+
+    Scale shape: one group-partitioned sort (same class as
+    e_topk_per_group); at 100 TB swap for approx_percentile or the
+    d_weighted_median cumulative-threshold form if the full sort is
+    too hot — the discrete SEMANTICS stay.
+    """
+    o = load(spark, sf_dir, "orders")
+    wp = W.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wp.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.expr("(9 * n + 9) div 10"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("n").alias("n"), F.min("o_totalprice").alias("p90_disc"))
+    )

@@ -166,6 +166,7 @@ _RECHECK = (
     "r_revenue_bridge",
     "r_copurchase_pairs",
     "k_rejection_sample_quality",
+    "d_percentile_disc",
 )
 
 
