@@ -372,3 +372,153 @@ def k_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     )
+
+
+_AHASH_ORACLE = """
+    WITH px AS (
+        SELECT doc_id,
+               unicode(substr(text, CAST(i AS INTEGER), 1)) AS v,
+               (i - 1) // 32 AS r, (i - 1) % 32 AS c,
+               (len(text) // 32) AS h
+        FROM documents, unnest(generate_series(1, (len(text) // 32) * 32)) AS u(i)
+        WHERE len(text) // 32 >= 8
+    ),
+    blk AS (
+        SELECT doc_id, (r * 8) // h AS br, (c * 8) // 32 AS bc,
+               CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM px GROUP BY doc_id, br, bc
+    ),
+    tot AS (
+        SELECT doc_id, CAST(sum(v) AS BIGINT) AS st,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM px GROUP BY doc_id
+    ),
+    bits AS (
+        SELECT b.doc_id, b.br * 8 + b.bc AS bit,
+               CASE WHEN b.s * t.nt > t.st * b.n THEN 1 ELSE 0 END AS on_bit
+        FROM blk b JOIN tot t USING (doc_id)
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN bit < 32
+                             THEN on_bit * (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN bit >= 32
+                             THEN on_bit * (1::BIGINT << (bit - 32)) ELSE 0 END)
+                    AS BIGINT) AS hi
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, (lo & 65535) AS key FROM hashes
+        UNION ALL SELECT doc_id, 1, ((lo >> 16) & 65535) FROM hashes
+        UNION ALL SELECT doc_id, 2, (hi & 65535) FROM hashes
+        UNION ALL SELECT doc_id, 3, ((hi >> 16) & 65535) FROM hashes
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.lo, hb.lo)) AS BIGINT)
+           + CAST(bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+    WHERE CAST(bit_count(xor(ha.lo, hb.lo)) AS BIGINT)
+          + CAST(bit_count(xor(ha.hi, hb.hi)) AS BIGINT) <= 3
+"""
+
+
+def _ahash_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode each raw-grayscale blob and emit the
+    64-bit average-hash as two 32-bit halves. All arithmetic is integer
+    (block-mean vs global-mean compared by exact cross-multiply
+    s*N > S*n), so the hash is bit-identical to the SQL oracle."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, los, his = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            img = decode_raw_grayscale(blob, IMG_W)
+            if img is None or img.shape[0] < 8:
+                continue
+            h, w = img.shape
+            br = (np.arange(h, dtype=np.int64) * 8) // h
+            bc = (np.arange(w, dtype=np.int64) * 8) // w
+            idx = (br[:, None] * 8 + bc[None, :]).ravel()
+            flat = img.ravel().astype(np.int64)
+            s = np.bincount(idx, weights=flat, minlength=64).astype(np.int64)
+            n = np.bincount(idx, minlength=64).astype(np.int64)
+            st, nt = int(flat.sum()), int(h * w)
+            on = (s * nt) > (st * n)
+            lo = sum(1 << b for b in range(32) if on[b])
+            hi = sum(1 << (b - 32) for b in range(32, 64) if on[b])
+            ids.append(doc_id); los.append(lo); his.append(hi)
+        yield pd.DataFrame({"doc_id": ids, "lo": los, "hi": his})
+
+
+@register("k_image_ahash_dedup", oracle=_AHASH_ORACLE)
+def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup — average-hash (aHash) over the raw-
+    grayscale blobs: each image is reduced to an 8x8 grid of block
+    means, each bit set iff its block is brighter than the image mean,
+    and near-duplicate images are pairs within hamming distance 3 of
+    the 64-bit hash — robust to small pixel noise where byte-exact
+    dedup (k_exact_dedup on blobs) is blind. This is the image-side
+    twin of k_simhash, and the missing piece between "decode images"
+    (k_multimodal_decode) and "dedup the corpus".
+
+    Scale design mirrors the text LSH: the hash splits into 4 bands of
+    16 bits and candidates come from a band equi-join — by pigeonhole,
+    hamming <= 3 flips at most 3 bands, so AT LEAST ONE band matches
+    exactly: recall is 1.0 BY CONSTRUCTION at this threshold (not
+    probabilistic like MinHash banding), and no all-pairs comparison
+    exists anywhere. Verification is bit_count(xor) on the band hits.
+
+    Exactness: block brightness bits compare s*N > S*n in exact
+    integers (never float means), so the hash — and therefore the
+    candidate set and every hamming distance — is bit-identical across
+    engines; the oracle recomputes pixels via unicode(char) like
+    k_multimodal_decode. Images shorter than 8 rows are excluded (an
+    8x8 grid needs 8 rows; 291/500 qualify at sf0.01).
+
+    Per-band bucket skew: near-constant images share degenerate hashes
+    (all-zero bands); real pipelines pre-filter flat images by variance
+    (px_std from k_multimodal_decode) before banding.
+    """
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    hashes = media.mapInPandas(_ahash_worker, schema="doc_id long, lo long, hi long")
+
+    bands = None
+    for i, expr in enumerate(
+        ["lo & 65535", "shiftright(lo, 16) & 65535",
+         "hi & 65535", "shiftright(hi, 16) & 65535"]
+    ):
+        part = hashes.select(
+            "doc_id", F.lit(i).alias("band"), F.expr(expr).alias("key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = F.broadcast(hashes.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")))
+    hb = F.broadcast(hashes.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")))
+    hamming = (
+        F.bit_count(F.expr("lo_a ^ lo_b")).cast("long")
+        + F.bit_count(F.expr("hi_a ^ hi_b")).cast("long")
+    )
+    return (
+        cand.join(ha, "doc_a").join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )

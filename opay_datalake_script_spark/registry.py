@@ -167,6 +167,7 @@ _RECHECK = (
     "r_copurchase_pairs",
     "k_rejection_sample_quality",
     "d_percentile_disc",
+    "k_image_ahash_dedup",
 )
 
 
