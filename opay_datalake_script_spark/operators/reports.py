@@ -1181,3 +1181,60 @@ def r_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "r_velocity_flags",
+    oracle="""
+    WITH bursts AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 120 MINUTES PRECEDING
+                                        AND CURRENT ROW) AS burst
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(max(burst) AS BIGINT) AS max_burst,
+           CAST(count(*) FILTER (burst >= 4) AS BIGINT) AS n_flagged
+    FROM bursts GROUP BY user_id
+    HAVING max(burst) >= 4
+    """,
+)
+def r_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VELOCITY check — the fraud/abuse primitive (N actions within a
+    sliding wall-clock window; card-testing bursts, scraper loops,
+    promo farming): for every event, the count of the same user's
+    events in the trailing 2 hours via a RANGE frame over event
+    TIME (not rows — a row frame miscounts whenever event density
+    varies, which is exactly when velocity matters); users whose peak
+    burst reaches 4 are reported with their flag counts.
+
+    The range frame orders by integer microseconds on the Spark side
+    so both engines bound the window with identical inclusive
+    arithmetic (the e_range_frame rule). Counts are exact ints.
+
+    Scale shape: one user-partitioned sort shared by the frame and the
+    rollup; the HAVING keeps output at flagged-user size. Unlike
+    e_sessionize_batch (gap splits) this measures sustained RATE —
+    a steady half-hour drumbeat never sessionizes apart but still
+    trips velocity. Window and threshold are tuned so the fixture
+    actually flags users (max 10-min burst here is 3 — a vacuous
+    always-empty gate verifies nothing).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7_200_000_000, 0)
+    )
+    bursts = ev.select("user_id", F.count("*").over(w).alias("burst"))
+    return (
+        bursts.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("burst").alias("max_burst"),
+            F.count_if(F.col("burst") >= 4).alias("n_flagged"),
+        )
+        .where(F.col("max_burst") >= 4)
+    )

@@ -168,6 +168,7 @@ _RECHECK = (
     "k_rejection_sample_quality",
     "d_percentile_disc",
     "k_image_ahash_dedup",
+    "r_velocity_flags",
 )
 
 
