@@ -807,3 +807,64 @@ def e_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("d") > 3 * F.col("mad_e4")).alias("n_outliers"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "e_peak_concurrency",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT user_id, ts + INTERVAL 10 MINUTES, -1 FROM events
+    ),
+    running AS (
+        SELECT user_id,
+               sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta)
+                   AS concurrent
+        FROM bounds
+    )
+    SELECT user_id, CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+    FROM running GROUP BY user_id
+    HAVING max(concurrent) >= 2
+    """,
+)
+def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK concurrency — the maximum number of simultaneously-open
+    intervals (each event opens a 10-minute activity window): the
+    capacity-planning / session-overlap primitive (concurrent rides,
+    parallel requests, seats in use) that e_merge_intervals' coverage
+    union deliberately erases. Classic boundary sweep: every interval
+    contributes a +1 at its start and a -1 at its end, a running sum
+    over the time-ordered boundaries IS the concurrency curve, and the
+    per-user max is the answer.
+
+    Tie rule: at an exact touch (one window ends where another begins)
+    the ORDER BY t, delta puts the -1 FIRST, so touching-not-
+    overlapping intervals never count as concurrent — and both engines
+    order identically because delta is part of the sort key. Counts
+    are exact integers throughout.
+
+    Scale shape: the boundary union doubles the row count map-side,
+    then ONE user-partitioned sort carries both the running sum and
+    the rollup (same single-shuffle class as sessionize/merge); HAVING
+    keeps the report at flagged-user size.
+    """
+    ev = load(spark, sf_dir, "events")
+    starts = ev.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = bounds.select("user_id", F.sum("delta").over(w).alias("concurrent"))
+    return (
+        running.groupBy("user_id")
+        .agg(F.max("concurrent").alias("peak_concurrent"))
+        .where(F.col("peak_concurrent") >= 2)
+    )

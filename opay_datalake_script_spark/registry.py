@@ -169,6 +169,7 @@ _RECHECK = (
     "d_percentile_disc",
     "k_image_ahash_dedup",
     "r_velocity_flags",
+    "e_peak_concurrency",
 )
 
 
