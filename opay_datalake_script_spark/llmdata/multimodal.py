@@ -22,7 +22,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -521,4 +521,102 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, "doc_a").join(hb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= 3)
+    )
+
+
+@register(
+    "k_audio_active_segments",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               unicode(substr(text, CAST(i AS INTEGER), 1)) AS v,
+               (i - 1) // 32 AS f
+        FROM documents, unnest(generate_series(1, (len(text) // 32) * 32)) AS u(i)
+    ),
+    fr AS (
+        SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS ss
+        FROM px GROUP BY doc_id, f
+    ),
+    loud AS (
+        SELECT doc_id, f,
+               f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS island
+        FROM fr WHERE ss >= 314000
+    ),
+    seg AS (
+        SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run_len
+        FROM loud GROUP BY doc_id, island
+    )
+    SELECT f.doc_id,
+           CAST(count(DISTINCT f.f) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT CASE WHEN f.ss >= 314000 THEN f.f END) AS BIGINT)
+               AS n_loud,
+           coalesce(CAST(s.n_segments AS BIGINT), 0) AS n_segments,
+           coalesce(s.longest_run, 0) AS longest_run
+    FROM fr f
+    LEFT JOIN (
+        SELECT doc_id, count(*) AS n_segments, max(run_len) AS longest_run
+        FROM seg GROUP BY doc_id
+    ) s USING (doc_id)
+    GROUP BY f.doc_id, s.n_segments, s.longest_run
+    """,
+)
+def k_audio_active_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity segmentation over PCM audio — the VAD-shaped op (speech
+    vs silence runs) built on the same framed 8-bit PCM blobs as
+    k_audio_frame_rms: frames whose ENERGY (sum of squared samples —
+    kept as an exact integer; RMS itself would drag sqrt floats into
+    the threshold compare) clears a threshold are "active", and
+    contiguous active frames fuse into segments via the gaps-and-
+    islands key (frame_no - row_number, the e_streaks_islands rule).
+    Per clip: frame count, active frames, segment count, longest run —
+    what a speech-data pipeline stores to cut silence and bound sample
+    lengths.
+
+    Scale shape: framing + energy is one uniform (doc, frame) agg over
+    the decoded stream; islands ride a doc-partitioned window; the
+    rollup is doc-sized. All integer arithmetic — nothing can flip.
+    """
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+
+    def frame_energy(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, fs, sss = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = (len(blob) // FRAME_N) * FRAME_N
+                if n == 0:
+                    continue
+                arr = (
+                    np.frombuffer(blob[:n], dtype=np.uint8)
+                    .reshape(-1, FRAME_N)
+                    .astype(np.int64)
+                )
+                ss = (arr * arr).sum(axis=1)
+                k = arr.shape[0]
+                ids.extend([doc_id] * k)
+                fs.extend(range(k))
+                sss.extend(ss.tolist())
+            yield pd.DataFrame({"doc_id": ids, "f": fs, "ss": sss})
+
+    fr = media.mapInPandas(frame_energy, schema="doc_id long, f long, ss long")
+    loud = fr.where(F.col("ss") >= 314000).withColumn(
+        "island",
+        F.col("f") - F.row_number().over(W.partitionBy("doc_id").orderBy("f")),
+    )
+    seg = loud.groupBy("doc_id", "island").agg(F.count("*").alias("run_len"))
+    seg_stats = seg.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"), F.max("run_len").alias("longest_run")
+    )
+    per_doc = fr.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.count_if(F.col("ss") >= 314000).alias("n_loud"),
+    )
+    return per_doc.join(seg_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_loud",
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
     )

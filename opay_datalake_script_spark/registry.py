@@ -170,6 +170,7 @@ _RECHECK = (
     "k_image_ahash_dedup",
     "r_velocity_flags",
     "e_peak_concurrency",
+    "k_audio_active_segments",
 )
 
 
