@@ -682,3 +682,32 @@ def h_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("value", F.col("event_id") % 5).alias("safe_ratio"),
         F.try_element_at(F.split("event_type", "_"), F.lit(5)).alias("oob_element"),
     )
+
+
+@register(
+    "h_encode_battery",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+               = substr(text, 1, 24) AS rt_ok,
+           hex(substr(text, 1, 16)) AS hx
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def h_encode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-text codec battery — base64 encode, full decode round
+    trip, and hex dump (the blob-in-JSON / wire-format / debugging
+    idioms: attachments in event payloads, keys in logs). Both engines
+    agree byte-for-byte on standard base64 (same alphabet + padding)
+    and uppercase hex, probed empirically before registering. Map-only.
+    """
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    head24 = F.substring("text", 1, 24)
+    b64 = F.base64(F.encode(head24, "UTF-8"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        (F.decode(F.unbase64(b64), "UTF-8") == head24).alias("rt_ok"),
+        F.hex(F.substring("text", 1, 16)).alias("hx"),
+    )

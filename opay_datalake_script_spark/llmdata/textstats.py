@@ -1361,3 +1361,68 @@ def k_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", matched).alias("matched_terms"),
         (F.size(matched) == 0).alias("keep"),
     )
+
+
+@register(
+    "k_ngram_novelty",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i+1] || ' '
+                        || string_split(text, ' ')[i+2]))) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM tri GROUP BY sh)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count(*) FILTER (d.df = 1) AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (d.df = 1) AS DOUBLE) / count(*), 6)
+               AS novelty
+    FROM tri t JOIN df d USING (sh)
+    GROUP BY t.doc_id
+    """,
+)
+def k_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY per document — the template/boilerplate signal
+    dual to k_contamination_check: the fraction of a doc's distinct
+    word trigrams that appear in NO other document (document frequency
+    = 1). Low novelty means the doc is assembled from corpus-common
+    spans (mirrored templates, scraped duplicates the hash dedups
+    missed, SEO spam); memorization-risk audits ALSO read the other
+    tail — a high-novelty doc's trigrams are unique carriers if a
+    model reproduces them.
+
+    Shape: distinct trigrams exploded once, document frequency by one
+    uniform shingle-keyed aggregation, then ONE join back on the same
+    key and a doc_id rollup — the k_line_dedup shape one level up
+    (spans instead of lines). At 100 TB the shingle key becomes a
+    64-bit hash so the exchange is fixed-width. The novelty ratio
+    divides two exact counts, so round(6) is safe.
+    """
+    d = load(spark, sf_dir, "documents")
+    tri = (
+        d.where(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_TRIGRAM_EXPR_TS))).alias("sh"))
+    )
+    df = tri.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        tri.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.count_if(F.col("df") == 1).alias("n_novel"),
+            F.round(
+                F.count_if(F.col("df") == 1).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+_TRIGRAM_EXPR_TS = (
+    "transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> split(text, ' ')[i-1] || ' ' || split(text, ' ')[i] || ' '"
+    " || split(text, ' ')[i+1])"
+)

@@ -171,6 +171,8 @@ _RECHECK = (
     "r_velocity_flags",
     "e_peak_concurrency",
     "k_audio_active_segments",
+    "h_encode_battery",
+    "k_ngram_novelty",
 )
 
 
