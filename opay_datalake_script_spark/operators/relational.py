@@ -435,3 +435,77 @@ def b_mask_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_hint"
         ),
     )
+
+
+@register(
+    "g_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'P')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('O', 'P')
+    """,
+)
+def g_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag-semantics difference (multiplicity = left count
+    minus right count, floored at zero), the last member of the set-op
+    family (g_except is the DISTINCT form, g_intersect_all the bag
+    intersection): a customer with 3 F/P orders and 1 O/P order
+    contributes the key TWICE — the "remaining occurrences" semantics
+    reconciliation reports need (shipments minus invoices). Same plan
+    class as intersectAll: one aggregate counting per branch + a
+    generate replaying the surplus, a single shuffle on the key, no
+    join.
+    """
+    o = load(spark, sf_dir, "orders")
+    lhs = o.where(F.col("o_orderstatus").isin("F", "P")).select("o_custkey")
+    rhs = o.where(F.col("o_orderstatus").isin("O", "P")).select("o_custkey")
+    return lhs.exceptAll(rhs)
+
+
+@register(
+    "f_keyset_pagination",
+    oracle="""
+    WITH cur AS (
+        SELECT o_totalprice AS p0, o_orderkey AS k0
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 199
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM orders, cur
+    WHERE o_totalprice < p0 OR (o_totalprice = p0 AND o_orderkey > k0)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def f_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (cursor) pagination — the other half of the pagination
+    story next to f_offset_pagination: instead of a rank-band filter,
+    the client passes the LAST KEY it saw and the server returns the
+    next page with a pure predicate + top-k. The predicate pushes into
+    the scan and TakeOrderedAndProject keeps k rows per partition —
+    constant work per page with NO global rank structure at all, which
+    is why every API paginates this way (and why the sort key must be
+    a unique composite: a bare price cursor skips or repeats ties).
+
+    The cursor here is the (price, orderkey) pair of rank-200 — looked
+    up in the oracle by subquery, fixed on the Spark side by the same
+    deterministic ordering. Descending-price keyset needs the explicit
+    tie-aware predicate (p < p0) OR (p = p0 AND k > k0) on BOTH sides:
+    a SQL row-value comparison (p, k) < (p0, k0) points the key leg the
+    WRONG WAY for a mixed DESC/ASC sort and only coincidentally matches
+    on tie-free fixtures.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cursor = (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(200)
+        .orderBy(F.asc("o_totalprice"), F.desc("o_orderkey")).limit(1)
+        .first()
+    )
+    p0, k0 = cursor["o_totalprice"], cursor["o_orderkey"]
+    after = (F.col("o_totalprice") < p0) | (
+        (F.col("o_totalprice") == p0) & (F.col("o_orderkey") > k0)
+    )
+    return (
+        o.where(after)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

@@ -173,6 +173,8 @@ _RECHECK = (
     "k_audio_active_segments",
     "h_encode_battery",
     "k_ngram_novelty",
+    "g_except_all",
+    "f_keyset_pagination",
 )
 
 
