@@ -1176,3 +1176,99 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampled.withColumn("_ok", order_key), F.asc("_ok"), F.asc("doc_id")
     )
     return ranked.select(F.col("rn").alias("ord"), "doc_id", "source")
+
+
+@register(
+    "k_mlm_mask",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    coded AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks) + 1), i -> CASE
+                   WHEN ('0x' || substr(md5('mlm:' || doc_id || ':' || i), 1, 15))
+                        ::BIGINT % 100 >= 15 THEN 0
+                   WHEN (('0x' || substr(md5('mlm:' || doc_id || ':' || i), 1, 15))
+                         ::BIGINT // 100) % 10 < 8 THEN 1
+                   WHEN (('0x' || substr(md5('mlm:' || doc_id || ':' || i), 1, 15))
+                         ::BIGINT // 100) % 10 = 8
+                        THEN 10 + ((('0x' || substr(md5('mlm:' || doc_id || ':' || i),
+                                                    1, 15))::BIGINT // 1000)
+                                   % len(toks)) + 1
+                   ELSE 2 END) AS codes
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(codes, c -> c != 0)) AS BIGINT)  AS n_masked,
+           CAST(len(list_filter(codes, c -> c = 1)) AS BIGINT)   AS n_mask_tok,
+           CAST(len(list_filter(codes, c -> c >= 10)) AS BIGINT) AS n_random,
+           CAST(len(list_filter(codes, c -> c = 2)) AS BIGINT)   AS n_keep,
+           md5(array_to_string(
+               list_transform(codes, (c, i) -> CASE
+                   WHEN c = 1 THEN '[MASK]'
+                   WHEN c >= 10 THEN toks[c - 10]
+                   ELSE toks[i] END), ' ')) AS masked_md5
+    FROM coded
+    """,
+)
+def k_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-LM data prep: 15% of token positions are
+    selected, and a selected position becomes ``[MASK]`` with p=0.8, a
+    random in-document token with p=0.1, or stays unchanged with p=0.1
+    (Devlin et al. 2018 §3.1 proportions).
+
+    Every random choice derives from md5("mlm:"||doc_id||":"||pos) —
+    the k_augment_token_dropout rule: `rand()` could never be
+    oracle-checked, breaks resume-from-checkpoint reproducibility, and
+    re-rolls masks between epochs unless seeded per position anyway.
+    The DuckDB oracle replays the identical arithmetic and the FULL
+    masked sequence is compared via md5, so a single off-by-one in any
+    position's decision breaks the hash.
+
+    Plan shape: map-only — one projection of JVM higher-order
+    functions (two `transform` passes: decisions coded once per
+    position, then the output token resolved by indexed lambda, so
+    the md5 family is evaluated once, not once per output pass), zero
+    shuffles, embarrassing parallelism at 100 TB. Lambda index seam:
+    Spark's two-arg transform index is 0-based, DuckDB's is 1-based —
+    both sides resolve the original token at the SAME 1-based
+    position.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = (
+        "cast(conv(substr(md5(concat('mlm:', cast(doc_id as string), ':',"
+        " cast(i as string))), 1, 15), 16, 10) as bigint)"
+    )
+    coded = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    ).withColumn(
+        "codes",
+        F.expr(
+            f"""transform(sequence(1, size(toks)), i -> CASE
+                WHEN {u} % 100 >= 15 THEN 0
+                WHEN ({u} div 100) % 10 < 8 THEN 1
+                WHEN ({u} div 100) % 10 = 8
+                     THEN 10 + (({u} div 1000) % size(toks)) + 1
+                ELSE 2 END)"""
+        ),
+    )
+    return coded.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr("cast(size(filter(codes, c -> c != 0)) as bigint)").alias("n_masked"),
+        F.expr("cast(size(filter(codes, c -> c = 1)) as bigint)").alias("n_mask_tok"),
+        F.expr("cast(size(filter(codes, c -> c >= 10)) as bigint)").alias("n_random"),
+        F.expr("cast(size(filter(codes, c -> c = 2)) as bigint)").alias("n_keep"),
+        F.md5(
+            F.expr(
+                """concat_ws(' ', transform(codes, (c, i) -> CASE
+                    WHEN c = 1 THEN '[MASK]'
+                    WHEN c >= 10 THEN element_at(toks, cast(c - 10 as int))
+                    ELSE element_at(toks, i + 1) END))"""
+            )
+        ).alias("masked_md5"),
+    )

@@ -794,3 +794,180 @@ def d_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.min("n").alias("n"), F.min("o_totalprice").alias("p90_disc"))
     )
+
+
+@register(
+    "d_count_min_sketch",
+    oracle="""
+    WITH hp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+    cells AS (
+        SELECT i,
+               ('0x' || substr(md5(i || ':' || user_id), 1, 15))::BIGINT % 256
+                   AS col,
+               count(*) AS c
+        FROM events CROSS JOIN hp
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT user_id, count(*) AS true_cnt
+        FROM events GROUP BY user_id
+        ORDER BY true_cnt DESC, user_id LIMIT 20
+    )
+    SELECT p.user_id, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+           CAST(min(c.c) AS BIGINT) AS est_cnt
+    FROM probe p
+    CROSS JOIN hp
+    JOIN cells c
+      ON c.i = hp.i
+     AND c.col = ('0x' || substr(md5(hp.i || ':' || p.user_id), 1, 15))::BIGINT
+                 % 256
+    GROUP BY 1, 2
+    """,
+)
+def d_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan), built and probed with a
+    DETERMINISTIC md5-derived hash family so the whole sketch — not just
+    a recall bound — is oracle-checked: cell counts AND the min-over-rows
+    point estimates are reproduced bit-for-bit in DuckDB.
+
+    Shape: depth d=4, width w=256 -> the sketch is a fixed 1,024-cell
+    table no matter the stream size. One map-side Expand (explode of the
+    4 per-row (row, col) coordinates) feeds one hash aggregation whose
+    output is O(d*w), so at 100 TB the shuffle carries only partial
+    cells per map task — this is the classic mergeable-summary shape
+    (partial sketches combine by cell-wise +). Probing broadcasts the
+    1,024-cell table back to the top-20 keys (taken from the exact
+    per-key counts so the oracle's probe set is identical) and takes
+    min over the d cells; CMS guarantees est >= true with overestimate
+    bounded by eps*N at confidence 1-delta.
+
+    The exact per-user count table used for probe selection is
+    corpus-sublinear (|users| rows); its top-20 cut is a
+    driver-independent orderBy+limit (TakeOrderedAndProject).
+    """
+    ev = load(spark, sf_dir, "events")
+    depth, width = 4, 256
+
+    def col_i(i, key):
+        h = F.md5(F.concat_ws(":", F.lit(i), key.cast("string")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width).alias(
+            "col"
+        )
+
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("row"), col_i(i, F.col("user_id")))
+                for i in range(depth)
+            ]
+        )
+    ).alias("rc")
+    cells = (
+        ev.select(coords)
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(20)
+    )
+    probe_coords = probe.select(
+        "user_id",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), col_i(i, F.col("user_id")))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    )
+    return (
+        probe_coords.join(
+            F.broadcast(cells),
+            (F.col("rc.row") == cells.row) & (F.col("rc.col") == cells.col),
+        )
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+
+
+@register(
+    "d_corr_covar",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT)                      AS x,
+               CAST(round(value * 100, 0) AS BIGINT)         AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*)   AS BIGINT) AS n,
+               CAST(sum(x)     AS BIGINT) AS sx,
+               CAST(sum(y)     AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_xy,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0, 6)
+               AS covar_samp_cents,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+               AS covar_pop_cents
+    FROM s
+    """,
+)
+def d_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / covar_pop per event_type — computed from
+    EXACT bigint power sums (n, Sx, Sy, Sxx, Syy, Sxy) instead of the
+    built-in double-accumulator aggregates, the r_user_trend_slope
+    scheme: reassociating double sums across partitions makes
+    F.corr/F.covar_samp order-sensitive in the last ulps, while integer
+    sums commute exactly, and the final closed-form expression is the
+    IDENTICAL left-associated float expression in both engines.
+
+    x = event hour (0-23), y = value in exact cents. One hash
+    aggregation (map-side partial sums), 5-row output. Int64 headroom:
+    |Sxy| <= n * 23 * 5e4, so n*Sxy stays under 2^63 to ~3e11 rows per
+    group; past that, swap the accumulator to decimal(38,0) — same
+    plan shape (documented, not needed at fixture scale).
+    """
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num / F.sqrt(vx * vy), 6).alias("corr_xy"),
+        F.round(
+            num / F.col("n").cast("double") / (F.col("n") - 1).cast("double") / 100.0,
+            6,
+        ).alias("covar_samp_cents"),
+        F.round(
+            num / F.col("n").cast("double") / F.col("n").cast("double") / 100.0, 6
+        ).alias("covar_pop_cents"),
+    )

@@ -762,3 +762,51 @@ def c_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "purchase_ts", "click_ts", "lag_us")
     )
+
+
+@register(
+    "c_join_skew_salted",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-skewed-dim join — the manual skew-mitigation
+    pattern for when the hot side is too big to broadcast and AQE's
+    skew-join split cannot help (it only splits sort-merge partitions
+    AFTER a full shuffle of both sides has happened).
+
+    Construction: the fact row picks a deterministic salt in [0, S)
+    (pmod of xxhash64 over its own primary key — any per-row spreader
+    works because the other side carries every salt), and the
+    dimension side is exploded S ways so (key, salt) still finds
+    exactly one match. The join key becomes the composite
+    (c_custkey, _salt), so a single hot custkey's rows now land on S
+    reducers instead of one. A `shuffle_hash` hint keeps Catalyst from
+    short-circuiting the demonstration with a broadcast (which is the
+    RIGHT plan for this fixture-sized dim — salting is for the case
+    where it isn't; the hint stands in for that regime).
+
+    Cost model at 100 TB: dim shuffle volume inflates S-fold (bounded,
+    choose S ~ hottest-key-rows / average-partition-rows); fact shuffle
+    volume is unchanged; the hot key's reduce-side work drops S-fold.
+    Result set is provably identical to the unsalted join, which is
+    exactly what the oracle checks.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    salt_n = 8
+    fact = o.withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(salt_n)).cast("int")
+    )
+    dim = c.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    return (
+        fact.join(
+            dim.hint("shuffle_hash"),
+            (fact.o_custkey == dim.c_custkey) & (fact._salt == dim._salt),
+        )
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )

@@ -1238,3 +1238,91 @@ def r_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("max_burst") >= 4)
     )
+
+
+@register(
+    "r_attribution_linear",
+    oracle="""
+    WITH pur AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(round(value * 10000, 0) AS BIGINT) AS v4
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clk AS (
+        SELECT event_id AS cid, user_id, ts AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+        SELECT p.pid, p.v4, c.cid,
+               count(*)    OVER (PARTITION BY p.pid) AS n,
+               row_number() OVER (PARTITION BY p.pid
+                                  ORDER BY c.cts DESC, c.cid DESC) AS rn
+        FROM pur p JOIN clk c
+          ON p.user_id = c.user_id
+         AND c.cts >= p.pts - INTERVAL 24 HOUR
+         AND c.cts < p.pts
+    )
+    SELECT pid AS purchase_event_id, cid AS click_event_id,
+           CAST(n AS BIGINT) AS n_touches,
+           CAST(CASE WHEN rn = 1 THEN v4 - (n - 1) * (v4 // n)
+                     ELSE v4 // n END AS BIGINT) AS attributed_e4
+    FROM pairs
+    """,
+)
+def r_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch marketing attribution: each purchase's value is
+    split equally across every click by the same user in the trailing
+    24 h, the standard growth-team alternative to last-touch
+    (j_cogroup_asof / c_join_asof_nearest cover the single-touch leg).
+
+    Money is split in EXACT integer ten-thousandths with the division
+    remainder assigned to the most recent touch — integer floor-division
+    shares sum back to the purchase total by construction (conservation
+    is property-tested), where the naive value/n double split both
+    leaks ulps and drifts between engines.
+
+    Relational shape: purchase->click is the bounded band join again —
+    user_id equi-join carries the shuffle, the 24 h interval is a
+    residual filter, so per-purchase fan-in is bounded by one user's
+    24 h click rate. The per-purchase count and remainder rank share
+    ONE purchase-id-partitioned window sort. At 100 TB nothing here is
+    corpus-quadratic; the output grain is (purchase, click) which is
+    exactly the audit grain an attribution table ships.
+    """
+    ev = load(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = pur.join(
+        clk,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+    )
+    wp = W.partitionBy("pid")
+    ranked = pairs.select(
+        "pid",
+        "cid",
+        "v4",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("cts"), F.desc("cid")))
+        .alias("rn"),
+    )
+    share = F.expr("v4 div n")
+    return ranked.select(
+        F.col("pid").alias("purchase_event_id"),
+        F.col("cid").alias("click_event_id"),
+        F.col("n").alias("n_touches"),
+        F.when(F.col("rn") == 1, F.col("v4") - (F.col("n") - 1) * share)
+        .otherwise(share)
+        .alias("attributed_e4"),
+    )

@@ -564,3 +564,32 @@ def test_round5d_new_ops_plan_shapes(spark):
         ln for ln in pplan.splitlines() if "Window" in ln and "row_number" in ln
     ]
     assert data_windows and all("_pid" in ln for ln in data_windows), data_windows
+
+
+def test_round5e_new_ops_plan_shapes(spark):
+    """Fifth-wave batch invariants. The salted join's whole point is its
+    physical shape, so that is what gets pinned: a ShuffledHashJoin
+    (not broadcast — broadcast would erase the skew problem AND the
+    demonstration) whose partitioning keys include the salt column, so
+    a hot custkey's rows really do spread over S reducers. k_mlm_mask
+    must stay map-only (zero exchanges); d_corr_covar is one hash-agg
+    shuffle; the CMS probe joins the 1,024-cell sketch via broadcast."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    salted = QUERIES["c_join_skew_salted"](spark, SF_DIR)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "_salt" in plan
+
+    assert count_shuffles(QUERIES["k_mlm_mask"](spark, SF_DIR)) == 0
+    assert count_shuffles(QUERIES["d_corr_covar"](spark, SF_DIR)) == 1
+
+    cms = QUERIES["d_count_min_sketch"](spark, SF_DIR)
+    cplan = cms._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cplan, cplan
+    assert "CartesianProduct" not in cplan
+
+    attr = QUERIES["r_attribution_linear"](spark, SF_DIR)
+    aplan = attr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in aplan

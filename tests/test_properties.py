@@ -601,3 +601,26 @@ def test_merge_intervals_matches_sweep(spark, offsets):
             merged.append([s, e])
     assert got_spans == len(merged)
     assert got_us == sum((e - s) for s, e in merged) * 1_000_000
+
+
+def test_attribution_shares_conserve_purchase_totals(spark):
+    """r_attribution_linear's integer split must conserve money: the
+    attributed_e4 shares of each purchase sum back to EXACTLY its
+    round(value*1e4) — the floor-division remainder goes to the
+    last touch, so no ten-thousandth is created or destroyed (the
+    double value/n split fails this under summation)."""
+    from opay_datalake_script_spark.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = QUERIES["r_attribution_linear"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v4 = {
+        r["event_id"]: r["v4"]
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("event_id", F.round(F.col("value") * 10000, 0).cast("long").alias("v4"))
+        .collect()
+    }
+    got = out.groupby("purchase_event_id")["attributed_e4"].sum()
+    assert len(got) > 0
+    for pid, tot in got.items():
+        assert tot == v4[pid], (pid, tot, v4[pid])
