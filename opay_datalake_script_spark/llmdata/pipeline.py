@@ -1272,3 +1272,109 @@ def k_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("masked_md5"),
     )
+
+
+@register(
+    "k_span_corruption",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    coded AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks) + 1), i -> CASE
+                   WHEN ('0x' || substr(md5('span:' || doc_id || ':' || i), 1, 15))
+                        ::BIGINT % 100 < 5 THEN 1
+                   WHEN (i > 1 AND ('0x' || substr(md5('span:' || doc_id || ':'
+                                                       || (i - 1)), 1, 15))
+                                   ::BIGINT % 100 < 5)
+                     OR (i > 2 AND ('0x' || substr(md5('span:' || doc_id || ':'
+                                                       || (i - 2)), 1, 15))
+                                   ::BIGINT % 100 < 5) THEN 2
+                   ELSE 0 END) AS codes
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                              AS n_tokens,
+           CAST(len(list_filter(codes, c -> c = 1)) AS BIGINT)    AS n_spans,
+           CAST(len(list_filter(codes, c -> c != 0)) AS BIGINT)   AS n_corrupted,
+           md5(coalesce(array_to_string(
+               list_filter(
+                   list_transform(codes, (c, i) -> CASE
+                       WHEN c = 0 THEN toks[i]
+                       WHEN c = 1 THEN '<extra_id>'
+                       ELSE '' END),
+                   t -> t != ''), ' '), ''))                       AS corrupted_md5,
+           md5(coalesce(array_to_string(
+               flatten(list_transform(codes, (c, i) -> CASE
+                   WHEN c = 1 THEN ['<extra_id>', toks[i]]
+                   WHEN c = 2 THEN [toks[i]]
+                   ELSE [] END)), ' '), ''))                       AS target_md5
+    FROM coded
+    """,
+)
+def k_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): ~5% of
+    positions start a 3-token corruption span; the span's first
+    position becomes a sentinel in the INPUT sequence, its remaining
+    positions are dropped, and the TARGET sequence is the
+    sentinel-delimited concatenation of the dropped spans — the
+    denoising objective's full (input, target) pair, both checked by
+    whole-sequence md5.
+
+    Span membership is a pure per-position function (is position i a
+    start, or within 2 of one?), so the whole op stays a map-only
+    projection of higher-order lambdas — no explode, no sessionizing
+    pass to find span runs. Overlapping starts degenerate gracefully
+    (a start inside a span re-opens a sentinel) and the md5 oracle
+    replays the identical rule, so the behavior is pinned rather than
+    left to an implementation accident. Deterministic
+    md5("span:"||doc_id||":"||pos) decisions for the k_mlm_mask
+    reasons: reproducible across epochs/restarts and oracle-checkable
+    where rand() is neither. Sentinels are the unnumbered
+    '<extra_id>' form; numbered sentinels need a per-position prefix
+    count of starts — an O(n) `aggregate` lambda per doc, semantics
+    unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    start = (
+        "cast(conv(substr(md5(concat('span:', cast(doc_id as string), ':',"
+        " cast({pos} as string))), 1, 15), 16, 10) as bigint) % 100 < 5"
+    )
+    coded = d.select("doc_id", F.split("text", " ").alias("toks")).withColumn(
+        "codes",
+        F.expr(
+            f"""transform(sequence(1, size(toks)), i -> CASE
+                WHEN {start.format(pos='i')} THEN 1
+                WHEN (i > 1 AND {start.format(pos='(i - 1)')})
+                  OR (i > 2 AND {start.format(pos='(i - 2)')}) THEN 2
+                ELSE 0 END)"""
+        ),
+    )
+    return coded.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr("cast(size(filter(codes, c -> c = 1)) as bigint)").alias("n_spans"),
+        F.expr("cast(size(filter(codes, c -> c != 0)) as bigint)").alias(
+            "n_corrupted"
+        ),
+        F.md5(
+            F.expr(
+                """concat_ws(' ', filter(
+                       transform(codes, (c, i) -> CASE
+                           WHEN c = 0 THEN element_at(toks, i + 1)
+                           WHEN c = 1 THEN '<extra_id>'
+                           ELSE '' END),
+                       t -> t != ''))"""
+            )
+        ).alias("corrupted_md5"),
+        F.md5(
+            F.expr(
+                """concat_ws(' ', flatten(transform(codes, (c, i) -> CASE
+                       WHEN c = 1 THEN array('<extra_id>', element_at(toks, i + 1))
+                       WHEN c = 2 THEN array(element_at(toks, i + 1))
+                       ELSE array() END)))"""
+            )
+        ).alias("target_md5"),
+    )

@@ -1426,3 +1426,105 @@ _TRIGRAM_EXPR_TS = (
     " i -> split(text, ' ')[i-1] || ' ' || split(text, ' ')[i] || ' '"
     " || split(text, ' ')[i+1])"
 )
+
+
+@register(
+    "k_bm25_topk",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' '))    AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*)                                    AS n_docs,
+               sum(dl)                                     AS sum_dl,
+               sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN list_contains(toks, 'merge')  THEN 1 ELSE 0 END) AS df2,
+               sum(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END) AS df3
+        FROM docs
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               round(ln(1 + (s.n_docs - s.df1 + 0.5) / (s.df1 + 0.5))
+                     * (len(list_filter(d.toks, t -> t = 'vector')) * 2.2)
+                     / (len(list_filter(d.toks, t -> t = 'vector'))
+                        + 1.2 * (0.25 + 0.75 * d.dl
+                                 / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 6)
+             + round(ln(1 + (s.n_docs - s.df2 + 0.5) / (s.df2 + 0.5))
+                     * (len(list_filter(d.toks, t -> t = 'merge')) * 2.2)
+                     / (len(list_filter(d.toks, t -> t = 'merge'))
+                        + 1.2 * (0.25 + 0.75 * d.dl
+                                 / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 6)
+             + round(ln(1 + (s.n_docs - s.df3 + 0.5) / (s.df3 + 0.5))
+                     * (len(list_filter(d.toks, t -> t = 'spark')) * 2.2)
+                     / (len(list_filter(d.toks, t -> t = 'spark'))
+                        + 1.2 * (0.25 + 0.75 * d.dl
+                                 / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 6)
+               AS bm25
+        FROM docs d CROSS JOIN stats s
+    )
+    SELECT doc_id, round(bm25, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def k_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson-Sparck Jones) for the fixed 3-term
+    query {vector, merge, spark}: the lexical-search leg of the
+    retrieval stack next to the embedding k-NN (k_knn_query) — the
+    hybrid pair a RAG data pipeline runs.
+
+    Standard Okapi parameterization k1=1.2, b=0.75, the +1-smoothed
+    idf ln(1 + (N - df + .5)/(df + .5)). Corpus stats (N, Σdl, per-term
+    df) come from ONE 1-row aggregate broadcast back over the docs
+    (the t_q11 scalar-broadcast shape); tf/dl are JVM higher-order
+    lambdas, so scoring is map-only and the only data-sized movement
+    is the TakeOrderedAndProject top-20. Per-term scores are rounded
+    at 6 BEFORE the fixed-order 3-term sum (the k_char_entropy rule:
+    quantize each term of a float sum so engine-side ln/division ulp
+    noise cannot reassociate into a flipped tie), and ties break on
+    doc_id.
+
+    At 100 TB nothing is corpus-quadratic: stats are one partial agg,
+    scoring is embarrassingly parallel, top-k is per-partition heads
+    merged on the driver. An inverted-index variant only wins when
+    queries >> corpus scans; for batch scoring-every-doc (the
+    training-data use), the scan IS the right plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    terms = ["vector", "merge", "spark"]
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df{i+1}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    def term_score(i, t):
+        tf = F.expr(f"size(filter(toks, t -> t = '{t}'))")
+        dfc = F.col(f"df{i+1}")
+        idf = F.log(1 + (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5))
+        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+        return F.round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)), 6
+        )
+
+    scored = docs.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(
+            term_score(0, terms[0]) + term_score(1, terms[1]) + term_score(2, terms[2]),
+            6,
+        ).alias("bm25"),
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)

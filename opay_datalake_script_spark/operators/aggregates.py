@@ -971,3 +971,83 @@ def d_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.col("n").cast("double") / F.col("n").cast("double") / 100.0, 6
         ).alias("covar_pop_cents"),
     )
+
+
+@register(
+    "d_kmv_distinct_sketch",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*)    OVER (PARTITION BY event_type)             AS nd
+        FROM hashed
+    )
+    SELECT event_type,
+           CAST(min(nd) AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN min(nd) < 32 THEN min(nd)
+                ELSE CAST(round(31.0 / (max(h) / 1152921504606846976.0), 0)
+                          AS BIGINT) END AS BIGINT) AS est_distinct
+    FROM ranked
+    WHERE rn <= 32
+    GROUP BY event_type
+    """,
+)
+def d_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    mergeable-summary COMPANION to d_approx_count_distinct: where
+    Spark's HLL is engine-opaque (rows-only check by design), KMV
+    with the deterministic md5 hash family is fully oracle-checked —
+    DuckDB replays the identical hashes, the identical k smallest,
+    and the identical (k-1)/h_(k) estimator (Bar-Yossef et al. 2002).
+
+    Sketch state per group = the k=32 smallest distinct 60-bit hash
+    values; mergeable by union + re-truncate, so partial sketches
+    combine associatively across partitions / days — the property
+    that makes it a warehouse sketch rather than a query trick. When
+    a group has fewer than k distinct keys the sketch IS the exact
+    answer.
+
+    Plan: one distinct-(group, hash) aggregation (uniform md5 keys,
+    map-side partial), then a per-group window keeps rank <= k — the
+    e_topk_per_group shape bounded at k rows per group out. The
+    estimator divides by 2^60 once and rounds once; both engines fold
+    the same constants.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = 32
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    wp = W.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(wp.orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("nd"),
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(
+            F.min("nd").alias("exact_distinct"),
+            F.when(F.min("nd") < k, F.min("nd"))
+            .otherwise(
+                F.round((k - 1.0) / (F.max("h") / float(1 << 60)), 0).cast("long")
+            )
+            .alias("est_distinct"),
+        )
+    )

@@ -810,3 +810,124 @@ def c_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     )
+
+
+@register(
+    "c_join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, c_name, c_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the ZERO-EXCHANGE fact-fact join.
+    Both sides are written once with ``bucketBy(8, <join key>)`` +
+    ``sortBy`` (Spark's Hive-compatible bucketing: Murmur3 on the key
+    picks the file, so equal keys land in the same bucket ordinal on
+    both tables), after which Catalyst proves the join's required
+    hash-partitioning is already satisfied by the table layout and
+    plans a SortMergeJoin with NO Exchange and NO Sort on either side
+    — pinned by test_bucketed_join_has_no_exchange.
+
+    This is the amortization story for 100 TB: the shuffle is paid
+    once at write time, then EVERY downstream join/agg on the bucket
+    key is shuffle-free, which is how a daily-rebuilt warehouse fact
+    table should be laid out (the reference's Hive CLUSTERED BY
+    analog). The `merge` hint only stops Catalyst from broadcasting
+    the fixture-small dim — at the scale bucketing targets, both
+    sides are too big to broadcast anyway.
+
+    Table names are tagged per fixture dir; reruns overwrite in place
+    (idempotent rebuild, same as the partitioned sink).
+    """
+    from ..sources.io import scratch_path
+
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    for df, name, key in ((o, "orders", "o_custkey"), (c, "customer", "c_custkey")):
+        tbl = f"bkt_{name}_{tag}"
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", scratch_path("bucketed", tag, name, "_")[: -len("/_")])
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    ot = spark.table(f"bkt_orders_{tag}")
+    ct = spark.table(f"bkt_customer_{tag}")
+    return (
+        ot.hint("merge")
+        .join(ct, ot.o_custkey == ct.c_custkey)
+        .select("o_orderkey", "o_orderdate", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "c_join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def c_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit Bloom-filter pre-filter on the fact
+    side — the shuffle-reduction pattern for a selective dim filter
+    whose surviving key set is still too large to broadcast as an
+    exact IN-list: ship an m-bit Bloom instead, drop most
+    non-matching fact rows BEFORE they shuffle, and let the exact
+    semi join clean up the false positives. Correctness never depends
+    on the filter (Bloom has no false negatives: a real match sets
+    all its bits), which is exactly what the plain-IN oracle checks.
+
+    The filter here is built from first principles with the md5 hash
+    family (k=3 hashes into m=16384 bits) so the construction itself
+    is deterministic; the bit set is carried as a sorted int array on
+    a 1-row broadcast (the t_q11 scalar-broadcast shape) and probed
+    with JVM `array_contains`. Production Spark automates the same
+    idea as runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) with a real
+    bitmap; the manual form is the one you reach for when the build
+    side is an arbitrary subquery the optimizer won't inject across
+    — semantics and plan shape are identical.
+
+    At 100 TB: bloom size is O(dim keys) bits independent of fact
+    size; fact rows that fail the probe never enter the semi-join
+    exchange — for a 5%-selective dim filter that is a ~20x shuffle
+    cut for one broadcast of a few KB.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    m, hashes = 16384, 3
+
+    def pos(j, key):
+        h = F.md5(F.concat_ws(":", F.lit(j), key.cast("string")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m).cast("int")
+
+    dim_keys = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = dim_keys.select(
+        F.explode(
+            F.array(*[pos(j, F.col("c_custkey")) for j in range(hashes)])
+        ).alias("p")
+    ).agg(F.sort_array(F.collect_set("p")).alias("bm"))
+    probed = o.crossJoin(F.broadcast(bloom)).where(
+        F.expr(
+            "forall(array("
+            + ",".join(
+                f"cast(conv(substr(md5(concat({j}, ':', cast(o_custkey as string))),"
+                " 1, 15), 16, 10) as bigint) % 16384"
+                for j in range(hashes)
+            )
+            + "), p -> array_contains(bm, cast(p as int)))"
+        )
+    )
+    return probed.join(
+        dim_keys.hint("shuffle_hash"),
+        probed.o_custkey == dim_keys.c_custkey,
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

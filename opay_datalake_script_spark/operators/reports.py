@@ -1326,3 +1326,98 @@ def r_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(share)
         .alias("attributed_e4"),
     )
+
+
+@register(
+    "r_ltv_cohort",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id, min(ts) AS s_ts
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ),
+    cohort AS (
+        SELECT user_id, s_ts,
+               strftime(CAST(s_ts AS DATE), '%Y-%m-%d') AS cohort_day
+        FROM signup
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS n_users
+        FROM cohort GROUP BY cohort_day
+    ),
+    rev AS (
+        SELECT c.cohort_day,
+               date_diff('day', CAST(c.s_ts AS DATE), CAST(e.ts AS DATE))
+                   AS day_age,
+               sum(CAST(round(e.value * 10000, 0) AS BIGINT)) AS rev_e4
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.s_ts
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_day,
+           CAST(r.day_age AS BIGINT)    AS day_age,
+           CAST(s.n_users AS BIGINT)    AS n_users,
+           CAST(sum(r.rev_e4) OVER (PARTITION BY r.cohort_day
+                                    ORDER BY r.day_age) AS BIGINT) AS cum_rev_e4,
+           round(sum(r.rev_e4) OVER (PARTITION BY r.cohort_day
+                                     ORDER BY r.day_age)
+                 / (s.n_users * 10000.0), 4) AS cum_arpu
+    FROM rev r JOIN sizes s USING (cohort_day)
+    """,
+)
+def r_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-LTV curve by signup cohort: for each signup day,
+    cumulative post-signup purchase revenue per cohort user at each
+    day of age — the money twin of r_cohort_retention\'s activity
+    triangle and the table a growth team reads payback periods off.
+    Daily grain because the fixture spans one month; a production
+    monthly curve is the same program with date_trunc swapped in.
+
+    Age is exact integer calendar-day arithmetic (datediff of DATEs),
+    never months_between (fractional, engine-seamed). Revenue
+    accumulates in exact e4 integers; ARPU divides once at the end.
+    Purchases before the user\'s own signup (fixture noise) are
+    excluded with the signup min-ts carried on the cohort row.
+
+    Scale shape: the signup map is user-grain (one agg, broadcast to
+    the fact join if users fit, shuffle join otherwise — here the
+    user_id equi-join shuffles both sides uniformly once); the rollup
+    is (cohort_day x day_age) — O(horizon^2) cells — so the
+    cumulative window runs over the corpus-sublinear aggregate, not
+    the events (the r_mom_yoy_report rule).
+    """
+    ev = load(spark, sf_dir, "events")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    cohort = signup.select(
+        "user_id",
+        "s_ts",
+        F.date_format("s_ts", "yyyy-MM-dd").alias("cohort_day"),
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.to_date("s_ts")).alias("day_age"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("rev_e4"))
+    )
+    wc = W.partitionBy("cohort_day").orderBy("day_age")
+    return (
+        rev.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("day_age").cast("long").alias("day_age"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.sum("rev_e4").over(wc).cast("long").alias("cum_rev_e4"),
+            F.round(
+                F.sum("rev_e4").over(wc) / (F.col("n_users") * 10000.0), 4
+            ).alias("cum_arpu"),
+        )
+    )

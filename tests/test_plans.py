@@ -593,3 +593,44 @@ def test_round5e_new_ops_plan_shapes(spark):
     attr = QUERIES["r_attribution_linear"](spark, SF_DIR)
     aplan = attr._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in aplan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """c_join_bucketed's entire point: both sides pre-bucketed on the
+    join key -> SortMergeJoin with ZERO Exchange operators (the
+    write-once/join-free-forever layout). If a Spark upgrade or a
+    bucketing config regression reintroduces a shuffle, this trips."""
+    df = QUERIES["c_join_bucketed"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_round5f_new_ops_plan_shapes(spark):
+    """Sixth-wave invariants: the bloom prefilter keeps its 1-row
+    broadcast probe AND ends in an exact LeftSemi (false positives
+    must be cleaned up by a real join, not trusted); span corruption
+    is map-only; BM25 moves data only through the top-k
+    (TakeOrderedAndProject); KMV has no cartesian and its window is
+    group-partitioned."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    bp = QUERIES["c_join_bloom_prefilter"](spark, SF_DIR)
+    plan = bp._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "array_contains" in plan, plan
+
+    assert count_shuffles(QUERIES["k_span_corruption"](spark, SF_DIR)) == 0
+
+    bm = QUERIES["k_bm25_topk"](spark, SF_DIR)
+    bplan = bm._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in bplan, bplan
+
+    kmv = QUERIES["d_kmv_distinct_sketch"](spark, SF_DIR)
+    kplan = kmv._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in kplan
+    assert "SinglePartition" not in kplan, kplan
+
+    ltv = QUERIES["r_ltv_cohort"](spark, SF_DIR)
+    lplan = ltv._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in lplan
