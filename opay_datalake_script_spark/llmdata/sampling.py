@@ -385,3 +385,122 @@ def k_rejection_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 6).alias("u"),
         (u < ttr).alias("kept"),
     )
+
+
+@register(
+    "k_dsir_importance_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('dsir:' || t), 1, 15))::BIGINT % 64 AS b
+        FROM tok
+    ),
+    raw AS (
+        SELECT b, count(*) AS c FROM b GROUP BY b
+    ),
+    tgt AS (
+        SELECT b, count(*) AS c FROM b WHERE lang = 'en' GROUP BY b
+    ),
+    totals AS (
+        SELECT (SELECT sum(c) FROM raw) AS n_raw,
+               (SELECT coalesce(sum(c), 0) FROM tgt) AS n_tgt
+    ),
+    terms AS (
+        SELECT r.b,
+               CAST(round((ln((coalesce(t.c, 0) + 1)
+                              / CAST(tt.n_tgt + 64 AS DOUBLE))
+                           - ln((r.c + 1) / CAST(tt.n_raw + 64 AS DOUBLE)))
+                          * 1000000, 0) AS BIGINT) AS term_e6
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN totals tt
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT)      AS n_tokens,
+           CAST(sum(tm.term_e6) AS BIGINT) AS logratio_e6_sum,
+           round(sum(tm.term_e6) / (count(*) * 1000000.0), 6) AS avg_logratio
+    FROM b d JOIN terms tm USING (b)
+    GROUP BY d.doc_id
+    """,
+)
+def k_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by its hashed-n-gram importance ratio against a target
+    distribution — here unigram features hashed into 64 md5 buckets,
+    target = the English sub-corpus — so resampling by this weight
+    shifts the corpus toward the target domain without training a
+    classifier.
+
+    Determinism scheme: per-BUCKET log ratio
+    ln(p_tgt[b]) - ln(p_raw[b]) (Laplace +1 smoothing, so empty
+    target buckets stay finite) is quantized to an e6 integer ONCE in
+    the 64-row bucket table; each doc's score is then an exact
+    INTEGER sum of its tokens' bucket terms (the k_char_entropy rule
+    — a float sum over tokens would reassociate differently per
+    partition), divided and rounded once at the end.
+
+    Scale shape: two bucket aggregations over the exploded token
+    stream (uniform md5 keys, map-side partial -> 64 rows each), the
+    64-row term table broadcast back to the token stream, one doc_id
+    aggregation. Nothing is corpus-quadratic; the bucket table is
+    O(1). The explode doubles as the same scan the quality-feature
+    ops run — in a composed pipeline they share it.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_buckets = 64
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("t"))), 1, 15), 16, 10
+        ).cast("long")
+        % n_buckets
+    )
+    b = tok.select("doc_id", "lang", bucket.alias("b"))
+    raw = b.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        b.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = raw.agg(F.sum("c_raw").alias("n_raw")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("n_tgt"))
+    )
+    terms = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                        / (F.col("n_tgt") + n_buckets).cast("double")
+                    )
+                    - F.log(
+                        (F.col("c_raw") + 1)
+                        / (F.col("n_raw") + n_buckets).cast("double")
+                    )
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("term_e6"),
+        )
+    )
+    return (
+        b.join(F.broadcast(terms), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("term_e6").alias("logratio_e6_sum"),
+            F.round(
+                F.sum("term_e6") / (F.count(F.lit(1)) * 1000000.0), 6
+            ).alias("avg_logratio"),
+        )
+    )

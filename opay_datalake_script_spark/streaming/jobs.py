@@ -727,3 +727,73 @@ def i_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "i_stream_checkpoint_restart",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    """,
+)
+def i_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a RESTART: the property every production
+    streaming job actually depends on, proven end-to-end. The event
+    fixture is split into two source files; run 1 (availableNow)
+    ingests file 1 through the native parquet FILE SINK with a
+    checkpoint, the query stops, file 2 lands, and run 2 starts FROM
+    THE SAME CHECKPOINT. The file-source offset log must skip file 1
+    and the sink's transaction log (_spark_metadata) must commit file
+    2's output exactly once — if restart semantics were broken in
+    either direction, the landed table would carry file 1's rows
+    twice (or drop them) and the whole-table identity oracle breaks
+    on row count/hash.
+
+    This is the missing transport-independent half of the Kafka
+    story (SURVEY §2-I): offset tracking + idempotent sink commit is
+    the same contract whether offsets are file names or Kafka
+    (topic, partition, offset) ranges. The file sink (not
+    foreachBatch) is deliberate — its transaction log is what makes
+    a plain directory an exactly-once sink, and the re-read goes
+    through that log.
+
+    Scratch/checkpoint dirs are uuid-fresh per call so the op stays
+    idempotent and the determinism double-run actually re-proves the
+    restart rather than replaying an old log.
+    """
+    import duckdb as _duck
+
+    run_id = uuid.uuid4().hex
+    src = scratch_path("ckpt_restart", run_id, "src", "_")[: -len("/_")]
+    out = scratch_path("ckpt_restart", run_id, "out", "_")[: -len("/_")]
+    ckpt = scratch_path("ckpt_restart", run_id, "ckpt")
+    fixture = f"{sf_dir}/events.parquet"
+    con = _duck.connect()
+    # DuckDB writes timestamp[us] parquet — the current fixture encoding —
+    # so the staged halves read with the same schema as the fixture.
+    con.execute(
+        f"COPY (SELECT * FROM '{fixture}' WHERE event_id % 2 = 0)"
+        f" TO '{src}/half1.parquet' (FORMAT PARQUET)"
+    )
+    schema = spark.read.parquet(f"{src}/half1.parquet").schema
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # ingests half 1
+    con.execute(
+        f"COPY (SELECT * FROM '{fixture}' WHERE event_id % 2 = 1)"
+        f" TO '{src}/half2.parquet' (FORMAT PARQUET)"
+    )
+    run_once()  # restart from the same checkpoint: must ingest ONLY half 2
+    return spark.read.parquet(out)
