@@ -913,3 +913,121 @@ def k_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).alias("jaccard"),
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+@register(
+    "k_url_canonicalize",
+    oracle="""
+    WITH synth AS (
+        SELECT event_id,
+               CASE event_id % 3
+                 WHEN 0 THEN 'https://pay.example/' || event_type
+                             || '?uid=' || (user_id % 20) || '&a=1'
+                 WHEN 1 THEN 'HTTPS://Pay.Example:443/' || event_type
+                             || '?a=1&uid=' || (user_id % 20)
+                             || '&utm_source=mail'
+                 ELSE 'https://pay.example/' || event_type
+                      || '/?uid=' || (user_id % 20) || '&utm_campaign=x&a=1'
+               END AS url
+        FROM events
+    ),
+    parts AS (
+        SELECT event_id,
+               lower(regexp_extract(url, '(?i)https?://([^/:?]+)', 1)) AS host,
+               regexp_replace(regexp_extract(url, '://[^/?]+(/[^?]*)', 1),
+                              '/$', '') AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query
+        FROM synth
+    ),
+    canon AS (
+        SELECT event_id,
+               'https://' || host || path || '?' ||
+               array_to_string(
+                   list_sort(list_filter(string_split(query, '&'),
+                                         p -> p NOT LIKE 'utm_%')), '&')
+                   AS canonical_url
+        FROM parts
+    )
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_events
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def k_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the web-corpus dedup key builder
+    (CommonCrawl-style prep): lowercase the host, drop the default
+    port, strip the trailing slash, remove utm_* tracking params, and
+    SORT the surviving query params, so the three deliberately
+    different synthesized spellings of the same logical page (mixed
+    case + :443, reordered params + tracking, trailing slash +
+    tracking) all collapse to ONE canonical key. The group count
+    proves the collapse: every canonical URL must aggregate its
+    variant spellings (no URL column in the fixtures, so variants
+    are synthesized per event the h_url way).
+
+    All string surgery is JVM codegen (regexp extract/replace +
+    array filter/sort/join on the param list) — map-only, then one
+    uniform-key group. At 100 TB this runs ahead of exact URL dedup
+    the same way k_text_normalize runs ahead of k_exact_dedup; the
+    canonical key is what you md5 into the dedup hash.
+    """
+    ev = load(spark, sf_dir, "events")
+    uid = F.pmod(F.col("user_id"), F.lit(20)).cast("string")
+    url = (
+        F.when(
+            F.pmod("event_id", F.lit(3)) == 0,
+            F.concat(
+                F.lit("https://pay.example/"),
+                F.col("event_type"),
+                F.lit("?uid="),
+                uid,
+                F.lit("&a=1"),
+            ),
+        )
+        .when(
+            F.pmod("event_id", F.lit(3)) == 1,
+            F.concat(
+                F.lit("HTTPS://Pay.Example:443/"),
+                F.col("event_type"),
+                F.lit("?a=1&uid="),
+                uid,
+                F.lit("&utm_source=mail"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://pay.example/"),
+                F.col("event_type"),
+                F.lit("/?uid="),
+                uid,
+                F.lit("&utm_campaign=x&a=1"),
+            )
+        )
+    )
+    parts = ev.select(
+        F.lower(F.regexp_extract(url, r"(?i)https?://([^/:?]+)", 1)).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract(url, r"://[^/?]+(/[^?]*)", 1), r"/$", ""
+        ).alias("path"),
+        F.regexp_extract(url, r"\?(.*)$", 1).alias("query"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.col("path"),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split("query", "&"),
+                    lambda p: ~p.startswith("utm_"),
+                )
+            ),
+            "&",
+        ),
+    )
+    return (
+        parts.select(canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

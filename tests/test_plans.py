@@ -634,3 +634,28 @@ def test_round5f_new_ops_plan_shapes(spark):
     ltv = QUERIES["r_ltv_cohort"](spark, SF_DIR)
     lplan = ltv._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in lplan
+
+
+def test_round5g_new_ops_plan_shapes(spark):
+    """Seventh-wave invariants: the bitmap overlap has no cartesian and
+    its block join is an equi-join; URL canonicalization is map-only +
+    one group (<= 1 exchange) and actually UNIFIES the three
+    synthesized variant spellings — exactly (5 event types x 20 uids)
+    canonical keys, none carrying a default port, tracking param,
+    uppercase letter, or trailing slash."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    bm = QUERIES["d_bitmap_audience_overlap"](spark, SF_DIR)
+    plan = bm._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    url = QUERIES["k_url_canonicalize"](spark, SF_DIR)
+    assert count_shuffles(url) <= 1
+    rows = url.collect()
+    assert len(rows) == 100, len(rows)
+    for r in rows:
+        u = r["canonical_url"]
+        assert ":443" not in u and "utm_" not in u
+        assert u == u.lower()
+        assert "/?" not in u and not u.endswith("/")
