@@ -317,3 +317,67 @@ def s_hiveql_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY band
         """
     )
+
+
+@register(
+    "s_sql_ddl_external_table",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS value_e4
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hive `CREATE EXTERNAL TABLE ... LOCATION` idiom as SQL text:
+    a CSV landing directory (exported from the fixture the way an
+    upstream system would drop files) is mounted as a table purely via
+    DDL — explicit column list, USING csv, OPTIONS(path, header) — and
+    then queried with ordinary SQL. No DataFrame reader in the query
+    path: schema, format, and location all live in the DDL string,
+    which is how the reference's warehouse declared every landing
+    table (SURVEY.md §3.1 `[R]`).
+
+    Round-trip hazards this pins: CSV has no types (every column
+    DECLARED in the DDL, timestamps parsed via timestampFormat), and
+    doubles survive text round-trip because the writer emits full
+    precision. The aggregate runs in exact e4 integers as usual.
+
+    At 100 TB the same DDL text targets a partitioned directory tree
+    (add PARTITIONED BY + MSCK/ADD PARTITION); the scan parallelizes
+    per file split — CSV's lack of pushdown/column pruning is exactly
+    why a_sink_partitioned lands parquet instead, and that tradeoff
+    belongs to the format, not to the DDL entry point.
+    """
+    from ..sources.io import scratch_path
+
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    csv_dir = scratch_path("ddl_csv", tag, "_")[: -len("/_")]
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.coalesce(4).write.mode("overwrite").option("header", True).csv(csv_dir)
+    spark.sql(f"DROP VIEW IF EXISTS ext_events_{tag}")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW ext_events_{tag} (
+            event_id BIGINT,
+            user_id BIGINT,
+            event_type STRING,
+            value DOUBLE
+        )
+        USING csv
+        OPTIONS (path '{csv_dir}', header 'true')
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               count(*) AS n,
+               sum(cast(round(value * 10000, 0) AS BIGINT)) AS value_e4
+        FROM ext_events_{tag}
+        GROUP BY event_type
+        """
+    )

@@ -931,3 +931,101 @@ def c_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed.o_custkey == dim_keys.c_custkey,
         "left_semi",
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "c_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               min(ts) AS s, max(ts) AS e
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT a.day,
+           a.user_id AS user_a, b.user_id AS user_b,
+           CAST(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
+                AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+    WHERE least(a.e, b.e) > greatest(a.s, b.s)
+    """,
+)
+def c_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join — BOTH sides are intervals (daily
+    purchase-activity spans per user, kept only when >= 2 purchases
+    make the span non-degenerate), and the answer is every same-day
+    user pair whose spans overlap, with the exact overlap duration.
+    This is the one interval-join flavor the c_join_range / asof /
+    scd2 family doesn't cover: there one side is points.
+
+    Distributed shape — the textbook bucketed interval join: each
+    interval explodes to the HOUR buckets it covers (bounded fan-out:
+    <= 24/day), candidate pairs meet in a shared (day, hour) bucket
+    equi-join, duplicates from multi-bucket overlaps collapse with
+    one distinct, and the exact residual test + duration runs on the
+    candidate pairs only. The oracle is the direct quadratic same-day
+    join — affordable for DuckDB at fixture scale, which is exactly
+    why it can serve as ground truth for the bucketed plan. At 100 TB
+    the quadratic form is impossible while the bucketed form's cost
+    is O(intervals x bucket-span + true-candidate pairs); bucket
+    width trades fan-out against candidate precision (the LSH-banding
+    tradeoff, in time rather than hash space).
+
+    Durations are exact integer microseconds (the e_merge_intervals
+    rule: second-granular forms truncate differently per engine).
+    """
+    ev = load(spark, sf_dir, "events")
+    iv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+        .drop("n")
+    )
+    buckets = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.hour("s"), F.hour("e"))
+        ).alias("hr"),
+    )
+    a = buckets.select(
+        F.col("day"),
+        F.col("hr"),
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = buckets.select(
+        F.col("day").alias("day_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("day") == F.col("day_b"))
+            & (F.col("hr") == F.col("hr_b"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
+        .select("day", "user_a", "user_b", "s_a", "e_a", "s_b", "e_b")
+        .distinct()
+    )
+    ov = F.unix_micros(F.least("e_a", "e_b")) - F.unix_micros(
+        F.greatest("s_a", "s_b")
+    )
+    return cand.where(ov > 0).select(
+        "day", "user_a", "user_b", ov.alias("overlap_us")
+    )

@@ -659,3 +659,20 @@ def test_round5g_new_ops_plan_shapes(spark):
         assert ":443" not in u and "utm_" not in u
         assert u == u.lower()
         assert "/?" not in u and not u.endswith("/")
+
+
+def test_round5h_new_ops_plan_shapes(spark):
+    """Eighth-wave invariants: the interval-overlap join must be the
+    BUCKETED form — a hash equi-join on (day, hour) with no
+    BroadcastNestedLoopJoin and no CartesianProduct (the quadratic
+    same-day join lives only in the DuckDB oracle); the DDL external
+    table query plans a CSV FileScan, proving the text-DDL path (not a
+    cached DataFrame) feeds the aggregate."""
+    iv = QUERIES["c_join_interval_overlap"](spark, SF_DIR)
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    ddl = QUERIES["s_sql_ddl_external_table"](spark, SF_DIR)
+    dplan = ddl._jdf.queryExecution().executedPlan().toString()
+    assert "csv" in dplan.lower(), dplan
