@@ -1136,3 +1136,113 @@ def d_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_overlap")
         )
     )
+
+
+@register(
+    "d_kmv_sketch_merge",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    daily AS (
+        SELECT day, h,
+               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM hashed
+    ),
+    daily_sketch AS (
+        SELECT day, h FROM daily WHERE rn <= 32
+    ),
+    merged AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM daily_sketch)
+    ),
+    direct AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM hashed)
+    )
+    SELECT CAST((SELECT count(DISTINCT day) FROM daily_sketch) AS BIGINT)
+               AS n_daily_sketches,
+           CAST(CASE WHEN (SELECT count(*) FROM merged) < 32
+                     THEN (SELECT count(*) FROM merged)
+                ELSE round(31.0 / ((SELECT max(h) FROM merged WHERE rn <= 32)
+                                   / 1152921504606846976.0), 0) END AS BIGINT)
+               AS merged_est,
+           CAST(CASE WHEN (SELECT count(*) FROM direct) < 32
+                     THEN (SELECT count(*) FROM direct)
+                ELSE round(31.0 / ((SELECT max(h) FROM direct WHERE rn <= 32)
+                                   / 1152921504606846976.0), 0) END AS BIGINT)
+               AS direct_est
+    """,
+)
+def d_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA — the property that makes sketches warehouse
+    primitives rather than query tricks: per-day sketches (k smallest
+    distinct user hashes per day) merged by union + re-truncate must
+    give the IDENTICAL month-level estimate as sketching the raw month
+    directly, because the k smallest of a union of per-day k-smallest
+    sets ARE the k smallest overall (each day's sketch retains every
+    hash that could be globally top-k). The query emits both estimates
+    side by side; the oracle recomputes both, and a pinned test
+    asserts merged == direct — that equality failing would mean the
+    merge lost a candidate hash.
+
+    This is the pre-aggregation pattern for 100 TB: land one O(k) row
+    set per day-partition at ingest, answer ANY date-range distinct
+    count later by merging sketch rows — never rescanning the facts.
+    The merge input here is <= 31 days x 32 hashes; its global sort is
+    corpus-sublinear by construction (the r_mom_yoy_report rule).
+    """
+    ev = load(spark, sf_dir, "events")
+    k = 32
+    hashed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    daily_sketch = (
+        hashed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("day").orderBy("h"))
+        )
+        .where(F.col("rn") <= k)
+        .select("day", "h")
+    )
+
+    merged = (
+        daily_sketch.select("h").distinct().orderBy("h").limit(k).agg(
+            F.max("h").alias("kth_m"), F.count(F.lit(1)).alias("nd_m")
+        )
+    )
+    direct = hashed.select("h").distinct().orderBy("h").limit(k).agg(
+        F.max("h").alias("kth_d"), F.count(F.lit(1)).alias("nd_d")
+    )
+    n_days = daily_sketch.agg(
+        F.countDistinct("day").cast("long").alias("n_daily_sketches")
+    )
+
+    def est(kth, nd):
+        return (
+            F.when(F.col(nd) < k, F.col(nd))
+            .otherwise(
+                F.round((k - 1.0) / (F.col(kth) / float(1 << 60)), 0)
+            )
+            .cast("long")
+        )
+
+    return (
+        n_days.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "n_daily_sketches",
+            est("kth_m", "nd_m").alias("merged_est"),
+            est("kth_d", "nd_d").alias("direct_est"),
+        )
+    )

@@ -676,3 +676,47 @@ def test_round5h_new_ops_plan_shapes(spark):
     ddl = QUERIES["s_sql_ddl_external_table"](spark, SF_DIR)
     dplan = ddl._jdf.queryExecution().executedPlan().toString()
     assert "csv" in dplan.lower(), dplan
+
+
+def test_zorder_files_prune_on_both_dimensions(spark):
+    """The Z-order payoff, measured from parquet footers: after the
+    clustered rewrite, a predicate selective on EITHER dimension
+    (lowest custkey octile / earliest date octile) must overlap a
+    strict subset of the 16 files' min/max ranges. A 1-D sort prunes
+    only its own column, so BOTH subsets being strict is the
+    two-dimensional locality proof."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from opay_datalake_script_spark.sources.io import SCRATCH_DIR
+
+    QUERIES["a_zorder_clustered_write"](spark, SF_DIR).collect()
+    files = sorted(
+        glob.glob(f"{SCRATCH_DIR}/zorder/orders_clustered/*.parquet")
+    )
+    assert len(files) >= 8, files
+    stats = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ck_lo = min(
+            md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups)
+        )
+        ck_hi = max(
+            md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups)
+        )
+        od_lo = min(
+            md.row_group(i).column(3).statistics.min for i in range(md.num_row_groups)
+        )
+        od_hi = max(
+            md.row_group(i).column(3).statistics.max for i in range(md.num_row_groups)
+        )
+        stats.append((ck_lo, ck_hi, od_lo, od_hi))
+    cks = [s for st in stats for s in (st[0], st[1])]
+    ods = [s for st in stats for s in (st[2], st[3])]
+    ck_cut = min(cks) + (max(cks) - min(cks)) // 8
+    od_cut = min(ods) + (max(ods) - min(ods)) // 8
+    ck_hits = sum(1 for st in stats if st[0] <= ck_cut)
+    od_hits = sum(1 for st in stats if st[2] <= od_cut)
+    assert ck_hits < len(files), (ck_hits, len(files))
+    assert od_hits < len(files), (od_hits, len(files))
