@@ -1246,3 +1246,128 @@ def d_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             est("kth_d", "nd_d").alias("direct_est"),
         )
     )
+
+
+@register(
+    "d_pagerank_fixed_iters",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               min(ts) AS s, max(ts) AS e
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        FROM iv a JOIN iv b
+          ON a.day = b.day AND a.user_id < b.user_id
+        WHERE least(a.e, b.e) > greatest(a.s, b.s)
+    ),
+    edges AS (
+        SELECT ua AS src, ub AS dst FROM pairs
+        UNION ALL
+        SELECT ub AS src, ua AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nv AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS v, (1000000000 // (SELECT n FROM nv)) AS r FROM deg),
+    r1 AS (
+        SELECT d.src AS v,
+               (150000000 // (SELECT n FROM nv))
+               + (85 * sum(r0.r // sd.outdeg)) // 100 AS r
+        FROM deg d
+        JOIN edges e ON e.dst = d.src
+        JOIN r0 ON r0.v = e.src
+        JOIN deg sd ON sd.src = e.src
+        GROUP BY d.src
+    ),
+    r2 AS (
+        SELECT d.src AS v,
+               (150000000 // (SELECT n FROM nv))
+               + (85 * sum(r1.r // sd.outdeg)) // 100 AS r
+        FROM deg d
+        JOIN edges e ON e.dst = d.src
+        JOIN r1 ON r1.v = e.src
+        JOIN deg sd ON sd.src = e.src
+        GROUP BY d.src
+    ),
+    r3 AS (
+        SELECT d.src AS v,
+               (150000000 // (SELECT n FROM nv))
+               + (85 * sum(r2.r // sd.outdeg)) // 100 AS r
+        FROM deg d
+        JOIN edges e ON e.dst = d.src
+        JOIN r2 ON r2.v = e.src
+        JOIN deg sd ON sd.src = e.src
+        GROUP BY d.src
+    )
+    SELECT r3.v AS user_id,
+           CAST(deg.outdeg AS BIGINT) AS degree,
+           CAST(r3.r AS BIGINT)       AS rank_e9
+    FROM r3 JOIN deg ON deg.src = r3.v
+    """,
+)
+def d_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 fixed iterations, EXACT integer arithmetic — the
+    iterative-algorithm representative next to the connected-components
+    loop (k_dedup_components): driver-side control flow over fully
+    distributed join+agg steps, with per-step state a (node, rank)
+    table. Ranks live in integer billionths; each contribution is
+    rank div outdeg and the damping mix is (85*sum) div 100 — both
+    engines truncate identically, so after any fixed number of
+    iterations the state is bit-equal and the DuckDB oracle simply
+    unrolls the same three steps as CTEs. (Float PageRank would
+    reassociate partial sums per partition — the usual hash hazard;
+    integer division loses bounded mass per step, which is harmless
+    for ranking and the price of exactness.)
+
+    The graph is the purchase co-activity graph (same-day overlapping
+    purchase spans, both directions), reusing c_join_interval_overlap's
+    bucketed construction — every node has degree >= 1 by construction
+    so there are no dangling-mass corrections.
+
+    Scale shape per iteration: edges join ranks on src (edge table
+    shuffles once on src, then once on dst for the sum) — the standard
+    Pregel-as-joins layout; 3 iterations = a fixed pipeline of 6
+    uniform-key shuffles over |E| rows. localCheckpoint between
+    iterations truncates lineage exactly as the components loop does.
+    """
+    from .joins import c_join_interval_overlap
+
+    pairs = (
+        c_join_interval_overlap(spark, sf_dir)
+        .select(F.col("user_a").alias("ua"), F.col("user_b").alias("ub"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst")
+    ).unionByName(pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_v = deg.count()
+    e9 = 1_000_000_000
+    base = (15 * e9 // 100) // n_v
+    ranks = deg.select("src", F.lit(e9 // n_v).alias("r"))
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(base) + F.expr("(85 * sc) div 100")).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.join(deg, "src").select(
+        F.col("src").alias("user_id"),
+        F.col("outdeg").cast("long").alias("degree"),
+        F.col("r").cast("long").alias("rank_e9"),
+    )

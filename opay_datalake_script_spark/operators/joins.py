@@ -765,108 +765,6 @@ def c_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c_join_skew_salted",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    """,
-)
-def c_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted fact-to-skewed-dim join — the manual skew-mitigation
-    pattern for when the hot side is too big to broadcast and AQE's
-    skew-join split cannot help (it only splits sort-merge partitions
-    AFTER a full shuffle of both sides has happened).
-
-    Construction: the fact row picks a deterministic salt in [0, S)
-    (pmod of xxhash64 over its own primary key — any per-row spreader
-    works because the other side carries every salt), and the
-    dimension side is exploded S ways so (key, salt) still finds
-    exactly one match. The join key becomes the composite
-    (c_custkey, _salt), so a single hot custkey's rows now land on S
-    reducers instead of one. A `shuffle_hash` hint keeps Catalyst from
-    short-circuiting the demonstration with a broadcast (which is the
-    RIGHT plan for this fixture-sized dim — salting is for the case
-    where it isn't; the hint stands in for that regime).
-
-    Cost model at 100 TB: dim shuffle volume inflates S-fold (bounded,
-    choose S ~ hottest-key-rows / average-partition-rows); fact shuffle
-    volume is unchanged; the hot key's reduce-side work drops S-fold.
-    Result set is provably identical to the unsalted join, which is
-    exactly what the oracle checks.
-    """
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    salt_n = 8
-    fact = o.withColumn(
-        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(salt_n)).cast("int")
-    )
-    dim = c.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
-    )
-    return (
-        fact.join(
-            dim.hint("shuffle_hash"),
-            (fact.o_custkey == dim.c_custkey) & (fact._salt == dim._salt),
-        )
-        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
-    )
-
-
-@register(
-    "c_join_bucketed",
-    oracle="""
-    SELECT o_orderkey, o_orderdate, c_name, c_acctbal
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    """,
-)
-def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed co-located join — the ZERO-EXCHANGE fact-fact join.
-    Both sides are written once with ``bucketBy(8, <join key>)`` +
-    ``sortBy`` (Spark's Hive-compatible bucketing: Murmur3 on the key
-    picks the file, so equal keys land in the same bucket ordinal on
-    both tables), after which Catalyst proves the join's required
-    hash-partitioning is already satisfied by the table layout and
-    plans a SortMergeJoin with NO Exchange and NO Sort on either side
-    — pinned by test_bucketed_join_has_no_exchange.
-
-    This is the amortization story for 100 TB: the shuffle is paid
-    once at write time, then EVERY downstream join/agg on the bucket
-    key is shuffle-free, which is how a daily-rebuilt warehouse fact
-    table should be laid out (the reference's Hive CLUSTERED BY
-    analog). The `merge` hint only stops Catalyst from broadcasting
-    the fixture-small dim — at the scale bucketing targets, both
-    sides are too big to broadcast anyway.
-
-    Table names are tagged per fixture dir; reruns overwrite in place
-    (idempotent rebuild, same as the partitioned sink).
-    """
-    from ..sources.io import scratch_path
-
-    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    for df, name, key in ((o, "orders", "o_custkey"), (c, "customer", "c_custkey")):
-        tbl = f"bkt_{name}_{tag}"
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .option("path", scratch_path("bucketed", tag, name, "_")[: -len("/_")])
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(tbl)
-        )
-    ot = spark.table(f"bkt_orders_{tag}")
-    ct = spark.table(f"bkt_customer_{tag}")
-    return (
-        ot.hint("merge")
-        .join(ct, ot.o_custkey == ct.c_custkey)
-        .select("o_orderkey", "o_orderdate", "c_name", "c_acctbal")
-    )
-
-
-@register(
     "c_join_bloom_prefilter",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -567,20 +567,12 @@ def test_round5d_new_ops_plan_shapes(spark):
 
 
 def test_round5e_new_ops_plan_shapes(spark):
-    """Fifth-wave batch invariants. The salted join's whole point is its
-    physical shape, so that is what gets pinned: a ShuffledHashJoin
-    (not broadcast — broadcast would erase the skew problem AND the
-    demonstration) whose partitioning keys include the salt column, so
-    a hot custkey's rows really do spread over S reducers. k_mlm_mask
-    must stay map-only (zero exchanges); d_corr_covar is one hash-agg
-    shuffle; the CMS probe joins the 1,024-cell sketch via broadcast."""
+    """Fifth-wave batch invariants: k_mlm_mask must stay map-only (zero
+    exchanges); d_corr_covar is one hash-agg shuffle; the CMS probe
+    joins the 1,024-cell sketch via broadcast. (The salted-join and
+    bucketed-join pins live in test_salted_join_spreads_key /
+    test_bucketed_join_is_shuffle_free next to their operators.)"""
     from opay_datalake_script_spark.plans.inspect import count_shuffles
-
-    salted = QUERIES["c_join_skew_salted"](spark, SF_DIR)
-    plan = salted._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" in plan, plan
-    assert "BroadcastHashJoin" not in plan, plan
-    assert "_salt" in plan
 
     assert count_shuffles(QUERIES["k_mlm_mask"](spark, SF_DIR)) == 0
     assert count_shuffles(QUERIES["d_corr_covar"](spark, SF_DIR)) == 1
@@ -593,17 +585,6 @@ def test_round5e_new_ops_plan_shapes(spark):
     attr = QUERIES["r_attribution_linear"](spark, SF_DIR)
     aplan = attr._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in aplan
-
-
-def test_bucketed_join_has_no_exchange(spark):
-    """c_join_bucketed's entire point: both sides pre-bucketed on the
-    join key -> SortMergeJoin with ZERO Exchange operators (the
-    write-once/join-free-forever layout). If a Spark upgrade or a
-    bucketing config regression reintroduces a shuffle, this trips."""
-    df = QUERIES["c_join_bucketed"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan, plan
-    assert "Exchange" not in plan, plan
 
 
 def test_round5f_new_ops_plan_shapes(spark):
@@ -720,3 +701,21 @@ def test_zorder_files_prune_on_both_dimensions(spark):
     od_hits = sum(1 for st in stats if st[2] <= od_cut)
     assert ck_hits < len(files), (ck_hits, len(files))
     assert od_hits < len(files), (od_hits, len(files))
+
+
+def test_round5i_new_ops_plan_shapes(spark):
+    """Ninth-wave invariants: edit-distance scoring stays on the banded
+    candidate scaffold (no cartesian, doc_id equi-joins only);
+    PageRank's per-iteration plan is Pregel-as-joins with no cartesian
+    and no single-partition exchange over edge-sized data (the only
+    SinglePartition allowed is none — degree/rank tables are
+    node-sized and hash-partitioned)."""
+    lev = QUERIES["k_edit_distance_pairs"](spark, SF_DIR)
+    plan = lev._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+    pr = QUERIES["d_pagerank_fixed_iters"](spark, SF_DIR)
+    pplan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pplan
+    assert "SinglePartition" not in pplan, pplan
