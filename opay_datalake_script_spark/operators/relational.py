@@ -509,3 +509,49 @@ def f_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "f_global_sort_export",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rank,
+           o_orderkey, o_totalprice
+    FROM orders
+    """,
+)
+def f_global_sort_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totally-ordered export — the full-table ORDER BY at scale: the
+    table is written as N range-partitioned files such that file i's
+    rows ALL precede file i+1's in the sort order and every row carries
+    its exact global rank, so a downstream consumer reads the files in
+    name order and sees one sorted stream (the ship-a-ranked-report
+    shape the reference exported to MySQL; here the sorted parquet IS
+    the deliverable).
+
+    The rank comes from global_row_number's distributed two-phase
+    prefix-sum — a naive Window.orderBy would funnel 100 TB through
+    one task, and a bare .orderBy().write would sort correctly but
+    emit no rank to prove it. The behavior test reads the landed files
+    back and checks max(rank) of file i < min(rank) of file i+1 — the
+    cross-file order contract a range-partitioned sort must satisfy
+    and a hash-partitioned write silently wouldn't.
+
+    The oracle is the textbook single-ORDER-BY row_number: exactly the
+    semantics, impossible shape at scale — which is the point of
+    checking the distributed form against it.
+    """
+    from ..sources.io import scratch_path
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        o, F.desc("o_totalprice"), F.asc("o_orderkey"), parts=16
+    ).select(F.col("rn").alias("rank"), "o_orderkey", "o_totalprice")
+    out = scratch_path("global_sort", "orders_ranked")
+    (
+        ranked.repartitionByRange(16, "rank")
+        .sortWithinPartitions("rank")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

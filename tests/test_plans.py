@@ -719,3 +719,33 @@ def test_round5i_new_ops_plan_shapes(spark):
     pplan = pr._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pplan
     assert "SinglePartition" not in pplan, pplan
+
+
+def test_global_sort_export_files_are_rank_disjoint(spark):
+    """f_global_sort_export's cross-file contract, measured from the
+    landed files: reading files in name order, rank ranges must be
+    disjoint and ascending (file i's max rank < file i+1's min rank)
+    — the property that lets a consumer stream the files as one sorted
+    sequence. A hash-partitioned write interleaves ranks and fails."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from opay_datalake_script_spark.sources.io import SCRATCH_DIR
+
+    QUERIES["f_global_sort_export"](spark, SF_DIR).collect()
+    files = sorted(glob.glob(f"{SCRATCH_DIR}/global_sort/orders_ranked/*.parquet"))
+    assert len(files) >= 8, files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        lo = min(md.row_group(i).column(0).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max
+                 for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    # part-file names sort in write order for a range-partitioned write
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, (ranges,)
