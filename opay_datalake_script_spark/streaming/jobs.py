@@ -797,3 +797,82 @@ def i_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_once()  # restart from the same checkpoint: must ingest ONLY half 2
     return spark.read.parquet(out)
+
+
+@register(
+    "i_stream_fanout_sinks",
+    oracle="""
+    SELECT 'by_type' AS sink, event_type AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS value_e4
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'by_day' AS sink, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS value_e4
+    FROM events GROUP BY 2
+    """,
+)
+def i_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, MANY sinks — the Hive multi-insert idiom
+    (s_hiveql_multi_insert) in its streaming form: each micro-batch is
+    cached once inside foreachBatch and written to two differently-
+    keyed tables (per-type and per-day rollups), so the source is read
+    and the batch computed ONCE per trigger no matter how many
+    downstream tables hang off it. Without the explicit persist, each
+    sink's action would re-evaluate the batch plan — the classic
+    foreachBatch fan-out bug this operator exists to pin.
+
+    Both sinks land row-grain parquet appends; the registered output
+    re-aggregates the landed tables and must value-hash-equal batch
+    aggregation of the full source — double-writes (missing
+    idempotence), lost batches, or a sink seeing a recomputed
+    (different) batch all break the hash. Scratch dirs are uuid-fresh
+    per call so the determinism double-run re-proves the pipeline, not
+    a stale landing.
+
+    At 100 TB the same shape feeds N downstream tables from one Kafka
+    read with per-sink partitioning — the cache bounds source reads at
+    1x, and each sink write parallelizes independently.
+    """
+    run_id = uuid.uuid4().hex
+    out_type = scratch_path("fanout", run_id, "by_type", "_")[: -len("/_")]
+    out_day = scratch_path("fanout", run_id, "by_day", "_")[: -len("/_")]
+    ckpt = scratch_path("fanout", run_id, "ckpt")
+
+    def fanout(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.select("event_type", "value").write.mode("append").parquet(
+                out_type
+            )
+            batch_df.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("value")
+            ).write.mode("append").parquet(out_day)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        load_stream(spark, sf_dir, "events")
+        .writeStream.foreachBatch(fanout)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    e4 = F.round(F.col("value") * 10000, 0).cast("long")
+    by_type = (
+        spark.read.parquet(out_type)
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(e4).alias("value_e4"))
+        .select(F.lit("by_type").alias("sink"), "k", "n", "value_e4")
+    )
+    by_day = (
+        spark.read.parquet(out_day)
+        .groupBy(F.col("day").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(e4).alias("value_e4"))
+        .select(F.lit("by_day").alias("sink"), "k", "n", "value_e4")
+    )
+    return by_type.unionByName(by_day)
