@@ -1528,3 +1528,47 @@ def k_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bm25"),
     )
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+_FERTILITY_ORACLE = _BPE_CTES + r"""
+, enc AS (
+    SELECT word, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_tok
+    FROM s4
+)
+SELECT doc.lang,
+       CAST(count(*) AS BIGINT)      AS n_words,
+       CAST(sum(e.n_tok) AS BIGINT)  AS n_bpe_tokens,
+       round(CAST(sum(e.n_tok) AS DOUBLE) / count(*), 6) AS fertility
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) doc
+JOIN enc e USING (word)
+WHERE doc.word <> ''
+GROUP BY doc.lang
+"""
+
+
+@register("k_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def k_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword tokens emitted per
+    word under the corpus-trained BPE merges (k_bpe_train): THE metric
+    a multilingual tokenizer budget is judged on (fertility >> 1 for a
+    language means its text pays more sequence length per word, skewing
+    effective mixture weights and training cost). Composes the trained
+    word->n_subtokens map (corpus-sublinear word dict, broadcast) with
+    one exploded-token join and a per-lang aggregate; the ratio is a
+    single division rounded once over exact integer sums.
+    """
+    d = load(spark, sf_dir, "documents")
+    # Reuse the registered per-doc encode result, then re-key by lang.
+    per_doc = k_bpe_encode(spark, sf_dir)
+    langs = d.select("doc_id", "lang")
+    return (
+        per_doc.join(F.broadcast(langs), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+    )

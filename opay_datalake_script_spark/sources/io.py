@@ -1176,3 +1176,57 @@ def a_zorder_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
     )
+
+
+@register(
+    "a_scan_xml",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def a_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round trip on Spark 4's NATIVE xml format (no
+    spark-xml jar — the data source graduated into core in 4.0): the
+    event stream is exported as <rows><row>...</row></rows> documents
+    and read back with an EXPLICIT schema and rowTag, then checked as
+    a whole-table identity against the parquet source — XML has no
+    types, so every column's declared type, the full-precision double
+    round trip, and row multiplicity are all on the hash.
+
+    The reference-era warehouse ingested partner/vendor feeds exactly
+    like this (XML drops into a landing dir, an external table reads
+    it); the modern caveats are unchanged and documented here: one XML
+    document per file limits read parallelism to file count (export
+    many small documents, as this writer does per partition), schema
+    inference over XML is quadratic-ish and nondeterministic about
+    types — ALWAYS pass the schema — and timestamps should cross as
+    strings or epoch integers (this feed carries only ids, enums, and
+    doubles).
+    """
+    out = scratch_path("xml_feed", "events", "_")[: -len("/_")]
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    (
+        ev.repartition(8)
+        .write.mode("overwrite")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .format("xml")
+        .save(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(schema)
+        .load(out)
+    )
