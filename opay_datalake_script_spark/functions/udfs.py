@@ -384,3 +384,100 @@ def j_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy("user_id").applyInPandas(
         _ewma_group, schema="user_id long, hr timestamp, ewma double"
     )
+
+
+@register(
+    "j_embedding_score_batch",
+    oracle="""
+    WITH w AS (
+        SELECT i,
+               ('0x' || substr(md5('w:' || i), 1, 15))::BIGINT % 2001 - 1000
+                   AS wi
+        FROM range(0, 64) t(i)
+    )
+    SELECT e.vec_id,
+           CAST(sum(CAST(round(CAST(e.embedding[w.i + 1] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)
+                    * w.wi) AS BIGINT) AS score_int,
+           round(sum(CAST(round(CAST(e.embedding[w.i + 1] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)
+                     * w.wi) / 1000000000.0, 6) AS score,
+           sum(CAST(round(CAST(e.embedding[w.i + 1] AS DOUBLE) * 1000000, 0)
+                         AS BIGINT)
+               * w.wi) > 0 AS positive
+    FROM embeddings e CROSS JOIN w
+    GROUP BY e.vec_id
+    """,
+)
+def j_embedding_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over embeddings — the production shape for
+    scoring a 100 TB corpus with a trained head: weights live in the
+    task closure (broadcast once per executor), data streams through
+    mapInPandas as Arrow record batches, and the score is ONE numpy
+    matrix-vector product per batch — vectorized C, no per-row Python.
+
+    The determinism trick that lets a BLAS-ordered reduction be
+    hash-checked at all: the matmul runs in EXACT int64 (embeddings
+    quantized to e6, md5-derived weights are integers in [-1000,
+    1000]), and integer addition commutes — so numpy's SIMD/blocked
+    summation order is irrelevant and DuckDB's sequential list sum
+    reproduces the score bit-for-bit. A float32/float64 dot product
+    here would differ in final ulps per batch shape (the
+    k_char_entropy lesson applied to linear algebra). Headroom:
+    |term| <= 1e6 * 1000, x64 dims -> 6.4e10 << 2^63. Two quantization
+    seams live in the oracle: numpy rint is banker's rounding where
+    round() is half-away-from-zero, and DuckDB multiplies FLOAT *
+    INTEGER in float32 — the embedding must be CAST to DOUBLE before
+    scaling or a value like -0.18802149 lands on the wrong side of
+    the .5 boundary.
+
+    The 'model' is a deterministic linear probe; swapping in real
+    learned weights (or an ONNX session initialized once per worker in
+    the iterator form, j_scalar_iter_udf's pattern) changes nothing
+    about the Spark plumbing, which is what this operator pins.
+    """
+    import numpy as np
+
+    from hashlib import md5 as _md5
+
+    dims = 64
+    w_int = np.array(
+        [
+            int(_md5(f"w:{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+            for i in range(dims)
+        ],
+        dtype=np.int64,
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("score_int", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("positive", T.BooleanType()),
+        ]
+    )
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(pdf["embedding"].to_numpy())  # (n, 64) float32/64
+            xe = e.astype(np.float64) * 1_000_000
+            # HALF-AWAY-FROM-ZERO, not np.rint: rint rounds half-to-even
+            # (banker's), while DuckDB/Spark round() rounds half away from
+            # zero — the recorded k_multimodal_decode gotcha, now in numpy.
+            e_int = np.where(xe >= 0, np.floor(xe + 0.5), np.ceil(xe - 0.5)).astype(
+                np.int64
+            )
+            s = e_int @ w_int  # exact int64 matvec
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "score_int": s,
+                    "score": np.round(s / 1_000_000_000.0, 6),
+                    "positive": s > 0,
+                }
+            )
+
+    return emb.mapInPandas(score_batches, out_schema)
