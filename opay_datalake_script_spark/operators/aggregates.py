@@ -1371,3 +1371,159 @@ def d_pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("outdeg").cast("long").alias("degree"),
         F.col("r").cast("long").alias("rank_e9"),
     )
+
+
+@register(
+    "d_theta_sketch_intersection",
+    oracle="""
+    WITH member AS (
+        SELECT event_type,
+               ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h,
+               user_id
+        FROM events
+        GROUP BY event_type, user_id
+        HAVING count(*) >= 14
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM member
+    ),
+    sk AS (SELECT event_type, h FROM ranked WHERE rn <= 32),
+    theta AS (
+        SELECT event_type, max(h) AS th, count(*) AS nd
+        FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               least(ta.th, tb.th) AS th,
+               ta.nd AS nd_a, tb.nd AS nd_b
+        FROM theta ta JOIN theta tb ON ta.event_type < tb.event_type
+        JOIN (SELECT DISTINCT event_type FROM sk) a
+          ON a.event_type = ta.event_type
+        JOIN (SELECT DISTINCT event_type FROM sk) b
+          ON b.event_type = tb.event_type
+    ),
+    common AS (
+        SELECT p.seg_a, p.seg_b, p.th,
+               count(*) AS n_common
+        FROM pairs p
+        JOIN sk sa ON sa.event_type = p.seg_a
+        JOIN sk sb ON sb.event_type = p.seg_b AND sb.h = sa.h
+        WHERE sa.h < p.th
+        GROUP BY 1, 2, 3
+    ),
+    exact AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               count(*) AS n_exact
+        FROM member a JOIN member b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.seg_a, e.seg_b,
+           CAST(e.n_exact AS BIGINT) AS exact_overlap,
+           CAST(round(coalesce(c.n_common, 0)
+                      / (c.th / 1152921504606846976.0), 0) AS BIGINT)
+               AS est_overlap
+    FROM exact e LEFT JOIN common c
+      ON c.seg_a = e.seg_a AND c.seg_b = e.seg_b
+    """,
+)
+def d_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set INTERSECTION (the Apache DataSketches algebra)
+    on the same deterministic md5 KMV sketches as d_kmv_distinct_sketch
+    — segments are the d_bitmap_audience_overlap engagement cut
+    (>= 14 events of the type), so the estimates can be read against
+    that op's exact bitmap overlaps — completing the sketch suite:
+    CMS answers point frequency, KMV
+    answers per-set distinct, union merges losslessly
+    (d_kmv_sketch_merge), and intersection is where theta earns its
+    name: clamp both sketches to theta = min(theta_a, theta_b), count
+    the COMMON retained hashes below theta, and scale by 1/theta — an
+    unbiased estimate of |A intersect B| from two O(k) summaries,
+    without ever co-scanning the raw sets.
+
+    The estimate is compared against the exact overlap side by side
+    (same output shape as d_count_min_sketch's true/est columns), so
+    the driver hash pins estimator arithmetic, not just plumbing.
+    Small-k caveat documented rather than hidden: with k=32 the
+    intersection estimate carries ~1/sqrt(|common kept|) relative
+    error — segment pairs here estimate within ~2x, which is the
+    honest behavior of theta at tiny k, and exactly why production
+    sketches run k=4096+ (same algebra, same plan shape, k rows more
+    state per group).
+
+    Plan shape: one distinct-membership agg, one per-group top-k
+    window (e_topk_per_group class), then joins over <= 5 x 32-row
+    sketch tables — everything after the membership agg is
+    corpus-independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = 32
+    member = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 14)
+        .select(
+            "event_type",
+            "user_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    sk = (
+        member.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .where(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+    theta = sk.groupBy("event_type").agg(F.max("h").alias("th"))
+    ta = theta.select(F.col("event_type").alias("seg_a"), F.col("th").alias("th_a"))
+    tb = theta.select(F.col("event_type").alias("seg_b"), F.col("th").alias("th_b"))
+    pairs = ta.join(tb, F.col("seg_a") < F.col("seg_b")).select(
+        "seg_a", "seg_b", F.least("th_a", "th_b").alias("th")
+    )
+    sa = sk.select(F.col("event_type").alias("seg_a"), F.col("h"))
+    sb = sk.select(F.col("event_type").alias("sb_seg"), F.col("h").alias("h_b"))
+    common = (
+        pairs.join(F.broadcast(sa), "seg_a")
+        .join(
+            F.broadcast(sb),
+            (F.col("seg_b") == F.col("sb_seg")) & (F.col("h") == F.col("h_b")),
+        )
+        .where(F.col("h") < F.col("th"))
+        .groupBy("seg_a", "seg_b", "th")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ma = member.select(F.col("event_type").alias("seg_a"), "user_id")
+    mb = member.select(F.col("event_type").alias("seg_b"), "user_id")
+    exact = (
+        ma.join(mb, "user_id")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return exact.join(common, ["seg_a", "seg_b"], "left").select(
+        "seg_a",
+        "seg_b",
+        F.col("exact_overlap").cast("long").alias("exact_overlap"),
+        F.round(
+            F.coalesce(F.col("n_common"), F.lit(0))
+            / (F.col("th") / float(1 << 60)),
+            0,
+        )
+        .cast("long")
+        .alias("est_overlap"),
+    )
