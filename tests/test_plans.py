@@ -749,3 +749,25 @@ def test_global_sort_export_files_are_rank_disjoint(spark):
     # part-file names sort in write order for a range-partitioned write
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
         assert hi_a < lo_b, (ranges,)
+
+
+def test_round5j_new_ops_plan_shapes(spark):
+    """Closing-wave invariants: batch inference is map-only (the whole
+    point of shipping weights in the closure — zero exchanges);
+    tokenizer fertility stays on equi-joins (no cartesian); the XML
+    round trip really plans an xml FileScan (not a cached DataFrame);
+    theta intersection's only non-equi join is the 5x5 segment-pair
+    product over 1-row-per-segment theta tables (benign by size,
+    like the t_q11 scalar broadcast)."""
+    from opay_datalake_script_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(QUERIES["j_embedding_score_batch"](spark, SF_DIR)) == 0
+
+    fert = QUERIES["k_tokenizer_fertility"](spark, SF_DIR)
+    assert "CartesianProduct" not in (
+        fert._jdf.queryExecution().executedPlan().toString()
+    )
+
+    xml = QUERIES["a_scan_xml"](spark, SF_DIR)
+    xplan = xml._jdf.queryExecution().executedPlan().toString().lower()
+    assert "xml" in xplan, xplan
