@@ -1527,3 +1527,60 @@ def d_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_overlap"),
     )
+
+
+@register(
+    "d_latency_histogram",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(gap_us)) AS BIGINT) AS bucket_log2,
+           CAST(count(*) AS BIGINT)            AS n,
+           CAST(min(gap_us) AS BIGINT)         AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT)         AS max_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1, 2
+    """,
+)
+def d_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed latency histogram — the ops-observability shape
+    (think HdrHistogram / Prometheus exponential buckets) applied to
+    per-user inter-event gaps: bucket = position of the gap's most
+    significant bit, giving exponentially-wider bins with EXACT
+    integer bucketing. The msb comes from length(bin(x)) — a string
+    length, not floor(log2(x)), because float log puts exact powers
+    of two ON a bucket boundary where one engine's ulp rounds down
+    and the other's up (the k_char_entropy class of bug, in a
+    bucketer).
+
+    Plan shape: one (user, event_type)-partitioned lag window (the
+    e_lag_lead shuffle) feeding one hash aggregate whose output is
+    O(types x 64 buckets) — at 100 TB the histogram is the classic
+    mergeable pre-aggregate: per-partition partial counts combine by
+    +, so a day-partitioned warehouse can roll latency SLOs across
+    any period without touching raw events (the d_kmv_sketch_merge
+    argument, for distributions instead of distinct counts).
+    """
+    ev = load(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    return gaps.groupBy(
+        "event_type",
+        F.length(F.bin("gap_us")).cast("long").alias("bucket_log2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
