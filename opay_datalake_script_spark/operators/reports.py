@@ -1421,3 +1421,106 @@ def r_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_arpu"),
         )
     )
+
+
+@register(
+    "r_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT ('0x' || substr(md5('exp1:' || user_id), 1, 15))::BIGINT % 2
+                   AS arm,
+               CAST(round(value * 10000, 0) AS BIGINT) AS v4
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT)       AS n,
+               CAST(sum(v4) AS BIGINT)        AS sum_v4,
+               CAST(sum(v4 * v4) AS BIGINT)   AS sum_sq_v4
+        FROM assigned GROUP BY arm
+    )
+    SELECT a.n AS n_treat, b.n AS n_ctrl,
+           round(a.sum_v4 / (a.n * 10000.0), 4)  AS mean_treat,
+           round(b.sum_v4 / (b.n * 10000.0), 4)  AS mean_ctrl,
+           round((a.sum_v4 / CAST(a.n AS DOUBLE) - b.sum_v4 / CAST(b.n AS DOUBLE))
+                 / (b.sum_v4 / CAST(b.n AS DOUBLE)), 6) AS rel_lift,
+           round((a.sum_v4 / CAST(a.n AS DOUBLE) - b.sum_v4 / CAST(b.n AS DOUBLE))
+                 / sqrt(
+                     (a.sum_sq_v4 / CAST(a.n AS DOUBLE)
+                      - (a.sum_v4 / CAST(a.n AS DOUBLE))
+                        * (a.sum_v4 / CAST(a.n AS DOUBLE))) / a.n
+                   + (b.sum_sq_v4 / CAST(b.n AS DOUBLE)
+                      - (b.sum_v4 / CAST(b.n AS DOUBLE))
+                        * (b.sum_v4 / CAST(b.n AS DOUBLE))) / b.n
+                   ), 4) AS z_stat
+    FROM (SELECT * FROM s WHERE arm = 1) a
+    CROSS JOIN (SELECT * FROM s WHERE arm = 0) b
+    """,
+)
+def r_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the growth-analytics staple missing
+    from the report layer: purchases are split into arms by a
+    DETERMINISTIC hash assignment (md5 of 'experiment_id:user_id' —
+    the industry-standard bucketing rule: stable across sessions,
+    reproducible for audit, uniform across arms, and oracle-checkable
+    where rand() is none of those), then the readout computes arm
+    means, relative lift, and a two-sample z statistic.
+
+    Every moment comes from exact bigint power sums (n, sum, sum of
+    squares — the d_corr_covar scheme), so the only floats are the
+    final closed-form expressions, identical and left-associated in
+    both engines. One hash aggregation with a 2-row output; the
+    z-score arithmetic is a scalar epilogue on the 1x1 joined arms.
+
+    At 100 TB this extends per-dimension (arm x country x day) with
+    the same partial-aggregate shape; CUPED or sequential-testing
+    variants swap the epilogue formula, not the plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.where(F.col("event_type") == "purchase").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
+    )
+    s = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v4").alias("sum_v4"),
+        F.sum(F.col("v4") * F.col("v4")).alias("sum_sq_v4"),
+    )
+    a = s.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("sum_v4").alias("sa"),
+        F.col("sum_sq_v4").alias("qa"),
+    )
+    b = s.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_ctrl"),
+        F.col("sum_v4").alias("sb"),
+        F.col("sum_sq_v4").alias("qb"),
+    )
+    ma = F.col("sa") / F.col("n_treat").cast("double")
+    mb = F.col("sb") / F.col("n_ctrl").cast("double")
+    va = (
+        F.col("qa") / F.col("n_treat").cast("double") - ma * ma
+    ) / F.col("n_treat")
+    vb = (
+        F.col("qb") / F.col("n_ctrl").cast("double") - mb * mb
+    ) / F.col("n_ctrl")
+    return a.crossJoin(b).select(
+        "n_treat",
+        "n_ctrl",
+        F.round(F.col("sa") / (F.col("n_treat") * 10000.0), 4).alias("mean_treat"),
+        F.round(F.col("sb") / (F.col("n_ctrl") * 10000.0), 4).alias("mean_ctrl"),
+        F.round((ma - mb) / mb, 6).alias("rel_lift"),
+        F.round((ma - mb) / F.sqrt(va + vb), 4).alias("z_stat"),
+    )
