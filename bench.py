@@ -58,7 +58,15 @@ def main() -> None:
     #   compute (Spark has no result cache and nothing here is .cache()d);
     # * materialize via toPandas (Arrow batches) — the analog of DuckDB's
     #   fetchall; collect() would time row-at-a-time pickling instead.
+    # Report the SPREAD alongside the median (VERDICT r5 item 5): the
+    # round-5 totals drifted +20% uniformly under VM load, which is
+    # indistinguishable from a plan regression when only the median is
+    # published. The per-query min is the load-insensitive statistic —
+    # a real regression raises the MIN; contention only raises the
+    # median/max — so "value_min" (total of per-query minima) is the
+    # number to diff across rounds before suspecting a plan change.
     per_query: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     failed: list[str] = []
     for name in names:
         try:
@@ -70,6 +78,7 @@ def main() -> None:
                 df.toPandas()
                 times.append(time.perf_counter() - t0)
             per_query[name] = round(statistics.median(times), 4)
+            spread[name] = [round(min(times), 4), round(max(times), 4)]
         except Exception as ex:  # one broken query must not lose the run
             failed.append(name)
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
@@ -80,6 +89,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "spread": spread,
+        "value_min": round(sum(lo for lo, _ in spread.values()), 4),
         "sf": sf,
     }
     if failed:

@@ -976,25 +976,36 @@ def d_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_kmv_distinct_sketch",
     oracle="""
-    WITH hashed AS (
+    WITH base AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    exact AS (
+        SELECT event_type, count(*) AS n_users FROM base GROUP BY event_type
+    ),
+    hashed AS (
         SELECT DISTINCT event_type,
                ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
-        FROM events
+        FROM base
     ),
     ranked AS (
         SELECT event_type, h,
                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
                count(*)    OVER (PARTITION BY event_type)             AS nd
         FROM hashed
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(CASE WHEN min(nd) < 32 THEN min(nd)
+                    ELSE CAST(round(31.0 / (max(h) / 1152921504606846976.0), 0)
+                              AS BIGINT) END AS BIGINT) AS est_distinct
+        FROM ranked
+        WHERE rn <= 32
+        GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(min(nd) AS BIGINT) AS exact_distinct,
-           CAST(CASE WHEN min(nd) < 32 THEN min(nd)
-                ELSE CAST(round(31.0 / (max(h) / 1152921504606846976.0), 0)
-                          AS BIGINT) END AS BIGINT) AS est_distinct
-    FROM ranked
-    WHERE rn <= 32
-    GROUP BY event_type
+    SELECT e.event_type,
+           CAST(x.n_users AS BIGINT) AS exact_distinct,
+           e.est_distinct
+    FROM est e JOIN exact x USING (event_type)
     """,
 )
 def d_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1012,15 +1023,21 @@ def d_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a group has fewer than k distinct keys the sketch IS the exact
     answer.
 
-    Plan: one distinct-(group, hash) aggregation (uniform md5 keys,
-    map-side partial), then a per-group window keeps rank <= k — the
-    e_topk_per_group shape bounded at k rows per group out. The
-    estimator divides by 2^60 once and rounds once; both engines fold
-    the same constants.
+    Plan: one distinct-(group, user) base feeds BOTH legs — the true
+    ``countDistinct(user_id)`` baseline (ADVICE r5: the previous
+    'exact' column counted distinct 60-bit HASHES, so a collision
+    would understate it while both engines still agreed — the
+    differential oracle could never catch it) and the distinct-hash
+    sketch leg (per-group window keeps rank <= k, the e_topk_per_group
+    shape bounded at k rows per group out). The two legs rejoin on the
+    group key — a tiny (n_groups-row) join. The estimator divides by
+    2^60 once and rounds once; both engines fold the same constants.
     """
     ev = load(spark, sf_dir, "events")
     k = 32
-    hashed = ev.select(
+    base = ev.select("event_type", "user_id").distinct()
+    exact = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    hashed = base.select(
         "event_type",
         F.conv(
             F.substring(
@@ -1039,17 +1056,21 @@ def d_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wp.orderBy("h")).alias("rn"),
         F.count(F.lit(1)).over(wp).alias("nd"),
     )
-    return (
+    est = (
         ranked.where(F.col("rn") <= k)
         .groupBy("event_type")
         .agg(
-            F.min("nd").alias("exact_distinct"),
             F.when(F.min("nd") < k, F.min("nd"))
             .otherwise(
                 F.round((k - 1.0) / (F.max("h") / float(1 << 60)), 0).cast("long")
             )
             .alias("est_distinct"),
         )
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        F.col("n_users").alias("exact_distinct"),
+        "est_distinct",
     )
 
 
@@ -1063,8 +1084,10 @@ def d_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bm AS (
         SELECT event_type,
-               user_id // 62                        AS block,
-               bit_or(1::BIGINT << (user_id % 62))  AS bits
+               -- floor-div/pmod pair (DuckDB // TRUNCATES: -7 // 3 = -2,
+               -- so subtract the nonnegative remainder first to floor)
+               (user_id - (((user_id % 62) + 62) % 62)) // 62     AS block,
+               bit_or(1::BIGINT << (((user_id % 62) + 62) % 62))  AS bits
         FROM member
         GROUP BY 1, 2
     )
@@ -1081,7 +1104,9 @@ def d_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain int64 blocks: segment = "users with >= 14 events of this
     type" (an engagement cut that actually differentiates the
     segments), each segment's membership is packed 62 users
-    per bigint (block = user_id div 62, one bit per user), segments
+    per bigint (block = floor(user_id / 62), bit = pmod(user_id, 62) —
+    the floor/pmod pair keeps both engines consistent even for negative
+    ids), segments
     intersect with a bitwise AND per block, and overlap cardinality is
     a popcount sum. Everything integer-exact, fully oracle-checked.
     The diagonal (seg <= seg) doubles as each segment's cardinality.
@@ -1108,8 +1133,15 @@ def d_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = (
         member.select(
             "event_type",
-            F.expr("user_id div 62").alias("block"),
-            F.expr("shiftleft(1L, cast(user_id % 62 as int))").alias("bit"),
+            # floor-div + nonnegative-mod pair (pmod(x,62) = x - 62*floor(x/62))
+            # so a negative user_id still lands a valid 0..61 bit in the
+            # right block in BOTH engines. Spark div/% AND DuckDB // all
+            # truncate toward zero (ADVICE r5 flagged the sign hazard;
+            # measured, both engines truncate — so floor is spelled
+            # explicitly on both sides rather than trusting either's
+            # native operator).
+            F.expr("(user_id - pmod(user_id, 62)) div 62").alias("block"),
+            F.expr("shiftleft(1L, cast(pmod(user_id, 62) as int))").alias("bit"),
         )
         .groupBy("event_type", "block")
         .agg(F.bit_or("bit").alias("bits"))

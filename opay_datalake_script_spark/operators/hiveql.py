@@ -350,19 +350,33 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     per file split — CSV's lack of pushdown/column pruning is exactly
     why a_sink_partitioned lands parquet instead, and that tradeoff
     belongs to the format, not to the DDL entry point.
+
+    Concurrency (ADVICE r5): the landing dir AND the view name are
+    uuid-fresh per invocation — the previous fixed path keyed only by
+    sf_dir let a concurrent or overlapping invocation overwrite the CSV
+    underneath the other's still-lazy plan, and the shared session-
+    global view name let one call re-point the other's table (the
+    a_sink_orc scratch-race class). With both unique per call, the
+    returned lazy DataFrame owns its landing exclusively, and the plan
+    still shows the DDL-declared CSV FileScan (pinned in test_plans) —
+    the proof that the text-DDL path, not a cached DataFrame, feeds the
+    aggregate. The uuid views accumulate in the session catalog at one
+    tiny entry per invocation; a long-lived service would drop them
+    after materializing downstream.
     """
+    import uuid
+
     from ..sources.io import scratch_path
 
-    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    tag = uuid.uuid4().hex
     csv_dir = scratch_path("ddl_csv", tag, "_")[: -len("/_")]
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     ev.coalesce(4).write.mode("overwrite").option("header", True).csv(csv_dir)
-    spark.sql(f"DROP VIEW IF EXISTS ext_events_{tag}")
     spark.sql(
         f"""
-        CREATE OR REPLACE TEMPORARY VIEW ext_events_{tag} (
+        CREATE TEMPORARY VIEW ext_events_{tag} (
             event_id BIGINT,
             user_id BIGINT,
             event_type STRING,

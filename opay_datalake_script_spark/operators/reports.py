@@ -1264,8 +1264,15 @@ def r_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pid AS purchase_event_id, cid AS click_event_id,
            CAST(n AS BIGINT) AS n_touches,
-           CAST(CASE WHEN rn = 1 THEN v4 - (n - 1) * (v4 // n)
-                     ELSE v4 // n END AS BIGINT) AS attributed_e4
+           -- FLOOR division spelled explicitly: DuckDB's // truncates
+           -- toward zero (measured: -7 // 3 = -2), so subtract the
+           -- nonnegative remainder first — the quotient is then exact
+           -- and equals floor(v4/n) for any sign of v4, matching the
+           -- Spark side's (v4 - pmod(v4, n)) div n.
+           CAST(CASE WHEN rn = 1
+                     THEN v4 - (n - 1) * ((v4 - (((v4 % n) + n) % n)) // n)
+                     ELSE (v4 - (((v4 % n) + n) % n)) // n
+                END AS BIGINT) AS attributed_e4
     FROM pairs
     """,
 )
@@ -1317,7 +1324,15 @@ def r_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wp.orderBy(F.desc("cts"), F.desc("cid")))
         .alias("rn"),
     )
-    share = F.expr("v4 div n")
+    # FLOOR division in exact integer math (ADVICE r5). Note: BOTH
+    # Spark's `div` AND DuckDB's `//` truncate toward zero (measured:
+    # -7 // 3 = -2 in DuckDB) — the advice's floor-vs-truncate split
+    # was backwards, but truncation itself is the wrong semantics for
+    # a money split (the remainder would change sign on refunds), so
+    # both sides now spell floor explicitly: pmod is the nonnegative
+    # remainder, (v4 - pmod(v4, n)) is exactly divisible, and the
+    # quotient equals floor(v4 / n) for any sign of v4.
+    share = F.expr("(v4 - pmod(v4, n)) div n")
     return ranked.select(
         F.col("pid").alias("purchase_event_id"),
         F.col("cid").alias("click_event_id"),

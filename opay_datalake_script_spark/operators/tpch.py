@@ -575,9 +575,12 @@ def t_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the max quarterly revenue. The scalar
-    max is a rank-1 window over the already-shuffled per-supplier agg —
-    no second scan, no driver collect (the classic view-with-subquery
-    becomes one plan)."""
+    max subquery is a 1-row ``agg(max)`` broadcast back onto the
+    per-supplier aggregate (same pattern as Q11's global total,
+    t_q11_important_share) — NOT an empty-partition window, which would
+    funnel millions of per-supplier rows through ONE task at scale. The
+    revenue view is computed once and reused for both sides of the
+    comparison; no second lineitem scan, no driver collect."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -586,9 +589,10 @@ def t_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
-    top = rev.withColumn(
-        "mx", F.max("total_revenue").over(W.partitionBy())
-    ).where(F.col("total_revenue") == F.col("mx"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("mx")
+    )
     s = load(spark, sf_dir, "supplier")
     return top.join(s, top.supplier_no == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"

@@ -47,19 +47,24 @@ _QUERY_MODULES = (
 # went stale by round 2 — see ADVICE.md):
 #   1. queries whose LATEST driver row FAILED (they carry fixes that
 #      need re-proof),
-#   2. queries listed in _RECHECK (code or oracle changed this round)
-#      and queries with no driver row at all,
-#   3. everything else, stalest driver evidence first (ascending round
+#   2. queries listed in _RECHECK (code or oracle changed this round) —
+#      changed code needs re-proof MORE than new code needs first proof
+#      (round-5 lesson: its changed queries lost every window slot to
+#      earlier-registered never-checked IDs and went un-reproven),
+#   3. queries with no driver row at all, registration order,
+#   4. everything else, stalest driver evidence first (ascending round
 #      of the latest row) — older rows were taken against older fixture
 #      generations (the events.ts encoding changed between rounds), so
 #      refreshing the oldest evidence first keeps the whole registry
 #      anchored to current fixtures,
-# with registration order as the tiebreaker.
+# with registration order as the tiebreaker within each tier.
 _RECHECK = (
-    # round-5 changes: banded candidates -> exact verify rewires
-    # (k_jaccard_pairs/k_ngram_jaccard scale-safety, k_near_dedup_lsh
-    # rows-only -> oracle upgrade), hash-keyed line dedup, survivor-set
-    # LSH in the corpus pipeline, size-aware IVF probing
+    # round-5 changes that missed the round-5 driver window and still
+    # await re-proof on the changed code: banded candidates -> exact
+    # verify rewires (k_jaccard_pairs/k_ngram_jaccard scale-safety,
+    # k_near_dedup_lsh rows-only -> oracle upgrade), survivor-set LSH
+    # in the corpus pipeline, size-aware IVF probing, raise-on-non-
+    # convergence components, decimal(20,0) e4 accumulators in Q1/Q8/Q14
     "k_jaccard_pairs",
     "k_ngram_jaccard",
     "k_near_dedup_lsh",
@@ -67,114 +72,18 @@ _RECHECK = (
     "k_ann_ivf",
     "k_ann_ivf_stats",
     "k_dedup_components",
-    # round-5: fixed-point e4 ratio/average sums (decimal accumulators)
     "t_q01_pricing_summary",
     "t_q08_market_share",
     "t_q14_promo_effect",
     "i_tumbling",
-    # round-5 new ops
-    "k_substring_dedup",
-    "k_corpus_shuffle",
-    "k_shard_manifest",
-    "k_stratified_sample",
-    "a_snapshot_time_travel",
-    "k_quality_filter_pipeline",
-    "s_hiveql_multi_insert",
-    "k_embed_dedup_components",
-    "i_stream_stream_left_join",
-    "h_geo_haversine",
-    "h_geo_grid_heatmap",
-    "k_bigram_logprob",
-    "k_multimodal_decode",
-    "k_audio_frame_rms",
-    "c_join_interval_overlap",
-    "a_sink_orc",
-    "k_gopher_quality_rules",
-    "k_semantic_outlier",
-    "a_scan_partition_pruned",
-    "k_interleave_sources",
-    "k_containment_dedup",
-    "k_perplexity_buckets",
-    "k_vocab_coverage",
-    "a_scan_corrupt_records",
-    "j_scalar_iter_udf",
-    "e_gap_fill_forward",
-    "r_mom_yoy_report",
-    "s_hiveql_grouping_id",
-    "r_dq_anomaly_zscore",
-    "k_anonymity_check",
-    "g_intersect_all",
-    "c_join_null_safe",
-    "k_tokenize_to_ids",
-    "h_bitwise",
-    "a_snapshot_retention",
-    "k_dedup_keep_best",
-    "d_heavy_hitters",
-    "k_dataset_card",
-    "f_offset_pagination",
-    "j_ewma_grouped",
-    "h_nested_hof",
-    "d_unpivot",
-    "r_event_transitions",
-    "e_streaks_islands",
-    "b_mask_export",
-    "k_cluster_size_histogram",
-    "k_augment_token_dropout",
-    "k_winsorize_clip",
-    "c_join_exists_flag",
-    "e_value_change_points",
-    "h_try_arith",
-    "d_argmax_aggregates",
-    "r_rfm_segments",
-    "d_boolean_aggs",
-    "e_merge_intervals",
-    "c_join_scd2_asof",
-    "j_cogroup_asof",
-    "k_char_entropy",
-    "k_random_projection",
-    "r_user_path_topk",
-    "k_hard_negatives",
-    "d_mode",
-    "e_rolling_median",
-    "r_user_trend_slope",
-    "r_table_profile",
-    "k_bpe_train",
-    "k_bpe_encode",
-    "a_scan_dynamic_pruning",
-    "k_temperature_mixture",
-    "r_observed_load_metrics",
-    "c_join_lateral_topk",
-    "e_anomaly_mad",
-    "r_pareto_deciles",
-    "k_flesch_readability",
-    "r_time_to_convert",
-    "k_lsh_tuning_curve",
-    "a_python_datasource",
-    "a_python_datasource_sink",
-    "s_hiveql_script_transform",
-    "d_weighted_median",
-    "k_minhash_jaccard_estimate",
-    "i_stream_python_datasource",
-    "k_quality_features",
-    "r_new_vs_returning",
-    "c_join_asof_nearest",
-    "a_write_audit_publish",
-    "k_incremental_dedup",
-    "k_corpus_build_pipeline",
-    "k_blocklist_filter",
-    "r_event_order_violations",
-    "r_revenue_bridge",
-    "r_copurchase_pairs",
-    "k_rejection_sample_quality",
-    "d_percentile_disc",
-    "k_image_ahash_dedup",
-    "r_velocity_flags",
-    "e_peak_concurrency",
-    "k_audio_active_segments",
-    "h_encode_battery",
-    "k_ngram_novelty",
-    "g_except_all",
-    "f_keyset_pagination",
+    # round-6 changes: Q15 global max moved from an empty-partition
+    # window to a 1-row broadcast; ADVICE.md fixes (floor-division
+    # semantics, exact z-order bucket math, KMV exact_distinct)
+    "t_q15_top_supplier",
+    "a_zorder_clustered_write",
+    "d_kmv_distinct_sketch",
+    "r_attribution_linear",
+    "d_bitmap_audience_overlap",
 )
 
 
@@ -213,9 +122,11 @@ def _reorder(mapping: dict) -> dict:
             failed = row.get("rows_match") is False or row.get("hash_match") is False
             if failed:
                 return (0, 0, reg_pos[name])
-        if name in _RECHECK or hit is None:
+        if name in _RECHECK:
             return (1, 0, reg_pos[name])
-        return (2, hit[0], reg_pos[name])
+        if hit is None:
+            return (2, 0, reg_pos[name])
+        return (3, hit[0], reg_pos[name])
 
     return {n: mapping[n] for n in sorted(mapping, key=key)}
 

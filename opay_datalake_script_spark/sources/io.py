@@ -1122,15 +1122,15 @@ def a_zorder_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("_pid", "_off")
         total = ranged.count()
         local = F.row_number().over(W.partitionBy("_pid").orderBy(col, "o_orderkey"))
+        # Exact integer bucket math (ADVICE r5): the double quotient
+        # ((rank*256)/total) can round across a bucket boundary past
+        # ~2^45 rows (and in principle reach 256); long `div` cannot.
+        # rank in [0, total-1] so (rank*256) div total is always <= 255.
         return (
             ranged.join(F.broadcast(offs), "_pid")
-            .withColumn(
-                alias,
-                (
-                    ((local + F.col("_off") - 1) * 256) / F.lit(total)
-                ).cast("int"),
-            )
-            .drop("_pid", "_off")
+            .withColumn("_rank", (local + F.col("_off") - 1).cast("long"))
+            .withColumn(alias, F.expr(f"cast((_rank * 256) div {total} as int)"))
+            .drop("_pid", "_off", "_rank")
         )
 
     bx = rank_bucket(o, "o_custkey", "bx")

@@ -825,17 +825,24 @@ def i_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink's action would re-evaluate the batch plan — the classic
     foreachBatch fan-out bug this operator exists to pin.
 
-    Both sinks land row-grain parquet appends; the registered output
+    Both sinks land row-grain parquet KEYED BY EPOCH with dynamic
+    partition overwrite (ADVICE r5): foreachBatch gives at-least-once
+    delivery, so a batch replayed after a mid-batch failure must
+    OVERWRITE its own epoch partition, not append a duplicate — blind
+    appends silently double-count on recovery, which is exactly the
+    failure the whole-pipeline identity oracle would then expose. The
+    overwrite touches only the replayed epoch's partition (dynamic
+    mode), leaving committed epochs untouched. The registered output
     re-aggregates the landed tables and must value-hash-equal batch
-    aggregation of the full source — double-writes (missing
-    idempotence), lost batches, or a sink seeing a recomputed
-    (different) batch all break the hash. Scratch dirs are uuid-fresh
-    per call so the determinism double-run re-proves the pipeline, not
-    a stale landing.
+    aggregation of the full source — double-writes, lost batches, or a
+    sink seeing a recomputed (different) batch all break the hash.
+    Scratch dirs are uuid-fresh per call so the determinism double-run
+    re-proves the pipeline, not a stale landing.
 
     At 100 TB the same shape feeds N downstream tables from one Kafka
     read with per-sink partitioning — the cache bounds source reads at
-    1x, and each sink write parallelizes independently.
+    1x, each sink write parallelizes independently, and the epoch key
+    makes every sink exactly-once under retries.
     """
     run_id = uuid.uuid4().hex
     out_type = scratch_path("fanout", run_id, "by_type", "_")[: -len("/_")]
@@ -845,12 +852,24 @@ def i_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fanout(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            batch_df.select("event_type", "value").write.mode("append").parquet(
-                out_type
+            (
+                batch_df.select("event_type", "value")
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out_type)
             )
-            batch_df.select(
-                F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("value")
-            ).write.mode("append").parquet(out_day)
+            (
+                batch_df.select(
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("value")
+                )
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out_day)
+            )
         finally:
             batch_df.unpersist()
 

@@ -394,6 +394,21 @@ def test_q11_global_total_is_broadcast_not_window(spark):
     assert "Window" not in plan, "global total must not be a global window"
 
 
+def test_q15_global_max_is_broadcast_not_window(spark):
+    """Q15's scalar max-revenue subquery must be a 1-row broadcast cross
+    join against the per-supplier aggregate (Q11's pattern); the previous
+    empty-partition window funneled the whole per-supplier table through
+    one task — the last single-partition-exchange hot path in the tree."""
+    df = QUERIES["t_q15_top_supplier"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df)
+    assert "Window" not in plan, "global max must not be a global window"
+    # the only single-partition exchange allowed is the 1-row agg(max)
+    # itself, which moves one partial-max row per partition — the full
+    # per-supplier table must never be exchanged to one partition
+    assert plan.count("SinglePartition") <= 1
+
+
 def test_q18_q21_scan_lineitem_once(spark):
     """Q18 and Q21 were rewritten to derive their second aggregate from
     the first instead of rescanning the fact table; pin the single scan

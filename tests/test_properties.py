@@ -624,3 +624,54 @@ def test_attribution_shares_conserve_purchase_totals(spark):
     assert len(got) > 0
     for pid, tot in got.items():
         assert tot == v4[pid], (pid, tot, v4[pid])
+
+
+def test_floor_division_semantics_on_negative_values(spark):
+    """ADVICE r5 flagged that the attribution split and the bitmap
+    block/bit math only agreed between engines because fixture values
+    are nonnegative. Measured ground truth: BOTH Spark `div` and DuckDB
+    `//` truncate toward zero (-7 // 3 = -2 in DuckDB), so the fix
+    spells FLOOR division explicitly on both sides via the nonnegative
+    remainder. Pin, on negatives the fixtures never contain:
+    * the Spark share expression == Python floor-div == the oracle's
+      subtract-pmod-then-divide form in DuckDB,
+    * conservation: (n-1) equal shares + remainder share == v4,
+    * the bitmap (block, bit) pair has bit in 0..61 and reconstructs
+      user_id exactly, identically in both engines."""
+    import duckdb
+
+    rows = [(-7, 3), (-1, 4), (7, 3), (-10, 5), (10, 3), (-9999999999, 7)]
+    df = spark.createDataFrame(rows, "v4 long, n long")
+    got = {
+        (r["v4"], r["n"]): (r["share"], r["rem_share"])
+        for r in df.selectExpr(
+            "v4",
+            "n",
+            "(v4 - pmod(v4, n)) div n AS share",
+            "v4 - (n - 1) * ((v4 - pmod(v4, n)) div n) AS rem_share",
+        ).collect()
+    }
+    for v4, n in rows:
+        share = v4 // n  # Python floor-division is the spec
+        assert got[(v4, n)][0] == share, (v4, n, got[(v4, n)])
+        assert (n - 1) * share + got[(v4, n)][1] == v4
+        duck = duckdb.sql(
+            f"SELECT ({v4} - ((({v4} % {n}) + {n}) % {n})) // {n}"
+        ).fetchone()[0]
+        assert duck == share, (v4, n, duck, share)
+
+    ids = spark.createDataFrame(
+        [(-125,), (-62,), (-1,), (0,), (61,), (62,)], "user_id long"
+    )
+    for r in ids.selectExpr(
+        "user_id",
+        "(user_id - pmod(user_id, 62)) div 62 AS block",
+        "cast(pmod(user_id, 62) as int) AS bit",
+    ).collect():
+        assert 0 <= r["bit"] < 62
+        assert r["block"] * 62 + r["bit"] == r["user_id"]
+        duck_block, duck_bit = duckdb.sql(
+            f"SELECT ({r['user_id']} - ((({r['user_id']} % 62) + 62) % 62)) // 62,"
+            f" (({r['user_id']} % 62) + 62) % 62"
+        ).fetchone()
+        assert (duck_block, duck_bit) == (r["block"], r["bit"])
