@@ -119,7 +119,14 @@ def _reorder(mapping: dict) -> dict:
         hit = history.get(name)
         if hit is not None:
             rnd, row = hit
-            failed = row.get("rows_match") is False or row.get("hash_match") is False
+            failed = (
+                row.get("rows_match") is False
+                or row.get("hash_match") is False
+                # a harness exception (err set, matches null) is a
+                # failure too — 'no_oracle' is the one benign err the
+                # driver records for rows-only-by-design queries
+                or row.get("err") not in (None, "no_oracle")
+            )
             if failed:
                 return (0, 0, reg_pos[name])
         if name in _RECHECK:

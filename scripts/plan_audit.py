@@ -44,31 +44,61 @@ from opay_datalake_script_spark.registry import (  # noqa: E402
 _WINDOW_RE = re.compile(r"^\s*(?:[+:*\-|\s]*)Window (\[.*)$")
 
 
-def _empty_partition_windows(plan: str) -> list[str]:
-    """Window operator lines whose partition spec is empty.
+def _top_level_groups(rest: str) -> list[str]:
+    """Split a plan line's tail into its top-level [...] bracket groups."""
+    groups: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in rest:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
 
-    Plan text renders as ``Window [exprs], [partition], [order]`` — an
-    empty partition spec drops the middle bracket group, leaving only
-    two bracket groups on the line.
+
+def _empty_partition_windows(plan: str) -> list[str]:
+    """Window operator lines whose PARTITION spec is empty — the shape
+    WindowExec warns about ("No Partition Defined ... moving all data
+    to a single partition").
+
+    Plan text renders as ``Window [exprs], [partition], [order]``, but
+    empty specs are simply omitted, so the group count alone is
+    ambiguous: 2 groups is EITHER partitioned-unordered (benign, e.g.
+    count(*) over (partition by k)) OR unpartitioned-ordered (the bad
+    one). Disambiguate by the sort markers — an order spec's entries
+    always carry ASC/DESC.
     """
     hits = []
     for line in plan.splitlines():
         m = _WINDOW_RE.match(line)
         if not m:
             continue
-        rest = m.group(1)
-        # count top-level bracket groups
-        depth = 0
-        groups = 0
-        for ch in rest:
-            if ch == "[":
-                if depth == 0:
-                    groups += 1
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-        if groups < 3:
-            hits.append(line.strip()[:200])
+        groups = _top_level_groups(m.group(1))
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order] — partitioned
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # [exprs], [partition] — partitioned, no order
+        # The distributed two-phase prefix-sum's OFFSETS window runs
+        # unpartitioned BY DESIGN over the per-partition count table —
+        # O(num_partitions) rows, never corpus-linear. Its signature is
+        # ordering on the synthetic _pid column; classify separately so
+        # real global windows stand out.
+        if "windowspecdefinition(_pid#" in line:
+            continue
+        hits.append(line.strip()[:200])
     return hits
 
 
