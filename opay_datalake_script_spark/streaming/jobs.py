@@ -799,6 +799,21 @@ def i_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def write_epoch_partition(df: DataFrame, epoch_id: int, path: str) -> None:
+    """Idempotent foreachBatch sink write: land ``df`` under its epoch
+    partition with dynamic partition overwrite, so an at-least-once
+    replay of the same micro-batch REPLACES its own epoch instead of
+    append-duplicating (ADVICE r5), and committed epochs are untouched.
+    Tested directly by test_fanout_epoch_write_is_replay_idempotent."""
+    (
+        df.withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+
+
 @register(
     "i_stream_fanout_sinks",
     oracle="""
@@ -852,23 +867,15 @@ def i_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fanout(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            (
-                batch_df.select("event_type", "value")
-                .withColumn("epoch", F.lit(int(epoch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(out_type)
+            write_epoch_partition(
+                batch_df.select("event_type", "value"), epoch_id, out_type
             )
-            (
+            write_epoch_partition(
                 batch_df.select(
                     F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("value")
-                )
-                .withColumn("epoch", F.lit(int(epoch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(out_day)
+                ),
+                epoch_id,
+                out_day,
             )
         finally:
             batch_df.unpersist()

@@ -324,3 +324,29 @@ def test_stream_stream_left_join_parity(spark):
     got = spark.table("ssl_out").where(F.col("user_id") >= 0)
     want = QUERIES["i_stream_stream_left_join"](spark, SF_DIR)
     _assert_same(got, want)
+
+
+def test_fanout_epoch_write_is_replay_idempotent(spark, tmp_path):
+    """The ADVICE-r5 fan-out fix, exercised directly: foreachBatch is
+    at-least-once, so writing the SAME epoch twice (a replay after a
+    mid-batch failure) must leave exactly one copy of that epoch's
+    rows, while other epochs stay untouched. A blind append would
+    double epoch 0's rows and break the whole-pipeline identity
+    oracle only later — this pins the mechanism itself."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "epoch_sink")
+    b0 = spark.range(10).select(F.col("id"), F.lit("a").alias("tag"))
+    b1 = spark.range(10, 15).select(F.col("id"), F.lit("b").alias("tag"))
+
+    jobs.write_epoch_partition(b0, 0, out)
+    jobs.write_epoch_partition(b1, 1, out)
+    jobs.write_epoch_partition(b0, 0, out)  # replay of epoch 0
+
+    back = spark.read.parquet(out)
+    assert back.count() == 15, "replayed epoch must overwrite, not append"
+    per_epoch = {
+        r["epoch"]: r["n"]
+        for r in back.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_epoch == {0: 10, 1: 5}
