@@ -562,15 +562,16 @@ def t_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                        AS BIGINT)) AS rev_e4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, round(rev_e4 / 10000.0, 2) AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
-      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      AND rev_e4 = (SELECT max(rev_e4) FROM revenue)
     """,
 )
 def t_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,22 +581,29 @@ def t_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_q11_important_share) — NOT an empty-partition window, which would
     funnel millions of per-supplier rows through ONE task at scale. The
     revenue view is computed once and reused for both sides of the
-    comparison; no second lineitem scan, no driver collect."""
+    comparison; no second lineitem scan, no driver collect.
+
+    Revenue accumulates in exact integer ten-thousandths and the
+    max-equality compares the INTEGERS: an equality on 2-dp-rounded
+    double sums could flip the winning-supplier SET itself when one
+    engine's reassociated sum lands on a half-cent boundary — the
+    worst case of the hazard class the e4 scheme exists for (Q1/Q8/
+    Q9/Q11/Q14 precedent). The display column divides+rounds once."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(F.sum(F.round(_rev() * 10000, 0).cast("long")).alias("rev_e4"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
-    top = rev.join(F.broadcast(mx)).where(
-        F.col("total_revenue") == F.col("mx")
-    )
+    mx = rev.agg(F.max("rev_e4").alias("mx"))
+    top = rev.join(F.broadcast(mx)).where(F.col("rev_e4") == F.col("mx"))
     s = load(spark, sf_dir, "supplier")
     return top.join(s, top.supplier_no == s.s_suppkey).select(
-        "s_suppkey", "s_name", "total_revenue"
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
     )
 
 
