@@ -1,0 +1,112 @@
+"""Tests for the registry's driver-window ordering — the mechanism that
+decides which ~50 queries get driver-verified evidence each round.
+Round 5 lost every re-proof slot to a tiebreak bug in this ordering,
+so the tier contract is pinned here with synthetic history:
+
+  tier 0: latest driver row FAILED (incl. harness exceptions),
+  tier 1: in _RECHECK (code/oracle changed this round),
+  tier 2: never driver-checked, registration order,
+  tier 3: stalest evidence first (ascending round).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from opay_datalake_script_spark import registry
+
+
+def _order_with(history, recheck, names, monkeypatch):
+    monkeypatch.setattr(registry, "_driver_history", lambda: history)
+    monkeypatch.setattr(registry, "_RECHECK", recheck)
+    mapping = {n: (lambda s, d: None) for n in names}
+    return list(registry._reorder(mapping))
+
+
+def test_reorder_tier_contract(monkeypatch):
+    names = ["q_stale_r1", "q_never_b", "q_failed", "q_recheck",
+             "q_stale_r3", "q_never_a", "q_errored"]
+    history = {
+        "q_stale_r1": (1, {"rows_match": True, "hash_match": True, "err": None}),
+        "q_stale_r3": (3, {"rows_match": True, "hash_match": True, "err": None}),
+        "q_failed": (4, {"rows_match": True, "hash_match": False, "err": None}),
+        # harness exception: matches null, err set -> must count as failed
+        "q_errored": (4, {"rows_match": None, "hash_match": None,
+                          "err": "Traceback ..."}),
+        "q_recheck": (4, {"rows_match": True, "hash_match": True, "err": None}),
+    }
+    got = _order_with(history, ("q_recheck",), names, monkeypatch)
+    assert got == [
+        "q_failed", "q_errored",          # tier 0, registration order
+        "q_recheck",                       # tier 1: changed this round
+        "q_never_b", "q_never_a",         # tier 2: registration order
+        "q_stale_r1", "q_stale_r3",       # tier 3: stalest first
+    ]
+
+
+def test_recheck_beats_never_checked(monkeypatch):
+    """The round-5 regression: a changed query with OLD green evidence
+    must outrank a never-checked query registered earlier."""
+    names = ["q_never_first", "q_changed_later"]
+    history = {
+        "q_changed_later": (2, {"rows_match": True, "hash_match": True,
+                                "err": None}),
+    }
+    got = _order_with(history, ("q_changed_later",), names, monkeypatch)
+    assert got == ["q_changed_later", "q_never_first"]
+
+
+def test_no_oracle_err_is_not_a_failure(monkeypatch):
+    """rows-only-by-design queries record err='no_oracle'; that is
+    evidence, not a failure — they must sort by staleness, not tier 0."""
+    names = ["q_rows_only", "q_green"]
+    history = {
+        "q_rows_only": (2, {"rows_match": True, "hash_match": None,
+                            "err": "no_oracle"}),
+        "q_green": (1, {"rows_match": True, "hash_match": True, "err": None}),
+    }
+    got = _order_with(history, (), names, monkeypatch)
+    assert got == ["q_green", "q_rows_only"]  # r1 evidence is staler than r2
+
+
+def test_recheck_ids_all_exist_in_registry():
+    """A typo in _RECHECK silently wastes a window slot — every entry
+    must name a registered query."""
+    queries = registry.load_all_queries()
+    missing = [n for n in registry._RECHECK if n not in queries]
+    assert not missing, missing
+
+
+def _load_plan_audit():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(root, "scripts", "plan_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_audit_window_detector():
+    """The audit's empty-partition-window detector must flag only the
+    t_q15 class: plan text drops EMPTY spec groups, so the bracket
+    count alone cannot distinguish partitioned-unordered (benign) from
+    unpartitioned-ordered (the scale killer); and the prefix-sum
+    offsets window (ordered on _pid over O(partitions) rows) is
+    unpartitioned by design."""
+    pa = _load_plan_audit()
+    flagged = pa._empty_partition_windows(
+        # unpartitioned + ordered -> FLAG (the t_q15 shape)
+        "   Window [max(x#1) windowspecdefinition(ts#2 ASC NULLS FIRST, "
+        "specifiedwindowframe(...)) AS mx#3], [ts#2 ASC NULLS FIRST]\n"
+        # partitioned + ordered (3 groups) -> benign
+        "   Window [row_number() ...], [user_id#4], [ts#2 ASC NULLS FIRST]\n"
+        # partitioned, NO order (2 groups, no sort markers) -> benign
+        "   Window [count(1) windowspecdefinition(event_type#5, "
+        "specifiedwindowframe(...)) AS n#6], [event_type#5]\n"
+        # the distributed prefix-sum offsets window -> benign by design
+        "   Window [sum(_n#7L) windowspecdefinition(_pid#8 ASC NULLS FIRST, "
+        "specifiedwindowframe(...)) AS _we0#9L], [_pid#8 ASC NULLS FIRST]\n"
+    )
+    assert len(flagged) == 1 and "mx#3" in flagged[0], flagged
