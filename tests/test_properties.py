@@ -675,3 +675,106 @@ def test_floor_division_semantics_on_negative_values(spark):
             f" (({r['user_id']} % 62) + 62) % 62"
         ).fetchone()
         assert (duck_block, duck_bit) == (r["block"], r["bit"])
+
+
+def _events_sf0001(spark):
+    from opay_datalake_script_spark.sources.io import load
+
+    return load(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).collect()
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    """e_peak_concurrency's boundary sweep vs a definitional Python
+    sweep over the same fixture: each event opens [ts, ts+10min); peak
+    = max simultaneous open; at an exact touch the close sorts first
+    (delta in the sort key), so touching intervals never overlap."""
+    from opay_datalake_script_spark.registry import load_all_queries
+
+    QUERIES = load_all_queries()
+    per_user = {}
+    for r in _events_sf0001(spark):
+        per_user.setdefault(r["user_id"], []).append(r["us"])
+    expected = {}
+    for uid, starts in per_user.items():
+        bounds = [(t, 1) for t in starts] + [(t + 600_000_000, -1) for t in starts]
+        cur = peak = 0
+        for _, d in sorted(bounds):
+            cur += d
+            peak = max(peak, cur)
+        if peak >= 2:
+            expected[uid] = peak
+    got = {
+        r["user_id"]: r["peak_concurrent"]
+        for r in QUERIES["e_peak_concurrency"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected
+
+
+def test_streaks_islands_matches_bruteforce(spark):
+    """e_streaks_islands' date-minus-row_number islands vs a direct
+    consecutive-day run scan in Python."""
+    import datetime as _dt
+
+    from opay_datalake_script_spark.registry import load_all_queries
+
+    QUERIES = load_all_queries()
+    per_user = {}
+    for r in _events_sf0001(spark):
+        per_user.setdefault(r["user_id"], set()).add(
+            _dt.date.fromisoformat(r["day"])
+        )
+    expected = {}
+    for uid, days in per_user.items():
+        ds = sorted(days)
+        runs = []
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+        expected[uid] = (max(runs), len(runs), ds[0].isoformat())
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"], r["first_streak_start"])
+        for r in QUERIES["e_streaks_islands"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected
+
+
+def test_latency_histogram_matches_bruteforce(spark):
+    """d_latency_histogram's length(bin(x)) bucketing vs Python's exact
+    int.bit_length() over definitionally-recomputed per-(user, type)
+    gaps — pins that the msb bucket is exact integer arithmetic (a
+    float log2 would misplace exact powers of two)."""
+    from opay_datalake_script_spark.registry import load_all_queries
+
+    QUERIES = load_all_queries()
+    series = {}
+    for r in _events_sf0001(spark):
+        series.setdefault((r["user_id"], r["event_type"]), []).append(
+            (r["us"], r["event_id"])
+        )
+    expected = {}
+    for (uid, et), rows in series.items():
+        rows.sort()
+        for (a, _), (b, _) in zip(rows, rows[1:]):
+            gap = b - a
+            if gap > 0:
+                key = (et, gap.bit_length())
+                n, lo, hi = expected.get(key, (0, gap, gap))
+                expected[key] = (n + 1, min(lo, gap), max(hi, gap))
+    got = {
+        (r["event_type"], r["bucket_log2"]): (r["n"], r["min_gap_us"], r["max_gap_us"])
+        for r in QUERIES["d_latency_histogram"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expected
