@@ -778,3 +778,73 @@ def test_latency_histogram_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_revenue_bridge_matches_bruteforce_and_conserves(spark):
+    """r_revenue_bridge vs a definitional Python recomputation from
+    orders, plus the decomposition identity the docstring claims:
+    volume_effect + price_effect == n0 * delta EXACTLY in integers
+    (effects are emitted scaled by n0 to stay float-free). Rounding to
+    e4 uses Decimal ROUND_HALF_UP on the exact binary double — the same
+    semantics as Spark's BigDecimal round."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from opay_datalake_script_spark.registry import load_all_queries
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    QUERIES = load_all_queries()
+    sf_dir = "/root/testdata/sf0.001"
+    rows = _load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mo"), "o_totalprice"
+    ).collect()
+    months = {}
+    for r in rows:
+        n, s = months.get(r["mo"], (0, 0))
+        e4 = int(
+            (Decimal(r["o_totalprice"]) * 10000).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        months[r["mo"]] = (n + 1, s + e4)
+    mos = sorted(months)
+    expected = {}
+    for prev, cur in zip(mos, mos[1:]):
+        n0, s0 = months[prev]
+        n, s = months[cur]
+        expected[cur] = (n, s, s - s0, (n - n0) * s0, n0 * s - n * s0)
+    got = {}
+    for r in QUERIES["r_revenue_bridge"](spark, sf_dir).collect():
+        got[r["mo"]] = (
+            r["n"], r["s_e4"], r["delta_e4"],
+            r["volume_effect_n0e4"], r["price_effect_n0e4"],
+        )
+        # the identity: volume + price = n0 * delta, with n0 recovered
+        # from the brute-forced month table
+        n0 = months[mos[mos.index(r["mo"]) - 1]][0]
+        assert (
+            r["volume_effect_n0e4"] + r["price_effect_n0e4"]
+            == n0 * r["delta_e4"]
+        )
+    assert got == expected
+
+
+def test_count_min_sketch_one_sided_error(spark):
+    """CMS hard guarantee: the min-over-rows point estimate NEVER
+    underestimates (every occurrence of a key lands in all d of its
+    cells); and on this fixture the overestimate stays within the
+    textbook 2eN/w expectation band (fixture-pinned, not probabilistic
+    — the data and hash family are deterministic)."""
+    from opay_datalake_script_spark.registry import load_all_queries
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    QUERIES = load_all_queries()
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    bound = (2 * 2.718281828 * n_events) / 256
+    out = QUERIES["d_count_min_sketch"](spark, sf_dir).collect()
+    assert len(out) == min(20, n_users)
+    for r in out:
+        assert r["est_cnt"] >= r["true_cnt"], r
+        assert r["est_cnt"] - r["true_cnt"] <= bound, r
