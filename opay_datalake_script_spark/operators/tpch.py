@@ -18,8 +18,11 @@ Spark-first plan notes that hold at 100 TB:
   avg balance) are either window functions sharing the main shuffle or
   1-row broadcast cross joins — never a driver collect.
 
-Double-sum columns are rounded in BOTH engines so the order-insensitive
-value hash is stable across summation orders.
+Every displayed money/quantity sum accumulates in exact integer
+ten-thousandths (the Q1/Q9/Q11 fixed-point "e4" scheme, `_e4` below) in
+BOTH engines: fixture values carry <= 4 decimals, so e4 is lossless, and
+integer sums are order-insensitive — no 2-dp rounding boundary can flip
+between summation orders or engines, regardless of fixture generation.
 """
 
 from __future__ import annotations
@@ -35,6 +38,30 @@ def _rev():
     # import time requires an active SparkContext, and the driver imports
     # this module to read oracle_sql() before any session exists.
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _e4(c):
+    """Exact integer ten-thousandths of a <=4-decimal double.
+
+    The IEEE-754 product of two doubles is exactly rounded and identical
+    in every engine, and `round(x * 10000, 0)` snaps it to the one true
+    integer — so the per-row value is bit-stable and the SUM is exact
+    integer arithmetic. The accumulator is decimal(20,0), not long: at
+    100 TB a single group can sum ~1e12 rows x ~1e9 e4-units ~ 1e21,
+    past int64 — Spark's long sum would wrap silently while DuckDB's
+    widens to HUGEINT.
+    """
+    return F.round(c * 10000, 0).cast("decimal(20,0)")
+
+
+def _sum_e4_2dp(c):
+    """round(sum(c), 2) with an exact e4 integer accumulator."""
+    return F.round(F.sum(_e4(c)) / 10000.0, 2)
+
+
+# DuckDB twin of _sum_e4_2dp: BIGINT per-row e4 (sum widens to HUGEINT).
+def _sql_sum_e4_2dp(expr: str) -> str:
+    return f"round(sum(CAST(round(({expr}) * 10000, 0) AS BIGINT)) / 10000.0, 2)"
 
 
 @register(
@@ -108,9 +135,9 @@ def t_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q03_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -126,7 +153,9 @@ def t_q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: top-10 unshipped orders by revenue. Both joins are key
     equi-joins that shuffle once; the final top-10 is TakeOrderedAndProject
     (per-partition heaps, no global sort). l_orderkey tie-breaks the sort
-    so the LIMIT is deterministic across engines."""
+    so the LIMIT is deterministic across engines; revenue itself is an
+    exact e4 integer sum, so the top-10 SET (not just its display) is
+    engine- and order-stable."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
@@ -138,7 +167,7 @@ def t_q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_e4_2dp(_rev()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -180,8 +209,8 @@ def t_q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q05_local_supplier",
-    oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT n_name, {_sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -213,14 +242,14 @@ def t_q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_e4_2dp(_rev()).alias("revenue"))
     )
 
 
 @register(
     "t_q06_forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+    SELECT {_sql_sum_e4_2dp("l_extendedprice * l_discount")} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -240,15 +269,15 @@ def t_q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_sum_e4_2dp(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 @register(
     "t_q07_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           {_sql_sum_e4_2dp("volume")} AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume
@@ -289,7 +318,7 @@ def t_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_e4_2dp(_rev()).alias("revenue"))
     )
 
 
@@ -408,9 +437,9 @@ def t_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -438,7 +467,7 @@ def t_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_e4_2dp(_rev()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -636,8 +665,9 @@ def t_q16_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q17_small_quantity_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    oracle=f"""
+    SELECT round(sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT))
+                 / 70000.0, 2) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -656,18 +686,24 @@ def t_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(F.sum(_e4(F.col("l_extendedprice"))) / 70000.0, 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
 @register(
     "t_q18_large_volume_customer",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-           round(sum(l_quantity), 2) AS total_qty
+           {_sql_sum_e4_2dp("l_quantity")} AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+                         GROUP BY l_orderkey
+                         HAVING sum(CAST(round(l_quantity * 10000, 0) AS BIGINT))
+                                > 2500000)
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
     """,
@@ -682,13 +718,14 @@ def t_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     second lineitem leg broadcast-joins with no shuffle, and sub-100 ms
     runs are dominated by stage boundaries), but at scale this one is
     strictly cheaper: it never rescans the fact table, reusing the one
-    groupBy shuffle both shapes must pay. Integer quantity sums are
-    exact so the > 250 cut is engine-stable."""
+    groupBy shuffle both shapes must pay. The quantity sum accumulates
+    in exact e4 integers, so both the > 250 cut and the displayed
+    total_qty are engine-stable on any fixture."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .where(F.col("sq") > 250)
+        .agg(F.sum(_e4(F.col("l_quantity"))).alias("sq"))
+        .where(F.col("sq") > 2500000)
     )
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -701,15 +738,15 @@ def t_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.round(F.col("sq"), 2).alias("total_qty"),
+            F.round(F.col("sq") / 10000.0, 2).alias("total_qty"),
         )
     )
 
 
 @register(
     "t_q19_discounted_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT {_sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -736,7 +773,7 @@ def t_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_sum_e4_2dp(_rev()).alias("revenue"))
     )
 
 
@@ -829,16 +866,18 @@ def t_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q22_idle_rich_customers",
-    oracle="""
+    oracle=f"""
     WITH picked AS (
         SELECT * FROM customer
         WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
     avg_bal AS (
-        SELECT avg(c_acctbal) AS ab FROM picked WHERE c_acctbal > 0.0)
+        SELECT sum(CAST(round(c_acctbal * 10000, 0) AS BIGINT)) AS bal_e4,
+               count(*) AS cnt
+        FROM picked WHERE c_acctbal > 0.0)
     SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           {_sql_sum_e4_2dp("c_acctbal")} AS totacctbal
     FROM picked, avg_bal
-    WHERE c_acctbal > ab
+    WHERE CAST(round(c_acctbal * 10000, 0) AS BIGINT) * cnt > bal_e4
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -851,10 +890,18 @@ def t_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECENT orders (every fixture customer has some order, so the classic
     no-orders-ever predicate would be vacuously empty). The scalar avg is
     a 1-row broadcast cross join; the NOT EXISTS is a left-anti join on
-    the date-filtered order keys."""
+    the date-filtered order keys.
+
+    The "above average balance" cut avoids the double-avg ulp hazard by
+    cross-multiplying exact integers: e4(bal) * cnt > sum_e4 is the same
+    inequality as bal > avg with zero division or rounding anywhere, so
+    the member SET is engine-stable (sum_e4 ~ 1e8-units x 1e9 customers
+    fits decimal/HUGEINT; the product is decimal(38,0) in Spark)."""
     nations = [1, 3, 5, 7, 9, 11, 13]
     c = load(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
-    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_e4(F.col("c_acctbal"))).alias("bal_e4"), F.count("*").alias("cnt")
+    )
     o = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
@@ -862,12 +909,12 @@ def t_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.join(F.broadcast(avg_bal))
-        .where(F.col("c_acctbal") > F.col("ab"))
+        .where(_e4(F.col("c_acctbal")) * F.col("cnt") > F.col("bal_e4"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _sum_e4_2dp(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 

@@ -59,31 +59,31 @@ _QUERY_MODULES = (
 #      anchored to current fixtures,
 # with registration order as the tiebreaker within each tier.
 _RECHECK = (
-    # round-5 changes that missed the round-5 driver window and still
-    # await re-proof on the changed code: banded candidates -> exact
-    # verify rewires (k_jaccard_pairs/k_ngram_jaccard scale-safety,
-    # k_near_dedup_lsh rows-only -> oracle upgrade), survivor-set LSH
-    # in the corpus pipeline, size-aware IVF probing, raise-on-non-
-    # convergence components, decimal(20,0) e4 accumulators in Q1/Q8/Q14
+    # round-7 changes (all 16 round-6 entries got green r6 rows and are
+    # cleared). The e4-integer hardening wave (VERDICT r6 item 4): the
+    # nine remaining T-queries whose display sums still accumulated in
+    # doubles now use the exact integer ten-thousandths scheme in BOTH
+    # engines (Q18's >250 cut and Q22's above-average cut are integer-
+    # exact too, so their result SETS are fixture-stable).
+    "t_q03_shipping_priority",
+    "t_q05_local_supplier",
+    "t_q06_forecast_revenue",
+    "t_q07_volume_shipping",
+    "t_q10_returned_items",
+    "t_q17_small_quantity_revenue",
+    "t_q18_large_volume_customer",
+    "t_q19_discounted_revenue",
+    "t_q22_idle_rich_customers",
+    # LSH bucket-width cap (VERDICT r6 item 3): band_candidate_pairs and
+    # the shared banding oracle CTE both drop (band, bucket) groups
+    # wider than LSH_BUCKET_CAP; these four already-driver-checked
+    # consumers changed code+oracle and need re-proof (the other
+    # consumers are in the never-checked tier and get the capped form on
+    # their first row).
     "k_jaccard_pairs",
-    "k_ngram_jaccard",
     "k_near_dedup_lsh",
-    "k_corpus_dedup_pipeline",
-    "k_ann_ivf",
-    "k_ann_ivf_stats",
-    "k_dedup_components",
-    "t_q01_pricing_summary",
-    "t_q08_market_share",
-    "t_q14_promo_effect",
-    "i_tumbling",
-    # round-6 changes: Q15 global max moved from an empty-partition
-    # window to a 1-row broadcast; ADVICE.md fixes (floor-division
-    # semantics, exact z-order bucket math, KMV exact_distinct)
-    "t_q15_top_supplier",
-    "a_zorder_clustered_write",
-    "d_kmv_distinct_sketch",
-    "r_attribution_linear",
-    "d_bitmap_audience_overlap",
+    "k_lsh_band_candidates",
+    "k_ngram_jaccard",
 )
 
 
@@ -119,15 +119,20 @@ def _reorder(mapping: dict) -> dict:
         hit = history.get(name)
         if hit is not None:
             rnd, row = hit
+            # A row counts as FAILED when a comparison explicitly
+            # mismatched, or when a harness exception (truthy err)
+            # prevented the row-count check from passing. Benign err
+            # markers the driver writes for by-design rows-only queries
+            # ('no_oracle' today) leave rows_match null — requiring
+            # err AND rows_match-not-True keeps any future benign
+            # marker (or empty string) from promoting green queries to
+            # tier 0 and crowding the ~50-slot window (ADVICE r6).
             failed = (
                 row.get("rows_match") is False
                 or row.get("hash_match") is False
-                # a harness exception (err set, matches null) is a
-                # failure too — 'no_oracle' is the one benign err the
-                # driver records for rows-only-by-design queries
-                or row.get("err") not in (None, "no_oracle")
+                or (bool(row.get("err")) and row.get("rows_match") is not True)
             )
-            if failed:
+            if failed and row.get("err") != "no_oracle":
                 return (0, 0, reg_pos[name])
         if name in _RECHECK:
             return (1, 0, reg_pos[name])

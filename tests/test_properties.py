@@ -848,3 +848,97 @@ def test_count_min_sketch_one_sided_error(spark):
     for r in out:
         assert r["est_cnt"] >= r["true_cnt"], r
         assert r["est_cnt"] - r["true_cnt"] <= bound, r
+
+
+def test_e4_wave_display_sums_match_decimal_bruteforce(spark):
+    """The round-7 e4 hardening wave (Q3/Q5/Q6/Q7/Q10/Q17/Q18/Q19/Q22):
+    spot-check the three distinct shapes against a pure-Python Decimal
+    recomputation at sf0.001 — a scalar sum (Q6), a thresholded group
+    sum where the cut itself must be integer-exact (Q18), and a
+    membership cut via exact cross-multiplication (Q22). Exactness here
+    means the displayed 2-dp value equals round(sum(e4)/1e4, 2) of the
+    Decimal ground truth, independent of summation order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from opay_datalake_script_spark.registry import load_all_queries
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    def e4(x: float) -> int:
+        return int(
+            (Decimal(x) * 10000).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    QUERIES = load_all_queries()
+    sf_dir = "/root/testdata/sf0.001"
+
+    # Q6: scalar revenue
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    ).collect()
+    s6 = sum(
+        e4(r["l_extendedprice"] * r["l_discount"])
+        for r in li
+        if "1997-01-01" <= str(r["l_shipdate"])[:10] < "1998-01-01"
+        and 0.05 <= r["l_discount"] <= 0.07
+        and r["l_quantity"] < 24
+    )
+    got6 = QUERIES["t_q06_forecast_revenue"](spark, sf_dir).collect()[0]["revenue"]
+    assert got6 == float(
+        (Decimal(s6) / 10000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    )
+
+    # Q18: per-order quantity sums; the >250 cut compares e4 integers
+    per_order: dict = {}
+    for r in li:
+        per_order[r["l_orderkey"]] = per_order.get(r["l_orderkey"], 0) + e4(
+            r["l_quantity"]
+        )
+    big = {k: v for k, v in per_order.items() if v > 2_500_000}
+    got18 = {
+        r["o_orderkey"]: r["total_qty"]
+        for r in QUERIES["t_q18_large_volume_customer"](spark, sf_dir).collect()
+    }
+    assert set(got18) == set(big)
+    for k, v in big.items():
+        assert got18[k] == float(
+            (Decimal(v) / 10000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+
+    # Q22: membership via e4(bal) * cnt > sum_e4 must equal bal > avg
+    nations = {1, 3, 5, 7, 9, 11, 13}
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).collect()
+    picked = [r for r in cust if r["c_nationkey"] in nations]
+    pos = [r for r in picked if r["c_acctbal"] > 0.0]
+    bal_e4, cnt = sum(e4(r["c_acctbal"]) for r in pos), len(pos)
+    rich = {r["c_custkey"] for r in picked if e4(r["c_acctbal"]) * cnt > bal_e4}
+    # exact-rational equivalence: e4 is lossless on 2-dp balances
+    rich_rational = {
+        r["c_custkey"]
+        for r in picked
+        if Decimal(e4(r["c_acctbal"])) / 10000 > Decimal(bal_e4) / (10000 * cnt)
+    }
+    assert rich == rich_rational
+    ords = _load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate").collect()
+    recent = {
+        r["o_custkey"] for r in ords if str(r["o_orderdate"])[:10] >= "2000-01-01"
+    }
+    idle_rich = rich - recent
+    by_nation: dict = {}
+    bal_by_ck = {r["c_custkey"]: (r["c_nationkey"], e4(r["c_acctbal"])) for r in picked}
+    for ck in idle_rich:
+        nk, b = bal_by_ck[ck]
+        n, s = by_nation.get(nk, (0, 0))
+        by_nation[nk] = (n + 1, s + b)
+    got22 = {
+        r["cntrycode"]: (r["numcust"], r["totacctbal"])
+        for r in QUERIES["t_q22_idle_rich_customers"](spark, sf_dir).collect()
+    }
+    assert got22 == {
+        nk: (
+            n,
+            float((Decimal(s) / 10000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)),
+        )
+        for nk, (n, s) in by_nation.items()
+    }
