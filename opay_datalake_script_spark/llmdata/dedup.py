@@ -9,7 +9,7 @@ hashes, which are uniform by construction (no skew).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -42,12 +42,25 @@ _MINHASH_ORACLE = f"""
 
 _BANDS = [(2 * j, 2 * j + 1) for j in range(_MINHASH_K // 2)]
 
+# Skew guard for degenerate (band, bucket) groups (boilerplate-heavy
+# corpora): a bucket wider than this emits only STAR pairs — (min
+# doc_id in bucket) x (each other member) — instead of all O(B^2)
+# pairs. Star edges keep every oversized cluster CONNECTED (the
+# components/dedup passes still merge it transitively) while bounding
+# per-bucket candidate volume to B-1; at 100 TB a 1M-doc boilerplate
+# bucket would otherwise emit 5e11 pairs from one shuffle key. 1024 is
+# above the widest fixture bucket at sf0.01 (383 measured), so oracle-
+# SF results are unchanged; sf0.1's widest (3921) is star-expanded.
+LSH_BUCKET_CAP = 1024
+
 # Reusable CTE block: md5-MinHash signatures -> 8x2 banding -> distinct
 # candidate pairs, as `band_cand(doc_a, doc_b)`. Shared verbatim by the
 # banding oracle itself AND by every oracle that composes "banded
 # candidates -> exact verify" (k_jaccard_pairs, k_ngram_jaccard,
 # k_near_dedup_lsh), so the DuckDB twin reproduces the identical
-# candidate set the Spark side generates.
+# candidate set the Spark side generates — including the bucket-width
+# star cap (`bsz <= cap OR doc_a = hub`; hub = min doc_id, so star
+# pairs always have doc_a = hub under the doc_a < doc_b convention).
 _BAND_CAND_CTES = f"""
     mh_toks AS (
         SELECT doc_id,
@@ -66,10 +79,17 @@ _BAND_CAND_CTES = f"""
             for j, (a, b) in enumerate(_BANDS)
         )}
     ),
+    mh_sized AS (
+        SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bsz,
+               min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+        FROM mh_buckets
+    ),
     band_cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM mh_buckets a JOIN mh_buckets b
+        FROM mh_sized a JOIN mh_sized b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {LSH_BUCKET_CAP} OR a.doc_id = a.hub
     )
 """
 
@@ -443,35 +463,81 @@ def k_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: signatures (1 explode + 1 hash agg), band expansion by
     stack (map-side), then ONE equi-join keyed on (band, bucket) and a
     distinct — every shuffle keys on uniform hashes, no all-pairs
-    comparison anywhere. Per-bucket skew is bounded because bucket ids
-    are 128-bit md5 of signature pairs: only true near-dup clusters
-    collide, which is exactly the work the verifier must do anyway.
+    comparison anywhere. Bucket ids are 128-bit md5 of signature pairs,
+    so only true near-dup clusters collide; buckets wider than
+    LSH_BUCKET_CAP (a boilerplate-heavy corpus's degenerate clusters)
+    are star-expanded rather than all-paired, bounding the one
+    remaining skew hazard. The oracle mirrors the identical cap.
     """
     return band_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
-def band_candidate_pairs(docs: DataFrame) -> DataFrame:
+def band_candidate_pairs(
+    docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP
+) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b, deterministic) over any
     (doc_id, text) DataFrame — signatures, band expansion, one
     (band, bucket) equi-join, distinct. Measured on the sf0.01 fixture:
     110,927 candidates vs 70,998 true >= 0.6-Jaccard pairs (1.56x
-    volume, 99.3% recall) — candidate work tracks true near-dup volume."""
+    volume, 99.3% recall) — candidate work tracks true near-dup volume.
+
+    Skew guard: (band, bucket) groups wider than ``max_bucket_size``
+    are STAR-expanded — each member pairs only with the bucket's min
+    doc_id — so a degenerate boilerplate bucket contributes B-1
+    candidates instead of B(B-1)/2 while staying one connected
+    component for the dedup passes. The two regimes are split BEFORE
+    the self-join (small buckets all-pairs, oversized buckets join
+    their single hub row), so the O(B^2) rows of an oversized bucket
+    are never materialized even transiently; the bucket-width window
+    shares the (band, bucket) shuffle the join needs anyway. Width
+    stats for tuning/monitoring: `band_bucket_stats`."""
     sig = minhash_signatures(docs)
     stack_expr = ", ".join(f"{j}L, md5(concat(mh{a}, ':', mh{b}))" for j, (a, b) in enumerate(_BANDS))
     buckets = sig.selectExpr(
         "doc_id", f"stack({len(_BANDS)}, {stack_expr}) AS (band, bucket)"
     )
-    a = buckets.select(
+    w = W.partitionBy("band", "bucket")
+    sized = buckets.withColumn("bsz", F.count("*").over(w)).withColumn(
+        "hub", F.min("doc_id").over(w)
+    )
+    small = sized.where(F.col("bsz") <= max_bucket_size)
+    a = small.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    all_pairs = a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
+    big = sized.where(F.col("bsz") > max_bucket_size)
+    hubs = big.where(F.col("doc_id") == F.col("hub")).select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )
-    b = buckets.select(
-        F.col("doc_id").alias("doc_b"), "band", "bucket"
-    )
+    star_pairs = hubs.join(
+        big.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+        ["band", "bucket"],
+    ).where(F.col("doc_a") < F.col("doc_b"))
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        all_pairs.select("doc_a", "doc_b")
+        .unionByName(star_pairs.select("doc_a", "doc_b"))
         .distinct()
+    )
+
+
+def band_bucket_stats(docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Per-band monitoring for the bucket-width cap: how many (band,
+    bucket) groups exist, how many exceed ``max_bucket_size`` (and thus
+    get star-expanded by `band_candidate_pairs`), the widest bucket,
+    and the member rows the cap demotes from all-pairs to star. One
+    extra aggregate over the banding relation — run it alongside a big
+    dedup job to log what the cap is doing at corpus scale."""
+    sig = minhash_signatures(docs)
+    stack_expr = ", ".join(f"{j}L, md5(concat(mh{a}, ':', mh{b}))" for j, (a, b) in enumerate(_BANDS))
+    buckets = sig.selectExpr(
+        "doc_id", f"stack({len(_BANDS)}, {stack_expr}) AS (band, bucket)"
+    )
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    over = F.col("bsz") > max_bucket_size
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(over.cast("long")).alias("n_oversized"),
+        F.max("bsz").alias("max_width"),
+        F.sum(F.when(over, F.col("bsz")).otherwise(0)).alias("rows_star_expanded"),
     )
 
 

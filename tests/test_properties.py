@@ -942,3 +942,60 @@ def test_e4_wave_display_sums_match_decimal_bruteforce(spark):
         )
         for nk, (n, s) in by_nation.items()
     }
+
+
+def test_lsh_bucket_cap_bounds_candidates_and_keeps_connectivity(spark):
+    """The LSH bucket-width guard (VERDICT r6 item 3): a boilerplate
+    corpus (many identical docs -> one giant (band, bucket) group per
+    band) must yield O(B) star candidates, not O(B^2) — while still
+    keeping the whole cluster one connected component via its hub.
+    Also pins the no-op property: at the default cap the sf0.001
+    fixture's candidate set is identical to the uncapped one, and
+    band_bucket_stats reports exactly the oversized buckets."""
+    from opay_datalake_script_spark.llmdata.dedup import (
+        band_bucket_stats,
+        band_candidate_pairs,
+    )
+
+    n = 120
+    boiler = spark.createDataFrame(
+        [(i, "the same boilerplate footer text repeated everywhere") for i in range(n)]
+        + [(1000 + i, f"alpha{i} bravo{i} charlie{i} delta{i} echo{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    capped = band_candidate_pairs(boiler, max_bucket_size=16).collect()
+    # all 8 bands collapse to the same star set: hub=0 paired with each
+    # of the other 119 boilerplate docs; unique docs share no band
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, i) for i in range(1, n)}
+    # connectivity: union-find over star edges merges the whole cluster
+    parent = {i: i for i in range(n)}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in capped:
+        parent[find(r["doc_a"])] = find(r["doc_b"])
+    assert len({find(i) for i in range(n)}) == 1
+    # uncapped would have been all pairs — the cap cut 119 vs 7140
+    assert len(capped) == n - 1 < n * (n - 1) // 2
+
+    stats = {r["band"]: r for r in band_bucket_stats(boiler, max_bucket_size=16).collect()}
+    assert len(stats) == 8
+    for r in stats.values():
+        assert r["n_oversized"] == 1 and r["max_width"] == n
+        assert r["rows_star_expanded"] == n
+
+    # fixture no-op at the default cap: same candidate set as uncapped
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in band_candidate_pairs(docs).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in band_candidate_pairs(docs, max_bucket_size=1 << 40).collect()
+    }
+    assert got == uncapped
