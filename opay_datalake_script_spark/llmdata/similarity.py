@@ -46,6 +46,21 @@ _EMPTY_PAIRS = pd.DataFrame(
 )
 
 
+def _auto_blocks(emb: DataFrame, target_block_rows: int = 4096) -> int:
+    """Data-dependent block count for `_block_pair_scores`: enough
+    blocks that one block holds ~``target_block_rows`` vectors, so a
+    tile's score matrix stays ~target^2 floats (~128 MB at 4096) no
+    matter the corpus size. Floor of 4 keeps small inputs on the
+    shape (and parallelism) the fixtures were validated with; ceiling
+    of 256 bounds the O(n*B) replication — past that scale brute-force
+    all-pairs is the wrong tool and the IVF path (k_ann_ivf) is the
+    answer. Costs one count() of the (pruned) embedding scan."""
+    import math
+
+    n = emb.count()
+    return max(4, min(256, math.ceil(n / target_block_rows)))
+
+
 def _block_pair_scores(spark: SparkSession, emb: DataFrame, n_blocks: int, tile_fn):
     """Distributed all-pairs cosine scaffold: hash rows into ``n_blocks``
     blocks, fan out one cogroup task per unordered block pair, and let
@@ -112,7 +127,8 @@ def k_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     local top-k straight off the score matrix — the O(n^2) candidate set
     never materializes as rows, and (unlike round 1) nothing is collected
     to the driver. The global TakeOrderedAndProject sees at most
-    k * n_tasks rows. At 100 TB the same shape holds with bigger B, or
+    k * n_tasks rows. B is data-dependent (`_auto_blocks`: ~4096 rows
+    per block), so the same shape holds at 100x the vectors, or
     swap in the IVF bucket path (k_ann_ivf) for candidate pruning.
     """
     k = 10
@@ -139,7 +155,7 @@ def k_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    local = _block_pair_scores(spark, emb, n_blocks=4, tile_fn=tile_topk)
+    local = _block_pair_scores(spark, emb, n_blocks=_auto_blocks(emb), tile_fn=tile_topk)
     return (
         local.withColumn("sim", F.round("sim", 6))
         .orderBy(F.col("sim").desc(), "vec_a", "vec_b")
@@ -210,7 +226,7 @@ def k_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    local = _block_pair_scores(spark, emb, n_blocks=4, tile_fn=tile_near_dup)
+    local = _block_pair_scores(spark, emb, n_blocks=_auto_blocks(emb), tile_fn=tile_near_dup)
     return local.withColumn("sim", F.round("sim", 6))
 
 
