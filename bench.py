@@ -61,10 +61,12 @@ def main() -> None:
     # Report the SPREAD alongside the median (VERDICT r5 item 5): the
     # round-5 totals drifted +20% uniformly under VM load, which is
     # indistinguishable from a plan regression when only the median is
-    # published. The per-query min is the load-insensitive statistic —
-    # a real regression raises the MIN; contention only raises the
-    # median/max — so "value_min" (total of per-query minima) is the
-    # number to diff across rounds before suspecting a plan change.
+    # published. The per-query min is robust to INTERMITTENT contention
+    # (a real regression raises the MIN; transient noise only raises
+    # the median/max), but NOT to load sustained across the whole run —
+    # so "value_min" (total of per-query minima) discriminates
+    # transient contention from plan regressions, while cross-run
+    # comparison still wants a quiet-machine reading (ADVICE r6).
     per_query: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     failed: list[str] = []

@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..sources.io import load
 
+# uuid temp views created by s_sql_ddl_external_table, awaiting cleanup
+# on the NEXT invocation (see its docstring's catalog-hygiene note).
+_DDL_VIEW_REGISTRY: list[str] = []
+
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register fixture tables as temp views (the metastore analog) so
@@ -360,15 +364,22 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned lazy DataFrame owns its landing exclusively, and the plan
     still shows the DDL-declared CSV FileScan (pinned in test_plans) —
     the proof that the text-DDL path, not a cached DataFrame, feeds the
-    aggregate. The uuid views accumulate in the session catalog at one
-    tiny entry per invocation; a long-lived service would drop them
-    after materializing downstream.
+    aggregate. Catalog hygiene (ADVICE r6): each invocation first drops
+    the views its predecessors registered (tracked in
+    _DDL_VIEW_REGISTRY), so repeated driver/bench runs hold at most ONE
+    live ext_events view instead of growing the catalog unboundedly —
+    the returned lazy DataFrame therefore stays valid until the NEXT
+    invocation on the same session, which is the driver's (and any
+    sane caller's) consume-before-rebuild pattern.
     """
     import uuid
 
     from ..sources.io import scratch_path
 
+    while _DDL_VIEW_REGISTRY:
+        spark.sql(f"DROP VIEW IF EXISTS {_DDL_VIEW_REGISTRY.pop()}")
     tag = uuid.uuid4().hex
+    _DDL_VIEW_REGISTRY.append(f"ext_events_{tag}")
     csv_dir = scratch_path("ddl_csv", tag, "_")[: -len("/_")]
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"

@@ -804,7 +804,16 @@ def write_epoch_partition(df: DataFrame, epoch_id: int, path: str) -> None:
     partition with dynamic partition overwrite, so an at-least-once
     replay of the same micro-batch REPLACES its own epoch instead of
     append-duplicating (ADVICE r5), and committed epochs are untouched.
-    Tested directly by test_fanout_epoch_write_is_replay_idempotent."""
+    Tested directly by test_fanout_epoch_write_is_replay_idempotent.
+
+    Known edge (ADVICE r6, accepted): idempotence holds only when the
+    replayed batch is non-empty — dynamic overwrite with a zero-row
+    DataFrame touches no partitions, so a replay that RECOMPUTES to
+    empty (e.g. the batch's rows were filtered out by changed logic
+    between attempts) leaves the prior attempt's epoch rows in place.
+    Fine for this fixture-driven pipeline, where a batch's content is
+    deterministic across attempts; delete the epoch directory before
+    writing if recomputation-proof exactly-once is ever claimed."""
     (
         df.withColumn("epoch", F.lit(int(epoch_id)))
         .write.mode("overwrite")

@@ -812,3 +812,23 @@ def test_block_pair_count_scales_with_input_rows(spark):
     assert _auto_blocks(huge) == 256  # ceiling: replication bound
     emb = _load(spark, "/root/testdata/sf0.01", "embeddings")
     assert _auto_blocks(emb) == 4
+
+
+def test_ddl_external_table_catalog_stays_bounded(spark):
+    """ADVICE r6: repeated s_sql_ddl_external_table invocations must not
+    accumulate uuid temp views — each call drops its predecessors', so
+    the catalog holds at most one ext_events view and the latest result
+    still computes."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    q = QUERIES["s_sql_ddl_external_table"]
+    q(spark, "/root/testdata/sf0.001").count()
+    out = q(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    views = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ext_events_")
+    ]
+    assert len(views) == 1
