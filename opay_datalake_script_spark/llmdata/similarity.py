@@ -668,3 +668,125 @@ def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("q_id", "vec_id", "label", "sim", "rnk")
     )
+
+
+def _srp_bucket_sql(one_based: bool, bits: int = 8) -> str:
+    """Sign-bit bucket id from the first ``bits`` Rademacher projections:
+    bit j set iff projection j is positive. The projections are the
+    bit-identical left-associated chains of k_random_projection, so the
+    bucket id is deterministic and identical in both engines."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {_rp_chain(_RP_SIGNS[j], one_based=one_based)} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    ) + ")"
+
+
+# Multi-probe mask set: every xor mask flipping <= _ANN_PROBE_RADIUS of
+# the 8 sign bits (93 of 256 buckets at radius 3). The radius is the
+# recall/cost knob: measured on the sf0.01 fixture (embeddings are
+# near-random, sim(top-5) ~ 0.3 — LSH's worst case) recall vs exact
+# top-5 is 0.30 at radius 2 and 0.65 at radius 3 for ~36% of the space
+# probed; on a real clustered embedding corpus the same radius probes
+# far fewer occupied buckets for far higher recall.
+_ANN_PROBE_RADIUS = 3
+_ANN_MASKS = sorted(m for m in range(256) if bin(m).count("1") <= _ANN_PROBE_RADIUS)
+
+_ANN_GRID_ORACLE = f"""
+    WITH proj AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+               {_srp_bucket_sql(one_based=True)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, ev AS qv, bucket AS qbucket
+        FROM proj WHERE vec_id < 8
+    ),
+    masks AS (SELECT unnest([{", ".join(str(m) for m in _ANN_MASKS)}]) AS mask),
+    probes AS (
+        SELECT q_id, qv, xor(qbucket, mask) AS bucket FROM q CROSS JOIN masks
+    ),
+    cand AS (
+        SELECT p.q_id, e.vec_id, e.label,
+               round(list_cosine_similarity(e.ev, p.qv), 6) AS sim
+        FROM proj e JOIN probes p USING (bucket)
+        WHERE e.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, label, sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM cand
+    ) WHERE rnk <= 5
+"""
+
+
+@register("k_ann_grid", oracle=_ANN_GRID_ORACLE)
+def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bucketed ANN (VERDICT r6 item 7): the hash-checked
+    twin of `k_ann_ivf`, with the same probe-and-score shape but a
+    quantizer both engines can compute exactly — 8 sign bits of the
+    seeded Rademacher projection (SRP-LSH) pack into a 256-way bucket
+    id, each query (vec_id < 8) multi-probes every bucket within
+    Hamming distance _ANN_PROBE_RADIUS of its own, and probed
+    candidates are re-ranked by exact cosine (rounded, vec_id
+    tie-break) keeping top-5. Unlike
+    IVF's fitted KMeans centroids (JVM-model state -> rows-only check),
+    every step here is a pure expression, so the FULL ANN pipeline —
+    bucketing, multi-probe, re-rank — is differentially hash-checked
+    against DuckDB.
+
+    Scale shape: bucket assignment is map-only whole-stage codegen (the
+    sign matrix folds into literals); the probe table is queries x
+    len(_ANN_MASKS) rows (a training batch's worth — broadcast);
+    candidate selection
+    is an EQUI-join on bucket (no cross join, unlike the brute-force
+    k_hard_negatives scorer); re-rank cost is bounded by bucket
+    occupancy (~n/256 per probe at uniform spread; SRP buckets are
+    balanced because projections of mean-zero data split near the
+    median). Recall against exact top-5 is pinned by
+    test_ann_grid_recall_against_exact_knn.
+    """
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = reduce(
+        add,
+        [
+            F.when(F.expr(_rp_chain(_RP_SIGNS[j], one_based=False)) > 0, 1 << j)
+            .otherwise(0)
+            for j in range(8)
+        ],
+    )
+    e = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    masks = spark.createDataFrame([(m,) for m in _ANN_MASKS], "mask int")
+    probes = q.crossJoin(masks).select(
+        "q_id", "qv", F.col("qbucket").bitwiseXOR(F.col("mask")).alias("bucket")
+    )
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ev, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cand = (
+        e.join(F.broadcast(probes), "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "label",
+            F.round(dot / (norm(ev) * norm(qd)), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "label", "sim", "rnk")
+    )

@@ -86,6 +86,12 @@ _RECHECK = (
     "k_ngram_jaccard",
 )
 
+# New IDs registered THIS round whose first driver row is deliberately
+# deferred behind the 44 older never-checked IDs (VERDICT r6 item 7:
+# "defer to r8 rather than displace first-rows"). They order after
+# every plain never-checked entry but before the stale-evidence tier.
+_DEFER_FIRST_ROW = frozenset({"k_ann_grid"})
+
 
 def _driver_history() -> dict[str, tuple[int, dict]]:
     """Latest (round, row) per query ID across all CORRECTNESS_r*.json."""
@@ -137,7 +143,7 @@ def _reorder(mapping: dict) -> dict:
         if name in _RECHECK:
             return (1, 0, reg_pos[name])
         if hit is None:
-            return (2, 0, reg_pos[name])
+            return (2, 1 if name in _DEFER_FIRST_ROW else 0, reg_pos[name])
         return (3, hit[0], reg_pos[name])
 
     return {n: mapping[n] for n in sorted(mapping, key=key)}

@@ -832,3 +832,49 @@ def test_ddl_external_table_catalog_stays_bounded(spark):
         if t.name.startswith("ext_events_")
     ]
     assert len(views) == 1
+
+
+def test_ann_grid_recall_against_exact_knn(spark):
+    """The deterministic SRP-bucket ANN must find a pinned fraction of
+    the exact cosine top-5 per query. Fixture embeddings are near-random
+    (top-5 sims ~0.3 — LSH's worst case), so the bound is the measured
+    0.65 at probe radius 3 minus slack, not the ~1.0 a clustered corpus
+    would give; the point is the probe-and-score pipeline demonstrably
+    ranks true neighbors first within its probed space. Also pins the
+    plan: candidate selection must be an equi-join on bucket (broadcast
+    hash join), never a cross join of queries x corpus."""
+    from opay_datalake_script_spark.llmdata.similarity import _ANN_MASKS
+
+    exact = {}
+    import numpy as np
+
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    rows = _load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    for qi in range(8):
+        qrow = int(np.where(ids == qi)[0][0])
+        order = sorted(
+            (i for i in range(len(ids)) if i != qrow),
+            key=lambda i: (-round(sims[qrow, i], 6), ids[i]),
+        )
+        exact[qi] = {int(ids[i]) for i in order[:5]}
+    got = {}
+    df = QUERIES["k_ann_grid"](spark, SF_DIR)
+    for r in df.collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.55, f"ANN-grid recall {recall:.2f} below bound"
+    assert len(_ANN_MASKS) == 93  # radius-3 probe set over 8 bits
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the corpus-side candidate join must be a hash EQUI-join on bucket;
+    # the only nested-loop allowed is the tiny queries x masks probe
+    # build (bounded rows, corpus-independent)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin [bucket" in final, plan
+    assert final.count("BroadcastNestedLoopJoin") <= 1
