@@ -26,6 +26,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _has_module(name: str) -> bool:
+    try:
+        return importlib.util.find_spec(name) is not None
+    except ModuleNotFoundError:
+        return False
+
+
 def probe() -> dict:
     from opay_datalake_script_spark.sources.io import JDBC_JAR
 
@@ -41,6 +48,9 @@ def probe() -> dict:
         "pillow": importlib.util.find_spec("PIL") is not None,
         "ffmpeg": shutil.which("ffmpeg"),
         "soundfile": importlib.util.find_spec("soundfile") is not None,
+        # transformWithStateInPandas needs protobuf (test_streaming gate);
+        # find_spec raises when the parent 'google' namespace is absent
+        "protobuf": _has_module("google.protobuf"),
     }
 
 
