@@ -110,3 +110,37 @@ def test_plan_audit_window_detector():
         "specifiedwindowframe(...)) AS _we0#9L], [_pid#8 ASC NULLS FIRST]\n"
     )
     assert len(flagged) == 1 and "mx#3" in flagged[0], flagged
+
+
+def test_defer_first_row_orders_after_other_never_checked(monkeypatch):
+    """A new ID in _DEFER_FIRST_ROW (k_ann_grid this round) must sort
+    after EVERY plain never-checked entry — even later-registered ones —
+    but before the stale-evidence tier, so it cannot displace the older
+    backlog's first driver rows (VERDICT r6 item 7)."""
+    names = ["q_deferred_new", "q_never_later", "q_stale"]
+    history = {
+        "q_stale": (1, {"rows_match": True, "hash_match": True, "err": None}),
+    }
+    monkeypatch.setattr(registry, "_DEFER_FIRST_ROW", frozenset({"q_deferred_new"}))
+    got = _order_with(history, (), names, monkeypatch)
+    assert got == ["q_never_later", "q_deferred_new", "q_stale"]
+
+
+def test_benign_err_with_rows_pass_is_not_a_failure(monkeypatch):
+    """ADVICE r6: a future benign err marker (or empty string) on a row
+    whose comparisons passed must NOT promote the query to tier 0 and
+    crowd the window; only a truthy err WITHOUT a rows_match pass (or an
+    explicit matches-False) counts as failed."""
+    names = ["q_marker_green", "q_empty_err", "q_marker_no_rows", "q_green"]
+    history = {
+        "q_marker_green": (2, {"rows_match": True, "hash_match": True,
+                               "err": "some_future_marker"}),
+        "q_empty_err": (2, {"rows_match": True, "hash_match": True, "err": ""}),
+        # truthy err AND no rows pass -> genuinely failed
+        "q_marker_no_rows": (2, {"rows_match": None, "hash_match": None,
+                                 "err": "connection_reset"}),
+        "q_green": (1, {"rows_match": True, "hash_match": True, "err": None}),
+    }
+    got = _order_with(history, (), names, monkeypatch)
+    assert got[0] == "q_marker_no_rows"  # only the real failure in tier 0
+    assert got[1:] == ["q_green", "q_marker_green", "q_empty_err"]
