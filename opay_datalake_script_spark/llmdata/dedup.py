@@ -485,12 +485,17 @@ def band_candidate_pairs(
     are STAR-expanded — each member pairs only with the bucket's min
     doc_id — so a degenerate boilerplate bucket contributes B-1
     candidates instead of B(B-1)/2 while staying one connected
-    component for the dedup passes. The two regimes are split BEFORE
-    the self-join (small buckets all-pairs, oversized buckets join
-    their single hub row), so the O(B^2) rows of an oversized bucket
-    are never materialized even transiently; the bucket-width window
-    shares the (band, bucket) shuffle the join needs anyway. Width
-    stats for tuning/monitoring: `band_bucket_stats`."""
+    component for the dedup passes. The guard is the oracle's own
+    `bsz <= cap OR doc_id = hub` predicate applied to the LEFT join
+    side BEFORE the self-join: a small bucket keeps all its rows
+    (all-pairs), an oversized bucket keeps only its hub probe row, so
+    the join emits the O(B) star pairs directly and the O(B^2)
+    combinations are never materialized or even iterated. The
+    bucket-width window shares the (band, bucket) shuffle the join
+    needs anyway, and the signature subtree keeps the same two
+    branches the uncapped form had (an earlier four-branch union
+    recomputed it twice more). Width stats for tuning/monitoring:
+    `band_bucket_stats`."""
     sig = minhash_signatures(docs)
     stack_expr = ", ".join(f"{j}L, md5(concat(mh{a}, ':', mh{b}))" for j, (a, b) in enumerate(_BANDS))
     buckets = sig.selectExpr(
@@ -500,21 +505,14 @@ def band_candidate_pairs(
     sized = buckets.withColumn("bsz", F.count("*").over(w)).withColumn(
         "hub", F.min("doc_id").over(w)
     )
-    small = sized.where(F.col("bsz") <= max_bucket_size)
-    a = small.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = small.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    all_pairs = a.join(b, ["band", "bucket"]).where(F.col("doc_a") < F.col("doc_b"))
-    big = sized.where(F.col("bsz") > max_bucket_size)
-    hubs = big.where(F.col("doc_id") == F.col("hub")).select(
-        F.col("doc_id").alias("doc_a"), "band", "bucket"
-    )
-    star_pairs = hubs.join(
-        big.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
-        ["band", "bucket"],
-    ).where(F.col("doc_a") < F.col("doc_b"))
+    a = sized.where(
+        (F.col("bsz") <= max_bucket_size) | (F.col("doc_id") == F.col("hub"))
+    ).select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = sized.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
-        all_pairs.select("doc_a", "doc_b")
-        .unionByName(star_pairs.select("doc_a", "doc_b"))
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
