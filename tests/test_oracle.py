@@ -57,3 +57,37 @@ def test_all_registered_outputs_are_scalar(spark):
     (d_approx_percentile crashed it in round 1 despite having no oracle)."""
     for name, fn in load_all_queries().items():
         assert_no_nonscalar_columns(fn(spark, SMOKE_SF_DIR), name)
+
+
+def test_lsh_cap_oracle_mirror_under_active_cap(spark, oracle_con):
+    """The default cap (1024) is never reached by fixture buckets, so the
+    plain oracle tests only prove the no-op regime. Force the cap DOWN
+    to 64 on both sides (engine arg; literal substitution in the shared
+    banding CTE) and require the star-expanded candidate sets to match
+    exactly — the proof that the engine's pre-filtered self-join and the
+    oracle's bsz/hub predicate express the same capped semantics."""
+    from opay_datalake_script_spark.llmdata.dedup import (
+        _BAND_ORACLE,
+        LSH_BUCKET_CAP,
+        band_candidate_pairs,
+    )
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    capped_sql = _BAND_ORACLE.replace(
+        f"a.bsz <= {LSH_BUCKET_CAP}", "a.bsz <= 64"
+    )
+    assert capped_sql != _BAND_ORACLE  # the substitution actually hit
+    docs = _load(spark, SMOKE_SF_DIR, "documents")
+    df = band_candidate_pairs(docs, max_bucket_size=64)
+    con = __import__("duckdb").connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    exp = set(map(tuple, con.execute(capped_sql).fetchall()))
+    con.close()
+    assert got == exp
+    # and the cap was genuinely active: fewer pairs than the uncapped set
+    uncapped = band_candidate_pairs(docs, max_bucket_size=1 << 40).count()
+    assert len(got) < uncapped
