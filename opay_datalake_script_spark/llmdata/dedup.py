@@ -45,12 +45,17 @@ _BANDS = [(2 * j, 2 * j + 1) for j in range(_MINHASH_K // 2)]
 # Skew guard for degenerate (band, bucket) groups (boilerplate-heavy
 # corpora): a bucket wider than this emits only STAR pairs — (min
 # doc_id in bucket) x (each other member) — instead of all O(B^2)
-# pairs. Star edges keep every oversized cluster CONNECTED (the
-# components/dedup passes still merge it transitively) while bounding
-# per-bucket candidate volume to B-1; at 100 TB a 1M-doc boilerplate
-# bucket would otherwise emit 5e11 pairs from one shuffle key. 1024 is
-# above the widest fixture bucket at sf0.01 (383 measured), so oracle-
-# SF results are unchanged; sf0.1's widest (3921) is star-expanded.
+# pairs, bounding per-bucket candidate volume to B-1; at 100 TB a
+# 1M-doc boilerplate bucket would otherwise emit 5e11 pairs from one
+# shuffle key. Star edges keep the oversized bucket connected at the
+# CANDIDATE level; after the downstream exact-Jaccard verify, members
+# merge iff they verify against the hub, so two members that are
+# near-dups of each other but not of the hub can stay unmerged — the
+# recall trade every bucket cap makes (a drop cap loses the whole
+# bucket; the star keeps the hub-similar core, which for a true
+# boilerplate cluster is the common case). 1024 is above the widest
+# fixture bucket at sf0.01 (383 measured), so oracle-SF results are
+# unchanged; sf0.1's widest (3921) is star-expanded.
 LSH_BUCKET_CAP = 1024
 
 # Reusable CTE block: md5-MinHash signatures -> 8x2 banding -> distinct
@@ -472,6 +477,21 @@ def k_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
+def _banded_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) banding relation: md5-MinHash signatures
+    expanded by stack into the 8x2 bands. The ONE place the banding
+    scheme lives engine-side — band_candidate_pairs and
+    band_bucket_stats both build on it, so a scheme change cannot
+    desynchronize the monitor from the generator (r7 review)."""
+    sig = minhash_signatures(docs)
+    stack_expr = ", ".join(
+        f"{j}L, md5(concat(mh{a}, ':', mh{b}))" for j, (a, b) in enumerate(_BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"stack({len(_BANDS)}, {stack_expr}) AS (band, bucket)"
+    )
+
+
 def band_candidate_pairs(
     docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP
 ) -> DataFrame:
@@ -484,8 +504,9 @@ def band_candidate_pairs(
     Skew guard: (band, bucket) groups wider than ``max_bucket_size``
     are STAR-expanded — each member pairs only with the bucket's min
     doc_id — so a degenerate boilerplate bucket contributes B-1
-    candidates instead of B(B-1)/2 while staying one connected
-    component for the dedup passes. The guard is the oracle's own
+    candidates instead of B(B-1)/2, staying connected at the candidate
+    level (see the LSH_BUCKET_CAP note for the verify-stage recall
+    trade this implies). The guard is the oracle's own
     `bsz <= cap OR doc_id = hub` predicate applied to the LEFT join
     side BEFORE the self-join: a small bucket keeps all its rows
     (all-pairs), an oversized bucket keeps only its hub probe row, so
@@ -496,11 +517,7 @@ def band_candidate_pairs(
     branches the uncapped form had (an earlier four-branch union
     recomputed it twice more). Width stats for tuning/monitoring:
     `band_bucket_stats`."""
-    sig = minhash_signatures(docs)
-    stack_expr = ", ".join(f"{j}L, md5(concat(mh{a}, ':', mh{b}))" for j, (a, b) in enumerate(_BANDS))
-    buckets = sig.selectExpr(
-        "doc_id", f"stack({len(_BANDS)}, {stack_expr}) AS (band, bucket)"
-    )
+    buckets = _banded_buckets(docs)
     w = W.partitionBy("band", "bucket")
     sized = buckets.withColumn("bsz", F.count("*").over(w)).withColumn(
         "hub", F.min("doc_id").over(w)
@@ -524,12 +541,9 @@ def band_bucket_stats(docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP) ->
     and the member rows the cap demotes from all-pairs to star. One
     extra aggregate over the banding relation — run it alongside a big
     dedup job to log what the cap is doing at corpus scale."""
-    sig = minhash_signatures(docs)
-    stack_expr = ", ".join(f"{j}L, md5(concat(mh{a}, ':', mh{b}))" for j, (a, b) in enumerate(_BANDS))
-    buckets = sig.selectExpr(
-        "doc_id", f"stack({len(_BANDS)}, {stack_expr}) AS (band, bucket)"
+    sizes = _banded_buckets(docs).groupBy("band", "bucket").agg(
+        F.count("*").alias("bsz")
     )
-    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
     over = F.col("bsz") > max_bucket_size
     return sizes.groupBy("band").agg(
         F.count("*").alias("n_buckets"),

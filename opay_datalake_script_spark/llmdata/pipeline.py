@@ -972,8 +972,9 @@ def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_build_oracle() -> str:
-    from .dedup import _BANDS, _MINHASH_K, _mh_expr_sql
+    from .dedup import _BANDS, _MINHASH_K, _mh_expr_sql, LSH_BUCKET_CAP
 
+    cap = LSH_BUCKET_CAP  # mirror the engine's bucket-width star cap
     sig_cols = ", ".join(
         f"min({_mh_expr_sql(i)}) AS mh{i}" for i in range(_MINHASH_K)
     )
@@ -1003,10 +1004,17 @@ def _corpus_build_oracle() -> str:
     ),
     bld_sig AS (SELECT doc_id, {sig_cols} FROM bld_toks GROUP BY doc_id),
     bld_buckets AS ({band_union}),
+    bld_sized AS (
+        SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bsz,
+               min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+        FROM bld_buckets
+    ),
     bld_cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bld_buckets a JOIN bld_buckets b
+        FROM bld_sized a JOIN bld_sized b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {cap} OR a.doc_id = a.hub
     ),
     tsets AS (
         SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset

@@ -46,7 +46,12 @@ _EMPTY_PAIRS = pd.DataFrame(
 )
 
 
-def _auto_blocks(emb: DataFrame, target_block_rows: int = 4096) -> int:
+_AUTO_BLOCK_CACHE: dict = {}
+
+
+def _auto_blocks(
+    emb: DataFrame, target_block_rows: int = 4096, cache_key: str | None = None
+) -> int:
     """Data-dependent block count for `_block_pair_scores`: enough
     blocks that one block holds ~``target_block_rows`` vectors, so a
     tile's score matrix stays ~target^2 floats (~128 MB at 4096) no
@@ -54,11 +59,20 @@ def _auto_blocks(emb: DataFrame, target_block_rows: int = 4096) -> int:
     shape (and parallelism) the fixtures were validated with; ceiling
     of 256 bounds the O(n*B) replication — past that scale brute-force
     all-pairs is the wrong tool and the IVF path (k_ann_ivf) is the
-    answer. Costs one count() of the (pruned) embedding scan."""
+    answer. Costs one count() of the (pruned) embedding scan; query
+    builders pass their sf_dir as ``cache_key`` so repeated builds
+    (bench reps, plan-only inspection, the oracle sweep) pay the count
+    job once per source rather than once per invocation (r7 review)."""
     import math
 
+    key = (cache_key, target_block_rows)
+    if cache_key is not None and key in _AUTO_BLOCK_CACHE:
+        return _AUTO_BLOCK_CACHE[key]
     n = emb.count()
-    return max(4, min(256, math.ceil(n / target_block_rows)))
+    b = max(4, min(256, math.ceil(n / target_block_rows)))
+    if cache_key is not None:
+        _AUTO_BLOCK_CACHE[key] = b
+    return b
 
 
 def _block_pair_scores(spark: SparkSession, emb: DataFrame, n_blocks: int, tile_fn):
@@ -155,7 +169,9 @@ def k_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    local = _block_pair_scores(spark, emb, n_blocks=_auto_blocks(emb), tile_fn=tile_topk)
+    local = _block_pair_scores(
+        spark, emb, n_blocks=_auto_blocks(emb, cache_key=sf_dir), tile_fn=tile_topk
+    )
     return (
         local.withColumn("sim", F.round("sim", 6))
         .orderBy(F.col("sim").desc(), "vec_a", "vec_b")
@@ -226,7 +242,9 @@ def k_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    local = _block_pair_scores(spark, emb, n_blocks=_auto_blocks(emb), tile_fn=tile_near_dup)
+    local = _block_pair_scores(
+        spark, emb, n_blocks=_auto_blocks(emb, cache_key=sf_dir), tile_fn=tile_near_dup
+    )
     return local.withColumn("sim", F.round("sim", 6))
 
 
@@ -760,28 +778,35 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(8)
         ],
     )
-    e = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    # norms are hoisted to one-per-row columns BEFORE the join (r7
+    # review): the re-rank stage then does one dot product per candidate
+    # instead of re-aggregating both full arrays per (candidate, probe)
+    e = emb.select(
+        "vec_id", "label", "embedding", bucket.alias("bucket"), norm(ev).alias("nrm")
+    )
     q = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     masks = spark.createDataFrame([(m,) for m in _ANN_MASKS], "mask int")
     probes = q.crossJoin(masks).select(
-        "q_id", "qv", F.col("qbucket").bitwiseXOR(F.col("mask")).alias("bucket")
+        "q_id", "qv", "qnrm",
+        F.col("qbucket").bitwiseXOR(F.col("mask")).alias("bucket"),
     )
-    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(ev, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     cand = (
         e.join(F.broadcast(probes), "bucket")
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id", "label",
-            F.round(dot / (norm(ev) * norm(qd)), 6).alias("sim"),
+            F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")

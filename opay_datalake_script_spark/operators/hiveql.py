@@ -22,7 +22,12 @@ from ..sources.io import load
 
 # uuid temp views created by s_sql_ddl_external_table, awaiting cleanup
 # on the NEXT invocation (see its docstring's catalog-hygiene note).
+# The lock only protects the list's pop/append against interleaving;
+# the view-lifetime contract itself is consume-before-rebuild.
+import threading
+
 _DDL_VIEW_REGISTRY: list[str] = []
+_DDL_VIEW_LOCK = threading.Lock()
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -355,31 +360,32 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     why a_sink_partitioned lands parquet instead, and that tradeoff
     belongs to the format, not to the DDL entry point.
 
-    Concurrency (ADVICE r5): the landing dir AND the view name are
-    uuid-fresh per invocation — the previous fixed path keyed only by
-    sf_dir let a concurrent or overlapping invocation overwrite the CSV
-    underneath the other's still-lazy plan, and the shared session-
-    global view name let one call re-point the other's table (the
-    a_sink_orc scratch-race class). With both unique per call, the
-    returned lazy DataFrame owns its landing exclusively, and the plan
-    still shows the DDL-declared CSV FileScan (pinned in test_plans) —
-    the proof that the text-DDL path, not a cached DataFrame, feeds the
-    aggregate. Catalog hygiene (ADVICE r6): each invocation first drops
-    the views its predecessors registered (tracked in
-    _DDL_VIEW_REGISTRY), so repeated driver/bench runs hold at most ONE
-    live ext_events view instead of growing the catalog unboundedly —
-    the returned lazy DataFrame therefore stays valid until the NEXT
-    invocation on the same session, which is the driver's (and any
-    sane caller's) consume-before-rebuild pattern.
+    Concurrency + lifetime (ADVICE r5/r6): the landing dir and the view
+    name are uuid-fresh per invocation, so one call can never overwrite
+    another's CSV or re-point its table mid-plan (the a_sink_orc
+    scratch-race class), and the plan still shows the DDL-declared CSV
+    FileScan (pinned in test_plans) — the proof that the text-DDL path,
+    not a cached DataFrame, feeds the aggregate. Catalog hygiene: each
+    invocation first drops the views its predecessors registered
+    (tracked in _DDL_VIEW_REGISTRY under a lock), so repeated
+    driver/bench runs hold at most ONE live ext_events view instead of
+    growing the catalog unboundedly. The two guarantees compose into an
+    explicit lifetime contract: the returned lazy DataFrame's VIEW
+    stays valid until the next invocation on the same session
+    (consume-before-rebuild — the driver's pattern); a caller that
+    interleaves builds must collect each result before building the
+    next, or read the landing dir directly.
     """
     import uuid
 
     from ..sources.io import scratch_path
 
-    while _DDL_VIEW_REGISTRY:
-        spark.sql(f"DROP VIEW IF EXISTS {_DDL_VIEW_REGISTRY.pop()}")
-    tag = uuid.uuid4().hex
-    _DDL_VIEW_REGISTRY.append(f"ext_events_{tag}")
+    with _DDL_VIEW_LOCK:
+        stale, _DDL_VIEW_REGISTRY[:] = _DDL_VIEW_REGISTRY[:], []
+        tag = uuid.uuid4().hex
+        _DDL_VIEW_REGISTRY.append(f"ext_events_{tag}")
+    for v in stale:
+        spark.sql(f"DROP VIEW IF EXISTS {v}")
     csv_dir = scratch_path("ddl_csv", tag, "_")[: -len("/_")]
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"

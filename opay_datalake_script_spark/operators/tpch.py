@@ -54,14 +54,38 @@ def _e4(c):
     return F.round(c * 10000, 0).cast("decimal(20,0)")
 
 
-def _sum_e4_2dp(c):
-    """round(sum(c), 2) with an exact e4 integer accumulator."""
-    return F.round(F.sum(_e4(c)) / 10000.0, 2)
+def _sum_e4_2dp(c, denom: int = 10000):
+    """round(sum(c) / (denom/10000), 2), computed without ever rounding a
+    DOUBLE: the quotient sum_e4/denom is divided and rounded in DECIMAL
+    (Spark keeps decimal/int division in decimal at scale >= 6, so a
+    <=4-dp quotient is exact and round() is true HALF_UP away from
+    zero), then cast to double only for display. Rounding the double
+    quotient instead — the previous form — silently diverged from
+    DuckDB on exact half-cent tails: Spark rounds doubles through their
+    shortest decimal repr ('622758.695' -> .70) while DuckDB rounds the
+    binary value (622758.69499... -> .69). For non-terminating quotients
+    (denom with a factor 7, Q17), scale-6 decimal rounding is still
+    exact: the nearest possible half-cent boundary of k/70000 is
+    1/70000 ~ 1.4e-5 away, far beyond the 5e-7 scale-6 error. The
+    display double is exact up to 2^53 cents (~$90T per group); past
+    that any double display is approximate by nature."""
+    return F.round(F.sum(_e4(c)) / denom, 2).cast("double")
 
 
-# DuckDB twin of _sum_e4_2dp: BIGINT per-row e4 (sum widens to HUGEINT).
-def _sql_sum_e4_2dp(expr: str) -> str:
-    return f"round(sum(CAST(round(({expr}) * 10000, 0) AS BIGINT)) / 10000.0, 2)"
+def _sql_sum_e4_2dp(expr: str, denom: int = 10000) -> str:
+    """DuckDB twin of _sum_e4_2dp. DuckDB decimal division degrades to
+    DOUBLE (measured: typeof(DECIMAL / DECIMAL) = DOUBLE), so HALF_UP
+    is spelled in pure HUGEINT arithmetic instead:
+    cents = sign(s) * ((200*|s| + denom) // (2*denom)) — floor-div of
+    the shifted magnitude is exact round-half-away-from-zero, matching
+    Spark's BigDecimal HALF_UP for either sign. Fuzzed against the
+    Spark form on 10k values including constructed ...50/...500 tails:
+    bit-identical up to the 2^53-cent double-display limit."""
+    s = f"sum(CAST(round(({expr}) * 10000, 0) AS BIGINT))"
+    mag = f"((200 * abs({s}) + {denom}) // ({2 * denom}))"
+    return (
+        f"((CASE WHEN {s} < 0 THEN -{mag} ELSE {mag} END)::DOUBLE / 100)"
+    )
 
 
 @register(
@@ -666,8 +690,7 @@ def t_q16_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_q17_small_quantity_revenue",
     oracle=f"""
-    SELECT round(sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT))
-                 / 70000.0, 2) AS avg_yearly
+    SELECT {_sql_sum_e4_2dp("l_extendedprice", denom=70000)} AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -686,11 +709,7 @@ def t_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(
-            F.round(F.sum(_e4(F.col("l_extendedprice"))) / 70000.0, 2).alias(
-                "avg_yearly"
-            )
-        )
+        .agg(_sum_e4_2dp(F.col("l_extendedprice"), denom=70000).alias("avg_yearly"))
     )
 
 
@@ -738,7 +757,8 @@ def t_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.round(F.col("sq") / 10000.0, 2).alias("total_qty"),
+            # decimal division + round (see _sum_e4_2dp: never round a double)
+            F.round(F.col("sq") / 10000, 2).cast("double").alias("total_qty"),
         )
     )
 

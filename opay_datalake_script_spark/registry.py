@@ -126,19 +126,26 @@ def _reorder(mapping: dict) -> dict:
         if hit is not None:
             rnd, row = hit
             # A row counts as FAILED when a comparison explicitly
-            # mismatched, or when a harness exception (truthy err)
-            # prevented the row-count check from passing. Benign err
-            # markers the driver writes for by-design rows-only queries
-            # ('no_oracle' today) leave rows_match null — requiring
-            # err AND rows_match-not-True keeps any future benign
-            # marker (or empty string) from promoting green queries to
-            # tier 0 and crowding the ~50-slot window (ADVICE r6).
+            # mismatched (an explicit False is a failure no matter what
+            # err says — even 'no_oracle' must not mask it), or when a
+            # non-benign harness exception (truthy err) prevented the
+            # VALUE-hash check from passing — rows_match alone is not
+            # enough, since an exception between the row-count check
+            # and the hash comparison leaves an unverified value hash.
+            # Benign markers ('no_oracle' today; any future marker
+            # accompanying a full hash pass) must not promote green
+            # queries to tier 0 and crowd the ~50-slot window
+            # (ADVICE r6 + r7 review).
             failed = (
                 row.get("rows_match") is False
                 or row.get("hash_match") is False
-                or (bool(row.get("err")) and row.get("rows_match") is not True)
+                or (
+                    bool(row.get("err"))
+                    and row.get("err") != "no_oracle"
+                    and row.get("hash_match") is not True
+                )
             )
-            if failed and row.get("err") != "no_oracle":
+            if failed:
                 return (0, 0, reg_pos[name])
         if name in _RECHECK:
             return (1, 0, reg_pos[name])

@@ -59,7 +59,7 @@ def test_all_registered_outputs_are_scalar(spark):
         assert_no_nonscalar_columns(fn(spark, SMOKE_SF_DIR), name)
 
 
-def test_lsh_cap_oracle_mirror_under_active_cap(spark, oracle_con):
+def test_lsh_cap_oracle_mirror_under_active_cap(spark):
     """The default cap (1024) is never reached by fixture buckets, so the
     plain oracle tests only prove the no-op regime. Force the cap DOWN
     to 64 on both sides (engine arg; literal substitution in the shared
@@ -76,10 +76,12 @@ def test_lsh_cap_oracle_mirror_under_active_cap(spark, oracle_con):
     capped_sql = _BAND_ORACLE.replace(
         f"a.bsz <= {LSH_BUCKET_CAP}", "a.bsz <= 64"
     )
+    import duckdb
+
     assert capped_sql != _BAND_ORACLE  # the substitution actually hit
     docs = _load(spark, SMOKE_SF_DIR, "documents")
     df = band_candidate_pairs(docs, max_bucket_size=64)
-    con = __import__("duckdb").connect()
+    con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"

@@ -999,3 +999,45 @@ def test_lsh_bucket_cap_bounds_candidates_and_keeps_connectivity(spark):
         for r in band_candidate_pairs(docs, max_bucket_size=1 << 40).collect()
     }
     assert got == uncapped
+
+
+def test_e4_display_rounding_exact_on_half_cent_tails(spark, oracle_con):
+    """Code-review regression (r7): the e4 display rounding must not
+    round a DOUBLE quotient — Spark rounds doubles via their shortest
+    decimal repr while DuckDB rounds the binary value, so an e4 sum
+    ending in ...50 (exactly half a cent) diverged: 6227586950/1e4 gave
+    622758.70 in Spark but 622758.69 in DuckDB. Pin both engines to
+    exact HALF_UP away from zero on constructed half-cent tails."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from opay_datalake_script_spark.operators.tpch import (
+        _sql_sum_e4_2dp,
+        _sum_e4_2dp,
+    )
+
+    # each value is one "row" whose e4 is the whole group sum
+    tails = [6227586950, 150, 250, -150, -250, 1050, 999999999950]
+    rows = [(i, t / 10000.0) for i, t in enumerate(tails)]
+    df = spark.createDataFrame(rows, "g long, v double")
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(_sum_e4_2dp(F.col("v")).alias("s")).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = {
+        g: s
+        for g, s in con.execute(
+            f"SELECT g, {_sql_sum_e4_2dp('v')} AS s FROM t GROUP BY g"
+        ).fetchall()
+    }
+    con.close()
+    for i, t in enumerate(tails):
+        expected = float(
+            (Decimal(t) / 10000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+        assert got[i] == expected, (t, got[i], expected)
+        assert oracle[i] == expected, (t, oracle[i], expected)

@@ -144,3 +144,20 @@ def test_benign_err_with_rows_pass_is_not_a_failure(monkeypatch):
     got = _order_with(history, (), names, monkeypatch)
     assert got[0] == "q_marker_no_rows"  # only the real failure in tier 0
     assert got[1:] == ["q_green", "q_marker_green", "q_empty_err"]
+
+
+def test_explicit_mismatch_not_masked_and_post_rows_exception_fails(monkeypatch):
+    """r7 review: (a) err='no_oracle' must not mask an explicit
+    rows_match/hash_match False; (b) an exception AFTER the row-count
+    check passed (rows True, hash null, truthy err) leaves the value
+    hash unverified and must count as failed."""
+    names = ["q_false_with_no_oracle", "q_post_rows_exception", "q_green"]
+    history = {
+        "q_false_with_no_oracle": (3, {"rows_match": False, "hash_match": None,
+                                       "err": "no_oracle"}),
+        "q_post_rows_exception": (3, {"rows_match": True, "hash_match": None,
+                                      "err": "connection_reset"}),
+        "q_green": (1, {"rows_match": True, "hash_match": True, "err": None}),
+    }
+    got = _order_with(history, (), names, monkeypatch)
+    assert got == ["q_false_with_no_oracle", "q_post_rows_exception", "q_green"]
