@@ -16,18 +16,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import (
+    e4,
+    round_div_e4,
+    spark_sql_sum_e4_2dp,
+    sql_round_div_e4,
+    sql_sum_e4,
+    sql_sum_e4_2dp,
+    sum_e4_2dp,
+)
 from ..registry import register
 from ..sources.io import load
 
 
 @register(
     "d_agg_basic",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                     AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc,
-           round(avg(l_quantity), 6)                          AS avg_qty,
+           {sql_sum_e4_2dp("l_quantity")}                     AS sum_qty,
+           {sql_sum_e4_2dp("l_extendedprice")}                AS sum_base,
+           {sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS sum_disc,
+           {sql_round_div_e4(sql_sum_e4("l_quantity"), "count(*) * 10000", 6)}
+                                                              AS avg_qty,
            count(*)                                           AS cnt
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -46,12 +56,14 @@ def d_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            sum_e4_2dp(F.col("l_quantity")).alias("sum_qty"),
+            sum_e4_2dp(F.col("l_extendedprice")).alias("sum_base"),
+            sum_e4_2dp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc"
             ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            round_div_e4(
+                F.sum(e4(F.col("l_quantity"))), F.count(F.lit(1)) * 10000, 6
+            ).alias("avg_qty"),
             F.count("*").alias("cnt"),
         )
     )
@@ -91,11 +103,11 @@ def d_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_agg_filtered_pivot",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+           {sql_sum_e4_2dp("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")}
                AS finished_total,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2)
+           {sql_sum_e4_2dp("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")}
                AS open_total,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
     FROM orders GROUP BY o_orderpriority
@@ -106,13 +118,11 @@ def d_agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiom (one pass, no PIVOT operator needed)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
-            2,
+        sum_e4_2dp(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
         ).alias("finished_total"),
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)),
-            2,
+        sum_e4_2dp(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)
         ).alias("open_total"),
         F.count(F.when(F.col("o_orderstatus") == "P", F.lit(1))).alias("n_pending"),
     )
@@ -152,9 +162,9 @@ def d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority, count(*) AS c,
-           round(sum(o_totalprice), 2) AS s
+           {sql_sum_e4_2dp("o_totalprice")} AS s
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
@@ -164,9 +174,9 @@ def d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotal and grand total share a single scan + shuffle."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS c,
-               round(sum(o_totalprice), 2) AS s
+               {spark_sql_sum_e4_2dp("o_totalprice")} AS s
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
@@ -175,9 +185,9 @@ def d_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d_cube",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority, count(*) AS c,
-           round(sum(o_totalprice), 2) AS s,
+           {sql_sum_e4_2dp("o_totalprice")} AS s,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -188,16 +198,16 @@ def d_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("c"),
-        F.round(F.sum("o_totalprice"), 2).alias("s"),
+        sum_e4_2dp(F.col("o_totalprice")).alias("s"),
         F.grouping_id().cast("int").alias("gid"),
     )
 
 
 @register(
     "d_rollup",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           {sql_sum_e4_2dp("c_acctbal")} AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -214,7 +224,7 @@ def d_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        sum_e4_2dp(F.col("c_acctbal")).alias("total_bal"),
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import sql_sum_e4_2dp, sum_e4_2dp
 from ..registry import register
 from ..sources.io import load
 
@@ -258,8 +259,8 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c_join_multiway",
-    oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT n_name, {sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -296,7 +297,7 @@ def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            sum_e4_2dp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -305,9 +306,9 @@ def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c_join_skew_salted",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -337,7 +338,7 @@ def c_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            sum_e4_2dp(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count("*").alias("n_items"),
@@ -347,9 +348,9 @@ def c_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c_join_bucketed",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, count(*) AS n_items,
-           round(sum(l_quantity), 2) AS total_qty
+           {sql_sum_e4_2dp("l_quantity")} AS total_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -389,7 +390,7 @@ def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            sum_e4_2dp(F.col("l_quantity")).alias("total_qty"),
         )
     )
 

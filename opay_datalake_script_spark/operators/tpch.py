@@ -40,72 +40,36 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-def _e4(c):
-    """Exact integer ten-thousandths of a <=4-decimal double.
-
-    The IEEE-754 product of two doubles is exactly rounded and identical
-    in every engine, and `round(x * 10000, 0)` snaps it to the one true
-    integer — so the per-row value is bit-stable and the SUM is exact
-    integer arithmetic. The accumulator is decimal(20,0), not long: at
-    100 TB a single group can sum ~1e12 rows x ~1e9 e4-units ~ 1e21,
-    past int64 — Spark's long sum would wrap silently while DuckDB's
-    widens to HUGEINT.
-    """
-    return F.round(c * 10000, 0).cast("decimal(20,0)")
-
-
-def _sum_e4_2dp(c, denom: int = 10000):
-    """round(sum(c) / (denom/10000), 2), computed without ever rounding a
-    DOUBLE: the quotient sum_e4/denom is divided and rounded in DECIMAL
-    (Spark keeps decimal/int division in decimal at scale >= 6, so a
-    <=4-dp quotient is exact and round() is true HALF_UP away from
-    zero), then cast to double only for display. Rounding the double
-    quotient instead — the previous form — silently diverged from
-    DuckDB on exact half-cent tails: Spark rounds doubles through their
-    shortest decimal repr ('622758.695' -> .70) while DuckDB rounds the
-    binary value (622758.69499... -> .69). For non-terminating quotients
-    (denom with a factor 7, Q17), scale-6 decimal rounding is still
-    exact: the nearest possible half-cent boundary of k/70000 is
-    1/70000 ~ 1.4e-5 away, far beyond the 5e-7 scale-6 error. The
-    display double is exact up to 2^53 cents (~$90T per group); past
-    that any double display is approximate by nature."""
-    return F.round(F.sum(_e4(c)) / denom, 2).cast("double")
-
-
-def _sql_sum_e4_2dp(expr: str, denom: int = 10000) -> str:
-    """DuckDB twin of _sum_e4_2dp. DuckDB decimal division degrades to
-    DOUBLE (measured: typeof(DECIMAL / DECIMAL) = DOUBLE), so HALF_UP
-    is spelled in pure HUGEINT arithmetic instead:
-    cents = sign(s) * ((200*|s| + denom) // (2*denom)) — floor-div of
-    the shifted magnitude is exact round-half-away-from-zero, matching
-    Spark's BigDecimal HALF_UP for either sign. Fuzzed against the
-    Spark form on 10k values including constructed ...50/...500 tails:
-    bit-identical up to the 2^53-cent double-display limit."""
-    s = f"sum(CAST(round(({expr}) * 10000, 0) AS BIGINT))"
-    mag = f"((200 * abs({s}) + {denom}) // ({2 * denom}))"
-    return (
-        f"((CASE WHEN {s} < 0 THEN -{mag} ELSE {mag} END)::DOUBLE / 100)"
-    )
+# Shared exact fixed-point display arithmetic — see functions/exact.py
+# for the two-layer hazard (sum order + double-quotient rounding) and
+# the engine-parity proofs.
+from ..functions.exact import (  # noqa: E402
+    display_2dp as _display_2dp,
+    e4 as _e4,
+    round_div_e4 as _round_div_e4,
+    sql_display_2dp as _sql_display_2dp,
+    sql_round_div_e4 as _sql_round_div_e4,
+    sql_sum_e4 as _sql_sum_e4,
+    sql_sum_e4_2dp as _sql_sum_e4_2dp,
+    sum_e4_2dp as _sum_e4_2dp,
+)
 
 
 @register(
     "t_q01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(CAST(round(l_quantity * 10000, 0) AS BIGINT)) / 10000.0, 2)
-               AS sum_qty,
-           round(sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT)) / 10000.0, 2)
-               AS sum_base_price,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
-                          AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
-           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_charge,
-           round(sum(CAST(round(l_quantity * 10000, 0) AS BIGINT))
-                 / (count(*) * 10000.0), 6) AS avg_qty,
-           round(sum(CAST(round(l_extendedprice * 10000, 0) AS BIGINT))
-                 / (count(*) * 10000.0), 6) AS avg_price,
-           round(sum(CAST(round(l_discount * 10000, 0) AS BIGINT))
-                 / (count(*) * 10000.0), 6) AS avg_disc,
+           {_sql_sum_e4_2dp("l_quantity")} AS sum_qty,
+           {_sql_sum_e4_2dp("l_extendedprice")} AS sum_base_price,
+           {_sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {_sql_sum_e4_2dp("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+               AS sum_charge,
+           {_sql_round_div_e4(_sql_sum_e4("l_quantity"), "count(*) * 10000", 6)}
+               AS avg_qty,
+           {_sql_round_div_e4(_sql_sum_e4("l_extendedprice"), "count(*) * 10000", 6)}
+               AS avg_price,
+           {_sql_round_div_e4(_sql_sum_e4("l_discount"), "count(*) * 10000", 6)}
+               AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -126,32 +90,21 @@ def t_q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
 
-    def e4(c):
-        return F.round(c * 10000, 0).cast("decimal(20,0)")
-
     disc = _rev()
-    n = F.count(F.lit(1))
+    n4 = F.count(F.lit(1)) * 10000
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(e4(F.col("l_quantity"))) / 10000.0, 2).alias("sum_qty"),
-            F.round(F.sum(e4(F.col("l_extendedprice"))) / 10000.0, 2).alias(
-                "sum_base_price"
-            ),
-            F.round(F.sum(e4(disc)) / 10000.0, 2).alias("sum_disc_price"),
-            F.round(F.sum(e4(disc * (1 + F.col("l_tax")))) / 10000.0, 2).alias(
-                "sum_charge"
-            ),
-            F.round(F.sum(e4(F.col("l_quantity"))) / (n * 10000.0), 6).alias(
-                "avg_qty"
-            ),
-            F.round(F.sum(e4(F.col("l_extendedprice"))) / (n * 10000.0), 6).alias(
+            _sum_e4_2dp(F.col("l_quantity")).alias("sum_qty"),
+            _sum_e4_2dp(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sum_e4_2dp(disc).alias("sum_disc_price"),
+            _sum_e4_2dp(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _round_div_e4(F.sum(_e4(F.col("l_quantity"))), n4, 6).alias("avg_qty"),
+            _round_div_e4(F.sum(_e4(F.col("l_extendedprice"))), n4, 6).alias(
                 "avg_price"
             ),
-            F.round(F.sum(e4(F.col("l_discount"))) / (n * 10000.0), 6).alias(
-                "avg_disc"
-            ),
+            _round_div_e4(F.sum(_e4(F.col("l_discount"))), n4, 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -348,11 +301,11 @@ def t_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q08_market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_e4 ELSE 0 END)
-                      AS DOUBLE)
-                 / sum(volume_e4), 6) AS mkt_share
+           {_sql_round_div_e4(
+               "sum(CASE WHEN nation = 'NATION_5' THEN volume_e4 ELSE 0 END)",
+               "sum(volume_e4)", 6)} AS mkt_share
     FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
                  CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
                       AS BIGINT) AS volume_e4,
@@ -400,16 +353,16 @@ def t_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             # Fixed-point e4 sums (same scheme as Q9/Q11): the ratio of
-            # two exact integer sums is identical under ANY summation
-            # order, so the 6-decimal round can never flip between
-            # engines on a boundary-adjacent group.
-            F.round(
+            # two exact integer sums is rounded with the pure-integer
+            # HALF_UP identity (functions/exact.py) — no double is ever
+            # rounded, so no boundary-adjacent group can flip.
+            _round_div_e4(
                 F.sum(
                     F.when(F.col("nation") == "NATION_5", F.col("volume_e4")).otherwise(
                         F.lit(0).cast("decimal(20,0)")
                     )
-                ).cast("double")
-                / F.sum("volume_e4"),
+                ),
+                F.sum("volume_e4"),
                 6,
             ).alias("mkt_share")
         )
@@ -418,8 +371,8 @@ def t_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q09_product_profit",
-    oracle="""
-    SELECT nation, o_year, round(sum(amount_e4) / 10000.0, 2) AS sum_profit
+    oracle=f"""
+    SELECT nation, o_year, {_sql_display_2dp("sum(amount_e4)")} AS sum_profit
     FROM (SELECT n_name AS nation,
                  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
                  CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
@@ -455,7 +408,11 @@ def t_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_rev() * 10000, 0).cast("long").alias("amount_e4"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount_e4") / 10000.0, 2).alias("sum_profit"))
+        .agg(
+            _display_2dp(F.sum(F.col("amount_e4").cast("decimal(20,0)"))).alias(
+                "sum_profit"
+            )
+        )
     )
 
 
@@ -567,14 +524,13 @@ def t_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q14_promo_effect",
-    oracle="""
-    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-                                       THEN CAST(round(l_extendedprice
-                                                       * (1 - l_discount) * 10000, 0)
-                                            AS BIGINT)
-                                       ELSE 0 END) AS DOUBLE)
-                 / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
-                            AS BIGINT)), 4) AS promo_revenue_pct
+    oracle=f"""
+    SELECT {_sql_round_div_e4(
+        "(100 * sum(CASE WHEN p_type = 'PROMO'"
+        " THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+        " ELSE 0 END))",
+        "sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))",
+        4)} AS promo_revenue_pct
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-09-01'
@@ -596,14 +552,14 @@ def t_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(
+            _round_div_e4(
+                F.sum(
                     F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
                         F.lit(0).cast("decimal(20,0)")
                     )
-                ).cast("double")
-                / F.sum(rev_e4),
+                )
+                * 100,
+                F.sum(rev_e4),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -612,7 +568,7 @@ def t_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
@@ -621,7 +577,7 @@ def t_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, round(rev_e4 / 10000.0, 2) AS total_revenue
+    SELECT s_suppkey, s_name, {_sql_display_2dp("rev_e4")} AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
       AND rev_e4 = (SELECT max(rev_e4) FROM revenue)
@@ -656,7 +612,7 @@ def t_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(s, top.supplier_no == s.s_suppkey).select(
         "s_suppkey",
         "s_name",
-        F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
+        _display_2dp(F.col("rev_e4").cast("decimal(20,0)")).alias("total_revenue"),
     )
 
 
@@ -1000,7 +956,7 @@ def t_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_q11_important_share",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT l_partkey AS partkey,
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
@@ -1011,9 +967,9 @@ def t_q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'EUROPE'
         GROUP BY l_partkey)
-    SELECT partkey, round(val_e4 / 10000.0, 2) AS value
+    SELECT partkey, {_sql_display_2dp("val_e4")} AS value
     FROM v
-    WHERE val_e4 > (SELECT sum(val_e4) FROM v) * 0.001
+    WHERE val_e4 * 1000 > (SELECT sum(val_e4) FROM v)
     """,
 )
 def t_q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,6 +995,11 @@ def t_q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = v.agg(F.sum("val_e4").alias("tot"))
     return (
         v.join(F.broadcast(total))
-        .where(F.col("val_e4") > F.col("tot") * 0.001)
-        .select("partkey", F.round(F.col("val_e4") / 10000.0, 2).alias("value"))
+        # exact integer share cut: val > 0.001 * tot as 1000*val > tot
+        # (no double 0.001 literal, which is not exactly 1/1000)
+        .where(F.col("val_e4") * 1000 > F.col("tot"))
+        .select(
+            "partkey",
+            _display_2dp(F.col("val_e4").cast("decimal(20,0)")).alias("value"),
+        )
     )
