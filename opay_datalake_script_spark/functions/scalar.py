@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .exact import sql_sum_e4_2dp, sum_e4_2dp
 from ..sources.io import load
 
 
@@ -518,7 +519,7 @@ def h_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "h_geo_grid_heatmap",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
         SELECT ('0x' || substr(md5('la:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2000 AS la,
                ('0x' || substr(md5('lo:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2000 AS lo,
@@ -528,7 +529,7 @@ def h_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(la / 100.0) AS INT) AS cell_y,
            CAST(floor(lo / 100.0) AS INT) AS cell_x,
            count(*) AS n_pickups,
-           round(sum(value), 2) AS gmv
+           {sql_sum_e4_2dp("value")} AS gmv
     FROM pts GROUP BY 1, 2
     """,
 )
@@ -561,7 +562,7 @@ def h_geo_grid_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_y", "cell_x")
         .agg(
             F.count("*").alias("n_pickups"),
-            F.round(F.sum("value"), 2).alias("gmv"),
+            sum_e4_2dp(F.col("value")).alias("gmv"),
         )
     )
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exact import sql_sum_e4_2dp, sum_e4_2dp
 from ..registry import register
 from ..sources.io import load
 
@@ -344,10 +345,10 @@ def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "j_ewma_grouped",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hr,
-               round(sum(value), 2) AS v,
+               {sql_sum_e4_2dp("value")} AS v,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY date_trunc('hour', ts)) AS rn
         FROM events WHERE user_id < 20
@@ -380,7 +381,7 @@ def j_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(sum_e4_2dp(F.col("value")).alias("v"))
     return hourly.groupBy("user_id").applyInPandas(
         _ewma_group, schema="user_id long, hr timestamp, ewma double"
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import round_div_e4, sql_round_div_e4
 from ..registry import register
 from ..sources.io import load
 
@@ -389,7 +390,7 @@ def k_rejection_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "k_dsir_importance_weights",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, lang,
                unnest(string_split(text, ' ')) AS t
@@ -421,7 +422,8 @@ def k_rejection_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(count(*) AS BIGINT)      AS n_tokens,
            CAST(sum(tm.term_e6) AS BIGINT) AS logratio_e6_sum,
-           round(sum(tm.term_e6) / (count(*) * 1000000.0), 6) AS avg_logratio
+           {sql_round_div_e4("sum(tm.term_e6)", "count(*) * 1000000", 6)}
+               AS avg_logratio
     FROM b d JOIN terms tm USING (b)
     GROUP BY d.doc_id
     """,
@@ -499,8 +501,10 @@ def k_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("term_e6").alias("logratio_e6_sum"),
-            F.round(
-                F.sum("term_e6") / (F.count(F.lit(1)) * 1000000.0), 6
+            round_div_e4(
+                F.sum("term_e6").cast("decimal(20,0)"),
+                F.count(F.lit(1)) * 1000000,
+                6,
             ).alias("avg_logratio"),
         )
     )

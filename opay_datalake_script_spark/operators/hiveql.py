@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.exact import spark_sql_sum_e4_2dp, sql_sum_e4_2dp
 from ..registry import register
 from ..sources.io import load
 
@@ -93,12 +94,12 @@ def s_hiveql_binlog_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_hiveql_mapjoin_report",
-    oracle="""
+    oracle=f"""
     SELECT r_name,
            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 'high' ELSE 'normal' END AS prio,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS gmv
+           {sql_sum_e4_2dp("o_totalprice")} AS gmv
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -113,13 +114,13 @@ def s_hiveql_mapjoin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE WHEN bucketing + money rounding, grouped to a tiny ADS output."""
     _views(spark, sf_dir, "orders", "customer", "nation", "region")
     return spark.sql(
-        """
+        f"""
         SELECT /*+ MAPJOIN(customer, nation, region) */
                r_name,
                CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 'high' ELSE 'normal' END AS prio,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS gmv
+               {spark_sql_sum_e4_2dp("o_totalprice")} AS gmv
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -156,13 +157,13 @@ def s_hiveql_distribute_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_hiveql_multi_insert",
-    oracle="""
+    oracle=f"""
     SELECT 'by_type' AS branch, event_type AS key, count(*) AS cnt,
-           round(sum(value), 2) AS val
+           {sql_sum_e4_2dp("value")} AS val
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'by_user', CAST(user_id AS VARCHAR), count(*),
-           round(sum(value), 2)
+           {sql_sum_e4_2dp("value")}
     FROM events GROUP BY user_id
     """,
 )
@@ -196,10 +197,12 @@ def s_hiveql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""
             FROM events
             INSERT OVERWRITE DIRECTORY '{p1}' USING parquet
-              SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS val
+              SELECT event_type, count(*) AS cnt,
+                     {spark_sql_sum_e4_2dp("value")} AS val
               GROUP BY event_type
             INSERT OVERWRITE DIRECTORY '{p2}' USING parquet
-              SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS val
+              SELECT user_id, count(*) AS cnt,
+                     {spark_sql_sum_e4_2dp("value")} AS val
               GROUP BY user_id
             """
         )
@@ -222,14 +225,13 @@ def s_hiveql_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s_hiveql_grouping_id",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(o_orderpriority, 'ALL') AS prio,
            coalesce(o_orderstatus,   'ALL') AS status,
            CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
                 AS BIGINT)                  AS gid,
            count(*)                          AS n,
-           round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
-                 AS DOUBLE) / 10000, 2)      AS gmv
+           {sql_sum_e4_2dp("o_totalprice")}  AS gmv
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), ())
@@ -251,14 +253,13 @@ def s_hiveql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "orders")
     return spark.sql(
-        """
+        f"""
         SELECT coalesce(o_orderpriority, 'ALL') AS prio,
                coalesce(o_orderstatus,   'ALL') AS status,
                CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
                     AS BIGINT)                  AS gid,
                count(*)                          AS n,
-               round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
-                     AS DOUBLE) / 10000.0, 2)    AS gmv
+               {spark_sql_sum_e4_2dp("o_totalprice")} AS gmv
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), ())

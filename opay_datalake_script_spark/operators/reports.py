@@ -22,17 +22,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import (
+    display_2dp,
+    e4,
+    round_div_e4,
+    sql_display_2dp,
+    sql_round_div_e4,
+    sql_sum_e4,
+    sql_sum_e4_2dp,
+    sum_e4_2dp,
+)
 from ..registry import register
 from ..sources.io import load
 
 
 @register(
     "r_ads_daily_report",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS dt,
            n_name,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS gmv,
+           {sql_sum_e4_2dp("o_totalprice")} AS gmv,
            count(DISTINCT o_custkey) AS n_buyers,
            CAST(GROUPING(strftime(date_trunc('day', o_orderdate), '%Y-%m-%d'),
                          n_name) AS INTEGER) AS gid
@@ -58,7 +68,7 @@ def r_ads_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [["dt", "n_name"], ["dt"], []], "dt", "n_name"
     ).agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("gmv"),
+        sum_e4_2dp(F.col("o_totalprice")).alias("gmv"),
         F.countDistinct("o_custkey").alias("n_buyers"),
         F.grouping_id().cast("int").alias("gid"),
     )
@@ -179,11 +189,11 @@ def r_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_incremental_daily_agg",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS v
+           {sql_sum_e4_2dp("value")} AS v
     FROM events
     GROUP BY 1, 2
     """,
@@ -213,7 +223,7 @@ def r_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def daily(df: DataFrame) -> DataFrame:
         return df.groupBy("dt", "event_type").agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+            F.count("*").alias("n"), sum_e4_2dp(F.col("value")).alias("v")
         )
 
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
@@ -340,18 +350,19 @@ def r_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_mom_yoy_report",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
-               round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
-                     AS DOUBLE) / 10000, 2) AS revenue,
+               {sql_sum_e4("o_totalprice")} AS rev_e4,
                count(*) AS n_orders
         FROM orders GROUP BY 1
     )
-    SELECT month, revenue, n_orders,
-           round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2)
+    SELECT month, {sql_display_2dp("rev_e4")} AS revenue, n_orders,
+           {sql_display_2dp("(rev_e4 - lag(rev_e4, 1) OVER (ORDER BY month))")}
                AS mom_delta,
-           round(revenue / nullif(lag(revenue, 12) OVER (ORDER BY month), 0), 6)
+           {sql_round_div_e4("rev_e4",
+                             "nullif(lag(rev_e4, 12) OVER (ORDER BY month), 0)",
+                             6)}
                AS yoy_ratio
     FROM m
     """,
@@ -374,35 +385,29 @@ def r_mom_yoy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).cast(
-                "double"
-            )
-            / 10000,
-            2,
-        ).alias("revenue"),
+        F.sum(e4(F.col("o_totalprice"))).alias("rev_e4"),
         F.count("*").alias("n_orders"),
     )
     w = W.orderBy("month")
+    # deltas and ratios derive from the INTEGER month totals (not the
+    # rounded display), so every derived column is engine-exact too
+    lag1 = F.lag("rev_e4", 1).over(w)
+    lag12 = F.nullif(F.lag("rev_e4", 12).over(w), F.lit(0).cast("decimal(20,0)"))
     return m.select(
         "month",
-        "revenue",
+        display_2dp(F.col("rev_e4")).alias("revenue"),
         "n_orders",
-        F.round(F.col("revenue") - F.lag("revenue", 1).over(w), 2).alias("mom_delta"),
-        F.round(
-            F.col("revenue")
-            / F.nullif(F.lag("revenue", 12).over(w), F.lit(0.0)),
-            6,
-        ).alias("yoy_ratio"),
+        display_2dp(F.col("rev_e4") - lag1).alias("mom_delta"),
+        round_div_e4(F.col("rev_e4"), lag12, 6).alias("yoy_ratio"),
     )
 
 
 @register(
     "r_dq_anomaly_zscore",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
-               round(sum(value), 2) AS v,
+               {sql_sum_e4_2dp("value")} AS v,
                count(*) AS n
         FROM events GROUP BY 1
     ),
@@ -434,7 +439,7 @@ def r_dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt")
-    ).agg(F.round(F.sum("value"), 2).alias("v"), F.count("*").alias("n"))
+    ).agg(sum_e4_2dp(F.col("value")).alias("v"), F.count("*").alias("n"))
     s = d.agg(F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd"))
     z = F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6)
     return d.join(F.broadcast(s)).select(
@@ -481,13 +486,12 @@ def r_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_rfm_segments",
-    oracle="""
+    oracle=f"""
     WITH per_cust AS (
         SELECT o_custkey,
                max(o_orderdate)  AS last_order,
                count(*)          AS frequency,
-               round(CAST(sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
-                     AS DOUBLE) / 10000, 2) AS monetary
+               {sql_sum_e4_2dp("o_totalprice")} AS monetary
         FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -526,13 +530,7 @@ def r_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).cast(
-                "double"
-            )
-            / 10000,
-            2,
-        ).alias("monetary"),
+        sum_e4_2dp(F.col("o_totalprice")).alias("monetary"),
     )
     scored = per_cust.select(
         F.when(F.col("last_order") >= "2000-01-01", "recent")
@@ -612,7 +610,7 @@ def r_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                date_diff('day', DATE '2020-01-01',
                          CAST(date_trunc('day', ts) AS DATE)) AS x,
-               CAST(round(sum(value) * 10000, 0) AS BIGINT) AS y
+               CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS y
         FROM events WHERE user_id < 100
         GROUP BY 1, 2
     ), sums AS (
@@ -653,7 +651,7 @@ def r_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id",
         F.datediff(F.to_date(F.date_trunc("day", "ts")), F.lit("2020-01-01")).alias("x"),
-    ).agg(F.round(F.sum("value") * 10000, 0).cast("long").alias("y"))
+    ).agg(F.sum(e4(F.col("value"))).cast("long").alias("y"))
     sums = daily.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
@@ -1345,7 +1343,7 @@ def r_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_ltv_cohort",
-    oracle="""
+    oracle=f"""
     WITH signup AS (
         SELECT user_id, min(ts) AS s_ts
         FROM events WHERE event_type = 'signup'
@@ -1374,9 +1372,9 @@ def r_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.n_users AS BIGINT)    AS n_users,
            CAST(sum(r.rev_e4) OVER (PARTITION BY r.cohort_day
                                     ORDER BY r.day_age) AS BIGINT) AS cum_rev_e4,
-           round(sum(r.rev_e4) OVER (PARTITION BY r.cohort_day
-                                     ORDER BY r.day_age)
-                 / (s.n_users * 10000.0), 4) AS cum_arpu
+           {sql_round_div_e4(
+               "sum(r.rev_e4) OVER (PARTITION BY r.cohort_day ORDER BY r.day_age)",
+               "s.n_users * 10000", 4)} AS cum_arpu
     FROM rev r JOIN sizes s USING (cohort_day)
     """,
 )
@@ -1431,8 +1429,10 @@ def r_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_age").cast("long").alias("day_age"),
             F.col("n_users").cast("long").alias("n_users"),
             F.sum("rev_e4").over(wc).cast("long").alias("cum_rev_e4"),
-            F.round(
-                F.sum("rev_e4").over(wc) / (F.col("n_users") * 10000.0), 4
+            round_div_e4(
+                F.sum("rev_e4").over(wc).cast("decimal(20,0)"),
+                F.col("n_users") * 10000,
+                4,
             ).alias("cum_arpu"),
         )
     )
@@ -1440,7 +1440,7 @@ def r_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "r_ab_test_lift",
-    oracle="""
+    oracle=f"""
     WITH assigned AS (
         SELECT ('0x' || substr(md5('exp1:' || user_id), 1, 15))::BIGINT % 2
                    AS arm,
@@ -1456,8 +1456,8 @@ def r_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM assigned GROUP BY arm
     )
     SELECT a.n AS n_treat, b.n AS n_ctrl,
-           round(a.sum_v4 / (a.n * 10000.0), 4)  AS mean_treat,
-           round(b.sum_v4 / (b.n * 10000.0), 4)  AS mean_ctrl,
+           {sql_round_div_e4("a.sum_v4", "a.n * 10000", 4)}  AS mean_treat,
+           {sql_round_div_e4("b.sum_v4", "b.n * 10000", 4)}  AS mean_ctrl,
            round((a.sum_v4 / CAST(a.n AS DOUBLE) - b.sum_v4 / CAST(b.n AS DOUBLE))
                  / (b.sum_v4 / CAST(b.n AS DOUBLE)), 6) AS rel_lift,
            round((a.sum_v4 / CAST(a.n AS DOUBLE) - b.sum_v4 / CAST(b.n AS DOUBLE))
@@ -1534,8 +1534,12 @@ def r_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         "n_treat",
         "n_ctrl",
-        F.round(F.col("sa") / (F.col("n_treat") * 10000.0), 4).alias("mean_treat"),
-        F.round(F.col("sb") / (F.col("n_ctrl") * 10000.0), 4).alias("mean_ctrl"),
+        round_div_e4(
+            F.col("sa").cast("decimal(20,0)"), F.col("n_treat") * 10000, 4
+        ).alias("mean_treat"),
+        round_div_e4(
+            F.col("sb").cast("decimal(20,0)"), F.col("n_ctrl") * 10000, 4
+        ).alias("mean_ctrl"),
         F.round((ma - mb) / mb, 6).alias("rel_lift"),
         F.round((ma - mb) / F.sqrt(va + vb), 4).alias("z_stat"),
     )

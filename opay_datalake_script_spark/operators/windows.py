@@ -16,6 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import (
+    display_2dp,
+    e4,
+    round_div_e4,
+    sql_display_2dp,
+    sql_round_div_e4,
+    sql_sum_e4_2dp,
+    sum_e4_2dp,
+)
 from ..registry import register
 from ..sources.io import load
 
@@ -119,14 +128,10 @@ def e_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e_rolling_rows",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey,
-           round(avg(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7,
-           round(sum(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS sum7
+           {sql_round_div_e4('sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)', '(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000)', 6)} AS avg7,
+           {sql_display_2dp('sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)')} AS sum7
     FROM orders
     """,
 )
@@ -141,11 +146,14 @@ def e_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        # avg of 2-decimal money lands on exact .005 halves (e.g. sum of 2
-        # rows / 2) where engines' rounding modes diverge; 6dp is past the
-        # exact decimal width so rounding is unambiguous (SURVEY.md §5.3-1).
-        F.round(F.avg("o_totalprice").over(w), 6).alias("avg7"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("sum7"),
+        # exact e4 frame sums; the frame avg divides by the windowed
+        # count with the pure-integer HALF_UP identity (functions/exact)
+        round_div_e4(
+            F.sum(e4(F.col("o_totalprice"))).over(w),
+            F.count(F.lit(1)).over(w) * 10000,
+            6,
+        ).alias("avg7"),
+        display_2dp(F.sum(e4(F.col("o_totalprice"))).over(w)).alias("sum7"),
     )
 
 
@@ -173,11 +181,9 @@ def e_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e_cumulative",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, ts,
-           round(sum(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+           {sql_display_2dp('sum(CAST(round(value * 10000, 0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_value
     FROM events
     """,
 )
@@ -193,7 +199,7 @@ def e_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        display_2dp(F.sum(e4(F.col("value"))).over(w)).alias("running_value"),
     )
 
 
@@ -457,10 +463,10 @@ def e_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e_gap_fill_forward",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hr,
-               round(sum(value), 2) AS v
+               {sql_sum_e4_2dp("value")} AS v
         FROM events WHERE user_id < 30
         GROUP BY user_id, date_trunc('hour', ts)
     ),
@@ -503,7 +509,7 @@ def e_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(sum_e4_2dp(F.col("value")).alias("v"))
     spans = hourly.groupBy("user_id").agg(
         F.min("hr").alias("lo"), F.max("hr").alias("hi")
     )
@@ -697,7 +703,7 @@ def e_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hr,
-               CAST(round(sum(value) * 10000, 0) AS BIGINT) AS v_e4
+               CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS v_e4
         FROM events WHERE user_id < 30
         GROUP BY 1, 2
     )
@@ -733,7 +739,7 @@ def e_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.round(F.sum("value") * 10000, 0).cast("long").alias("v_e4"))
+    ).agg(F.sum(e4(F.col("value"))).cast("long").alias("v_e4"))
     w = (
         W.partitionBy("user_id")
         .orderBy("hr")

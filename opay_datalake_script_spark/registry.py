@@ -92,6 +92,56 @@ _RECHECK = (
 # every plain never-checked entry but before the stale-evidence tier.
 _DEFER_FIRST_ROW = frozenset({"k_ann_grid"})
 
+# The round-7 display-exactness wave: every remaining query whose
+# rounded money/quantity display either summed raw doubles or rounded
+# a DOUBLE quotient was converted to the shared exact scheme
+# (functions/exact.py). All are locally hash-verified on the new code;
+# their driver re-proof is DEFERRED one round so the round-7 window
+# still drains the never-checked backlog (VERDICT r6 item 1 outranks).
+# Self-activating: while CORRECTNESS_r{_RECHECK_NEXT_AFTER_ROUND} does
+# not exist yet (i.e. during the round-7 driver run) these sort AFTER
+# all never-checked entries; once it lands (round 8), they sort
+# directly after _RECHECK — 35 re-proofs + the 8 spilled first-rows
+# fit round 8's 50-slot window with room to spare.
+_RECHECK_NEXT_AFTER_ROUND = 7
+_RECHECK_NEXT = (
+    "d_agg_basic",
+    "d_agg_filtered_pivot",
+    "d_grouping_sets",
+    "d_cube",
+    "d_rollup",
+    "c_join_multiway",
+    "c_join_skew_salted",
+    "c_join_bucketed",
+    "t_q01_pricing_summary",
+    "t_q08_market_share",
+    "t_q09_product_profit",
+    "t_q11_important_share",
+    "t_q14_promo_effect",
+    "t_q15_top_supplier",
+    "i_tumbling",
+    "i_sliding",
+    "i_session",
+    "i_stateful_counter",
+    "e_rolling_rows",
+    "e_cumulative",
+    "e_gap_fill_forward",
+    "e_rolling_median",
+    "s_hiveql_mapjoin_report",
+    "s_hiveql_multi_insert",
+    "s_hiveql_grouping_id",
+    "r_ads_daily_report",
+    "r_incremental_daily_agg",
+    "r_mom_yoy_report",
+    "r_dq_anomaly_zscore",
+    "r_rfm_segments",
+    "r_user_trend_slope",
+    "r_ltv_cohort",
+    "r_ab_test_lift",
+    "h_geo_grid_heatmap",
+    "j_ewma_grouped",
+)
+
 
 def _driver_history() -> dict[str, tuple[int, dict]]:
     """Latest (round, row) per query ID across all CORRECTNESS_r*.json."""
@@ -120,6 +170,8 @@ def _reorder(mapping: dict) -> dict:
     queries whose evidence is most in need of (re)freshening."""
     history = _driver_history()
     reg_pos = {n: i for i, n in enumerate(mapping)}
+    max_round = max((rnd for rnd, _ in history.values()), default=0)
+    next_wave_active = max_round >= _RECHECK_NEXT_AFTER_ROUND
 
     def key(name: str):
         hit = history.get(name)
@@ -149,6 +201,12 @@ def _reorder(mapping: dict) -> dict:
                 return (0, 0, reg_pos[name])
         if name in _RECHECK:
             return (1, 0, reg_pos[name])
+        if name in _RECHECK_NEXT:
+            # deferred re-proof wave: behind current rechecks once its
+            # round arrives, behind all first-rows until then
+            if next_wave_active:
+                return (1, 1, reg_pos[name])
+            return (2, 2, reg_pos[name])
         if hit is None:
             return (2, 1 if name in _DEFER_FIRST_ROW else 0, reg_pos[name])
         return (3, hit[0], reg_pos[name])

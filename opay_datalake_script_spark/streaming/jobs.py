@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..functions.exact import sql_sum_e4_2dp, sum_e4_2dp
 from ..sources.io import load, load_stream, scratch_path
 
 
@@ -32,9 +33,9 @@ from ..sources.io import load, load_stream, scratch_path
 
 @register(
     "i_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
-           count(*) AS c, round(sum(value), 2) AS v
+           count(*) AS c, {sql_sum_e4_2dp("value")} AS v
     FROM events GROUP BY 1, 2
     """,
 )
@@ -51,15 +52,15 @@ def i_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
-        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count("*").alias("c"), sum_e4_2dp(F.col("value")).alias("v"))
     )
 
 
 @register(
     "i_sliding",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '15 minutes', ts) - g.k * INTERVAL '15 minutes' AS w,
-           event_type, count(*) AS c, round(sum(value), 2) AS v
+           event_type, count(*) AS c, {sql_sum_e4_2dp("value")} AS v
     FROM events CROSS JOIN generate_series(0, 3) AS g(k)
     GROUP BY 1, 2
     """,
@@ -71,14 +72,14 @@ def i_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count("*").alias("c"), sum_e4_2dp(F.col("value")).alias("v"))
         .select(F.col("window.start").alias("w"), "event_type", "c", "v")
     )
 
 
 @register(
     "i_session",
-    oracle="""
+    oracle=f"""
     WITH g AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -95,7 +96,7 @@ def i_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g
     )
     SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
-           count(*) AS n, round(sum(value), 2) AS v
+           count(*) AS n, {sql_sum_e4_2dp("value")} AS v
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -108,7 +109,7 @@ def i_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count("*").alias("n"), sum_e4_2dp(F.col("value")).alias("v"))
         .select(
             "user_id",
             F.col("session_window.start").alias("s_start"),
@@ -153,8 +154,8 @@ def i_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "i_stateful_counter",
-    oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {sql_sum_e4_2dp("value")} AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -164,7 +165,7 @@ def i_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tested in the parity harness)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n_events"), sum_e4_2dp(F.col("value")).alias("total_value")
     )
 
 
@@ -341,7 +342,7 @@ def streaming_tumbling(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count("*").alias("c"), sum_e4_2dp(F.col("value")).alias("v"))
         .select(F.col("window.start").alias("w"), "event_type", "c", "v")
     )
 
@@ -350,7 +351,7 @@ def streaming_session(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count("*").alias("n"), sum_e4_2dp(F.col("value")).alias("v"))
         .select(
             "user_id",
             F.col("session_window.start").alias("s_start"),
@@ -363,7 +364,7 @@ def streaming_session(events: DataFrame) -> DataFrame:
 
 def streaming_counter(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n_events"), sum_e4_2dp(F.col("value")).alias("total_value")
     )
 
 
@@ -371,7 +372,7 @@ def streaming_sliding(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count("*").alias("c"), sum_e4_2dp(F.col("value")).alias("v"))
         .select(F.col("window.start").alias("w"), "event_type", "c", "v")
     )
 

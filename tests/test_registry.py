@@ -161,3 +161,32 @@ def test_explicit_mismatch_not_masked_and_post_rows_exception_fails(monkeypatch)
     }
     got = _order_with(history, (), names, monkeypatch)
     assert got == ["q_false_with_no_oracle", "q_post_rows_exception", "q_green"]
+
+
+def test_recheck_next_ids_all_exist_in_registry():
+    queries = registry.load_all_queries()
+    missing = [n for n in registry._RECHECK_NEXT if n not in queries]
+    assert not missing, missing
+    # and none is simultaneously in the current-round recheck list
+    assert not set(registry._RECHECK_NEXT) & set(registry._RECHECK)
+
+
+def test_recheck_next_wave_self_activates(monkeypatch):
+    """The deferred display-exactness wave must sort AFTER all
+    first-rows while the activation round's CORRECTNESS file is absent
+    (this round's driver run), then directly after _RECHECK once it
+    lands (next round) — no builder edit required in between."""
+    names = ["q_wave", "q_recheck", "q_never", "q_stale"]
+    monkeypatch.setattr(registry, "_RECHECK_NEXT", ("q_wave",))
+    monkeypatch.setattr(registry, "_RECHECK_NEXT_AFTER_ROUND", 7)
+    green = {"rows_match": True, "hash_match": True, "err": None}
+    # before: latest round is 6 -> wave sorts behind never-checked
+    history = {"q_wave": (5, dict(green)), "q_recheck": (6, dict(green)),
+               "q_stale": (6, dict(green))}
+    got = _order_with(history, ("q_recheck",), names, monkeypatch)
+    assert got == ["q_recheck", "q_never", "q_wave", "q_stale"]
+    # after: a round-7 row exists anywhere -> wave jumps ahead of
+    # first-rows, still behind current rechecks
+    history["q_stale"] = (7, dict(green))
+    got = _order_with(history, ("q_recheck",), names, monkeypatch)
+    assert got == ["q_recheck", "q_wave", "q_never", "q_stale"]
