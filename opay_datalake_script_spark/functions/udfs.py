@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.exact import sql_sum_e4_2dp, sum_e4_2dp
+from ..functions.exact import sql_round_div_e4, sql_sum_e4_2dp, sum_e4_2dp
 from ..registry import register
 from ..sources.io import load
 
@@ -82,27 +82,52 @@ def j_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.DoubleType())
 def _weighted_mean(price: pd.Series, weight: pd.Series) -> float:
-    return float((price * weight).sum() / weight.sum())
+    """Exact weighted mean at 6 dp: prices quantize losslessly to e4
+    integers (2-dp money, half-away-from-zero — numpy floor(x+.5), NOT
+    np.rint's banker's rounding), weights are small ints, and the
+    quotient rounds with the pure-integer HALF_UP identity in Python
+    arbitrary precision — the same functions/exact.py scheme, inside a
+    UDAF: no float sum order or double-rounding divergence survives.
+    int64 intermediates hold to ~1e12 rows per group; the final sums go
+    through Python ints, which never overflow."""
+    import numpy as np
+
+    p = price.to_numpy(dtype="float64")
+    v4 = np.where(p >= 0, np.floor(p * 10000 + 0.5), np.ceil(p * 10000 - 0.5)).astype(
+        "int64"
+    )
+    w = weight.to_numpy(dtype="float64").astype("int64")
+    num = int((v4 * w).sum())
+    den = int(w.sum()) * 10000
+    if den == 0:
+        return float("nan")
+    mag = (2 * 10**6 * abs(num) + den) // (2 * den)
+    return (mag if num >= 0 else -mag) / 10**6
 
 
 @register(
     "j_grouped_agg",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           round(sum(o_totalprice * (o_orderkey % 10 + 1))
-                 / sum(o_orderkey % 10 + 1), 6) AS wmean
+           {sql_round_div_e4(
+               "sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)"
+               " * (o_orderkey % 10 + 1))",
+               "sum(o_orderkey % 10 + 1) * 10000", 6)} AS wmean
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def j_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF via grouped-agg pandas UDF (Series -> scalar):
-    weighted mean with a synthetic deterministic weight."""
+    weighted mean with a synthetic deterministic weight, computed
+    integer-exact inside the UDAF (see _weighted_mean) so the 6-dp
+    display can never diverge from the DuckDB twin on a quotient
+    boundary."""
     o = load(spark, sf_dir, "orders").withColumn(
         "w", (F.col("o_orderkey") % 10 + 1).cast("double")
     )
     return (
         o.groupBy("o_orderpriority")
-        .agg(F.round(_weighted_mean("o_totalprice", "w"), 6).alias("wmean"))
+        .agg(_weighted_mean("o_totalprice", "w").alias("wmean"))
     )
 
 

@@ -374,7 +374,9 @@ def k_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AHASH_ORACLE = """
+from .dedup import LSH_BUCKET_CAP as _CAP  # noqa: E402
+
+_AHASH_ORACLE = f"""
     WITH px AS (
         SELECT doc_id,
                unicode(substr(text, CAST(i AS INTEGER), 1)) AS v,
@@ -414,10 +416,17 @@ _AHASH_ORACLE = """
         UNION ALL SELECT doc_id, 2, (hi & 65535) FROM hashes
         UNION ALL SELECT doc_id, 3, ((hi >> 16) & 65535) FROM hashes
     ),
+    sized AS (
+        SELECT doc_id, band, key,
+               count(*) OVER (PARTITION BY band, key) AS bsz,
+               min(doc_id) OVER (PARTITION BY band, key) AS hub
+        FROM bands
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM sized a JOIN sized b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {_CAP} OR a.doc_id = a.hub
     )
     SELECT c.doc_a, c.doc_b,
            CAST(bit_count(xor(ha.lo, hb.lo)) AS BIGINT)
@@ -484,9 +493,17 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8x8 grid needs 8 rows; 291/500 qualify at sf0.01).
 
     Per-band bucket skew: near-constant images share degenerate hashes
-    (all-zero bands); real pipelines pre-filter flat images by variance
-    (px_std from k_multimodal_decode) before banding.
+    (all-zero bands), so the same LSH_BUCKET_CAP star guard as the text
+    banding applies — a (band, key) group wider than the cap emits only
+    hub pairs, with the identical predicate mirrored in the oracle.
+    Inside a capped bucket the pigeonhole recall-1.0 guarantee narrows
+    to hub-reachable pairs; flat images cluster within a couple of bits
+    of each other, so the hub verify keeps the clique in practice, and
+    real pipelines pre-filter flat images by variance (px_std from
+    k_multimodal_decode) before banding anyway.
     """
+    from .dedup import LSH_BUCKET_CAP
+
     d = load(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     hashes = media.mapInPandas(_ahash_worker, schema="doc_id long, lo long, hi long")
@@ -501,8 +518,14 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bands = part if bands is None else bands.unionByName(part)
 
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    wb = W.partitionBy("band", "key")
+    sized = bands.withColumn("bsz", F.count("*").over(wb)).withColumn(
+        "hub", F.min("doc_id").over(wb)
+    )
+    a = sized.where(
+        (F.col("bsz") <= LSH_BUCKET_CAP) | (F.col("doc_id") == F.col("hub"))
+    ).select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = sized.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -140,6 +140,7 @@ _RECHECK_NEXT = (
     "r_ab_test_lift",
     "h_geo_grid_heatmap",
     "j_ewma_grouped",
+    "j_grouped_agg",
 )
 
 
