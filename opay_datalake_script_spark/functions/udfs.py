@@ -88,8 +88,11 @@ def _weighted_mean(price: pd.Series, weight: pd.Series) -> float:
     quotient rounds with the pure-integer HALF_UP identity in Python
     arbitrary precision — the same functions/exact.py scheme, inside a
     UDAF: no float sum order or double-rounding divergence survives.
-    int64 intermediates hold to ~1e12 rows per group; the final sums go
-    through Python ints, which never overflow."""
+    Per-element products fit int64 (~6e10 each), but their SUM would
+    wrap silently past ~1.5e8 rows per group, so the reduction is
+    chunked: each 1e7-element chunk sums safely in int64 (<= 6e17) and
+    the chunk totals accumulate in Python ints, which never overflow —
+    exact at any group size."""
     import numpy as np
 
     p = price.to_numpy(dtype="float64")
@@ -97,8 +100,10 @@ def _weighted_mean(price: pd.Series, weight: pd.Series) -> float:
         "int64"
     )
     w = weight.to_numpy(dtype="float64").astype("int64")
-    num = int((v4 * w).sum())
-    den = int(w.sum()) * 10000
+    prod = v4 * w
+    chunk = 10_000_000
+    num = sum(int(prod[i : i + chunk].sum()) for i in range(0, len(prod), chunk))
+    den = sum(int(w[i : i + chunk].sum()) for i in range(0, len(w), chunk)) * 10000
     if den == 0:
         return float("nan")
     mag = (2 * 10**6 * abs(num) + den) // (2 * den)

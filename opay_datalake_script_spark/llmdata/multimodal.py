@@ -502,8 +502,6 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     real pipelines pre-filter flat images by variance (px_std from
     k_multimodal_decode) before banding anyway.
     """
-    from .dedup import LSH_BUCKET_CAP
-
     d = load(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     hashes = media.mapInPandas(_ahash_worker, schema="doc_id long, lo long, hi long")
@@ -523,7 +521,7 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hub", F.min("doc_id").over(wb)
     )
     a = sized.where(
-        (F.col("bsz") <= LSH_BUCKET_CAP) | (F.col("doc_id") == F.col("hub"))
+        (F.col("bsz") <= _CAP) | (F.col("doc_id") == F.col("hub"))
     ).select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = sized.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (

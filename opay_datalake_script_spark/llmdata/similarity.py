@@ -46,6 +46,11 @@ _EMPTY_PAIRS = pd.DataFrame(
 )
 
 
+# Cache assumes the fixture under a given sf_dir is STATIC for the
+# process lifetime (true for the driver/bench/test harnesses). If a
+# path's embeddings were regenerated at a different scale in-process,
+# the stale block count would void the ~128 MB tile bound — clear this
+# dict (or pass cache_key=None) in such a flow.
 _AUTO_BLOCK_CACHE: dict = {}
 
 

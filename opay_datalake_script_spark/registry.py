@@ -98,11 +98,13 @@ _DEFER_FIRST_ROW = frozenset({"k_ann_grid"})
 # (functions/exact.py). All are locally hash-verified on the new code;
 # their driver re-proof is DEFERRED one round so the round-7 window
 # still drains the never-checked backlog (VERDICT r6 item 1 outranks).
-# Self-activating: while CORRECTNESS_r{_RECHECK_NEXT_AFTER_ROUND} does
-# not exist yet (i.e. during the round-7 driver run) these sort AFTER
-# all never-checked entries; once it lands (round 8), they sort
-# directly after _RECHECK — 35 re-proofs + the 8 spilled first-rows
-# fit round 8's 50-slot window with room to spare.
+# Self-activating: while a COMPLETE (>= 50-row) CORRECTNESS file for
+# round >= _RECHECK_NEXT_AFTER_ROUND does not exist (i.e. during the
+# round-7 driver run, even a crashed-and-resumed one that left a
+# partial file) these sort AFTER all never-checked entries; once it
+# lands (round 8), they sort directly after _RECHECK — 36 re-proofs +
+# the 8 spilled first-rows fit round 8's 50-slot window with 6 slots
+# to spare.
 _RECHECK_NEXT_AFTER_ROUND = 7
 _RECHECK_NEXT = (
     "d_agg_basic",
@@ -144,8 +146,12 @@ _RECHECK_NEXT = (
 )
 
 
-def _driver_history() -> dict[str, tuple[int, dict]]:
-    """Latest (round, row) per query ID across all CORRECTNESS_r*.json."""
+def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
+    """(latest (round, row) per query ID, max COMPLETE round) across all
+    CORRECTNESS_r*.json. A round counts as complete only when its file
+    carries the driver's full ~50-row window — a partial file from a
+    crashed-and-resumed run must not activate the deferred-recheck wave
+    mid-round (it would displace the first-rows it exists to protect)."""
     import glob
     import json
     import os
@@ -153,6 +159,7 @@ def _driver_history() -> dict[str, tuple[int, dict]]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, tuple[int, dict]] = {}
+    max_complete = 0
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -161,18 +168,19 @@ def _driver_history() -> dict[str, tuple[int, dict]]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if len(rows) >= 50:
+            max_complete = max(max_complete, rnd)
         for name, row in rows.items():
             latest[name] = (rnd, row)
-    return latest
+    return latest, max_complete
 
 
 def _reorder(mapping: dict) -> dict:
     """Order the registry so the driver's ~50-entry window lands on the
     queries whose evidence is most in need of (re)freshening."""
-    history = _driver_history()
+    history, max_complete_round = _driver_history()
     reg_pos = {n: i for i, n in enumerate(mapping)}
-    max_round = max((rnd for rnd, _ in history.values()), default=0)
-    next_wave_active = max_round >= _RECHECK_NEXT_AFTER_ROUND
+    next_wave_active = max_complete_round >= _RECHECK_NEXT_AFTER_ROUND
 
     def key(name: str):
         hit = history.get(name)

@@ -93,3 +93,33 @@ def test_lsh_cap_oracle_mirror_under_active_cap(spark):
     # and the cap was genuinely active: fewer pairs than the uncapped set
     uncapped = band_candidate_pairs(docs, max_bucket_size=1 << 40).count()
     assert len(got) < uncapped
+
+
+def test_ahash_cap_oracle_mirror_under_active_cap(spark, monkeypatch):
+    """Image-ahash twin of test_lsh_cap_oracle_mirror_under_active_cap:
+    fixture (band, key) buckets never exceed the default cap, so the
+    star-guard branch is dead in the plain oracle test. Force cap=2 on
+    both sides (monkeypatch the engine's module constant; literal
+    substitution in the oracle) and require the capped candidate-pair
+    dedup outputs to match exactly."""
+    from opay_datalake_script_spark.llmdata import multimodal as mm
+
+    capped_sql = mm._AHASH_ORACLE.replace("a.bsz <= 1024", "a.bsz <= 2")
+    assert capped_sql != mm._AHASH_ORACLE
+    monkeypatch.setattr(mm, "_CAP", 2)
+    import duckdb
+
+    df = mm.k_image_ahash_dedup(spark, SMOKE_SF_DIR)
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in df.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"
+    )
+    exp = set(map(tuple, con.execute(capped_sql).fetchall()))
+    con.close()
+    assert got == exp
+    # and the forced cap genuinely changed the shape vs the default run
+    monkeypatch.setattr(mm, "_CAP", 1 << 40)
+    uncapped = mm.k_image_ahash_dedup(spark, SMOKE_SF_DIR).count()
+    assert len(got) <= uncapped

@@ -1001,7 +1001,7 @@ def test_lsh_bucket_cap_bounds_candidates_and_keeps_connectivity(spark):
     assert got == uncapped
 
 
-def test_e4_display_rounding_exact_on_half_cent_tails(spark, oracle_con):
+def test_e4_display_rounding_exact_on_half_cent_tails(spark):
     """Code-review regression (r7): the e4 display rounding must not
     round a DOUBLE quotient — Spark rounds doubles via their shortest
     decimal repr while DuckDB rounds the binary value, so an e4 sum

@@ -17,8 +17,14 @@ import os
 from opay_datalake_script_spark import registry
 
 
-def _order_with(history, recheck, names, monkeypatch):
-    monkeypatch.setattr(registry, "_driver_history", lambda: history)
+def _order_with(history, recheck, names, monkeypatch, max_complete=None):
+    # default: every round present in history counts as complete (the
+    # common case for these synthetic histories)
+    if max_complete is None:
+        max_complete = max((rnd for rnd, _ in history.values()), default=0)
+    monkeypatch.setattr(
+        registry, "_driver_history", lambda: (history, max_complete)
+    )
     monkeypatch.setattr(registry, "_RECHECK", recheck)
     mapping = {n: (lambda s, d: None) for n in names}
     return list(registry._reorder(mapping))
@@ -185,8 +191,13 @@ def test_recheck_next_wave_self_activates(monkeypatch):
                "q_stale": (6, dict(green))}
     got = _order_with(history, ("q_recheck",), names, monkeypatch)
     assert got == ["q_recheck", "q_never", "q_wave", "q_stale"]
-    # after: a round-7 row exists anywhere -> wave jumps ahead of
-    # first-rows, still behind current rechecks
+    # a PARTIAL round-7 file (rows present but <50 -> not complete)
+    # must NOT activate the wave: a crashed-and-resumed r7 driver run
+    # would otherwise displace the first-rows mid-round
     history["q_stale"] = (7, dict(green))
-    got = _order_with(history, ("q_recheck",), names, monkeypatch)
+    got = _order_with(history, ("q_recheck",), names, monkeypatch, max_complete=6)
+    assert got == ["q_recheck", "q_never", "q_wave", "q_stale"]
+    # after: round 7 COMPLETE -> wave jumps ahead of first-rows, still
+    # behind current rechecks
+    got = _order_with(history, ("q_recheck",), names, monkeypatch, max_complete=7)
     assert got == ["q_recheck", "q_wave", "q_never", "q_stale"]
