@@ -1041,3 +1041,63 @@ def test_e4_display_rounding_exact_on_half_cent_tails(spark):
         )
         assert got[i] == expected, (t, got[i], expected)
         assert oracle[i] == expected, (t, oracle[i], expected)
+
+
+def test_round_div_identity_three_way_fuzz(spark):
+    """Pin the core exact-display identity itself (not just its query
+    uses): for seeded random integer (s, q, dp), Spark's round_div_e4,
+    DuckDB's sql_round_div_e4, and Python Decimal HALF_UP must agree
+    exactly — including negative sums, tiny/huge denominators, and
+    constructed exact-half quotients. Generation stays inside the
+    documented exactness domain |s/q|*10^dp < 2^52 (the display double
+    itself cannot represent more; past it all three diverge in the
+    last ulp by necessity)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from opay_datalake_script_spark.functions.exact import (
+        round_div_e4,
+        sql_round_div_e4,
+    )
+
+    rng = random.Random(711)
+    cases = []
+    for _ in range(120):
+        dp = rng.choice([2, 4, 6])
+        q = rng.choice([10000, 70000, 12345, 3, 999983]) * rng.randint(1, 50)
+        s_max = min(10**13, (2**52 // 10**dp) * q)
+        s = rng.randrange(-s_max, s_max)
+        cases.append((s, q, dp))
+        # constructed exact-half quotient: s/q = k + 0.5*10^-dp
+        k = rng.randrange(0, 10**6)
+        half = 2 * k * q * (10**dp) + q  # s*2*10^dp = this -> quotient half
+        if half % (2 * 10**dp) == 0:
+            cases.append((half // (2 * 10**dp), q, dp))
+    df = spark.createDataFrame(
+        [(i, s, q, dp) for i, (s, q, dp) in enumerate(cases)],
+        "i long, s long, q long, dp int",
+    )
+    got = {}
+    for dp in (2, 4, 6):
+        part = df.where(F.col("dp") == dp).select(
+            "i",
+            round_div_e4(
+                F.col("s").cast("decimal(20,0)"), F.col("q"), dp
+            ).alias("v"),
+        )
+        got.update({r["i"]: r["v"] for r in part.collect()})
+    con = duckdb.connect()
+    for i, (s, q, dp) in enumerate(cases):
+        expected = float(
+            (Decimal(s) / Decimal(q)).quantize(
+                Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+            )
+        )
+        duck = con.execute(
+            f"SELECT {sql_round_div_e4(str(s) + '::HUGEINT', str(q), dp)}"
+        ).fetchone()[0]
+        assert got[i] == expected, (s, q, dp, got[i], expected)
+        assert duck == expected, (s, q, dp, duck, expected)
+    con.close()
