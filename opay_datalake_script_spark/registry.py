@@ -58,6 +58,13 @@ _QUERY_MODULES = (
 #      refreshing the oldest evidence first keeps the whole registry
 #      anchored to current fixtures,
 # with registration order as the tiebreaker within each tier.
+# A recheck is SATISFIED once the entry has a non-failed driver row at
+# round >= its proof round; satisfied entries fall back to the stale-
+# refresh tier instead of crowding the window again next round (round-8
+# lesson: the 13 round-7 re-proofs, all green in CORRECTNESS_r07, were
+# still sorting into tier 1 and would have displaced 7 of the 8 spilled
+# first-rows).
+_RECHECK_PROOF_ROUND = 7
 _RECHECK = (
     # round-7 changes (all 16 round-6 entries got green r6 rows and are
     # cleared). The e4-integer hardening wave (VERDICT r6 item 4): the
@@ -106,6 +113,7 @@ _DEFER_FIRST_ROW = frozenset({"k_ann_grid"})
 # the 8 spilled first-rows fit round 8's 50-slot window with 6 slots
 # to spare.
 _RECHECK_NEXT_AFTER_ROUND = 7
+_RECHECK_NEXT_PROOF_ROUND = 8
 _RECHECK_NEXT = (
     "d_agg_basic",
     "d_agg_filtered_pivot",
@@ -148,10 +156,15 @@ _RECHECK_NEXT = (
 
 def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
     """(latest (round, row) per query ID, max COMPLETE round) across all
-    CORRECTNESS_r*.json. A round counts as complete only when its file
-    carries the driver's full ~50-row window — a partial file from a
-    crashed-and-resumed run must not activate the deferred-recheck wave
-    mid-round (it would displace the first-rows it exists to protect)."""
+    CORRECTNESS_r*.json. A partial file from a crashed-and-resumed run
+    must not activate the deferred-recheck wave mid-round (it would
+    displace the first-rows it exists to protect). Completeness is
+    DERIVED, not hardcoded (ADVICE r7): any round older than the newest
+    file is final by construction (the driver never appends to a past
+    round), and the newest file is complete once it reaches the smallest
+    window size ever observed in a finished round (fallback 50 when no
+    history exists) — so a future driver window smaller than 50 cannot
+    permanently block wave activation."""
     import glob
     import json
     import os
@@ -159,7 +172,7 @@ def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, tuple[int, dict]] = {}
-    max_complete = 0
+    sizes: dict[int, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -168,10 +181,18 @@ def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        if len(rows) >= 50:
-            max_complete = max(max_complete, rnd)
+        sizes[rnd] = len(rows)
         for name, row in rows.items():
             latest[name] = (rnd, row)
+    max_complete = 0
+    if sizes:
+        max_rnd = max(sizes)
+        finished = [r for r in sizes if r < max_rnd]
+        if finished:
+            max_complete = max(finished)
+        threshold = min((sizes[r] for r in finished), default=50)
+        if sizes[max_rnd] >= threshold:
+            max_complete = max_rnd
     return latest, max_complete
 
 
@@ -208,9 +229,16 @@ def _reorder(mapping: dict) -> dict:
             )
             if failed:
                 return (0, 0, reg_pos[name])
-        if name in _RECHECK:
+        # A recheck entry whose re-proof already LANDED (non-failed
+        # driver row at round >= its proof round) must not keep its
+        # tier-1 slot — it would crowd the next window and displace the
+        # first-rows behind it (observed round 8: the 13 green r7
+        # re-proofs left room for only 1 of the 8 spilled first-rows).
+        if name in _RECHECK and (hit is None or hit[0] < _RECHECK_PROOF_ROUND):
             return (1, 0, reg_pos[name])
-        if name in _RECHECK_NEXT:
+        if name in _RECHECK_NEXT and (
+            hit is None or hit[0] < _RECHECK_NEXT_PROOF_ROUND
+        ):
             # deferred re-proof wave: behind current rechecks once its
             # round arrives, behind all first-rows until then
             if next_wave_active:

@@ -177,6 +177,75 @@ def test_recheck_next_ids_all_exist_in_registry():
     assert not set(registry._RECHECK_NEXT) & set(registry._RECHECK)
 
 
+def test_satisfied_recheck_retires_to_stale_tier(monkeypatch):
+    """Round-8 lesson: a _RECHECK entry whose re-proof LANDED (green row
+    at round >= _RECHECK_PROOF_ROUND) must drop out of tier 1 — the 13
+    green r7 re-proofs were otherwise crowding the r8 window and
+    displacing 7 of the 8 spilled first-rows. A FAILED row at the proof
+    round still goes to tier 0, and a pre-proof-round row keeps tier 1."""
+    names = ["q_satisfied", "q_unproven", "q_failed_at_proof", "q_never"]
+    monkeypatch.setattr(registry, "_RECHECK_PROOF_ROUND", 7)
+    green = {"rows_match": True, "hash_match": True, "err": None}
+    history = {
+        "q_satisfied": (7, dict(green)),
+        "q_unproven": (5, dict(green)),
+        "q_failed_at_proof": (7, {"rows_match": True, "hash_match": False,
+                                  "err": None}),
+    }
+    got = _order_with(
+        history, ("q_satisfied", "q_unproven", "q_failed_at_proof"),
+        names, monkeypatch,
+    )
+    assert got == ["q_failed_at_proof",  # tier 0: failure always first
+                   "q_unproven",          # tier 1: still awaiting proof
+                   "q_never",             # tier 2: first-row no longer displaced
+                   "q_satisfied"]         # tier 3: retired to stale refresh
+
+
+def test_satisfied_recheck_next_retires_too(monkeypatch):
+    """Same retirement rule for the deferred wave: once an entry has a
+    green row at round >= _RECHECK_NEXT_PROOF_ROUND it must not re-enter
+    tier 1 in later rounds."""
+    names = ["q_wave_proved", "q_wave_pending", "q_never"]
+    monkeypatch.setattr(registry, "_RECHECK_NEXT",
+                        ("q_wave_proved", "q_wave_pending"))
+    monkeypatch.setattr(registry, "_RECHECK_NEXT_AFTER_ROUND", 7)
+    monkeypatch.setattr(registry, "_RECHECK_NEXT_PROOF_ROUND", 8)
+    green = {"rows_match": True, "hash_match": True, "err": None}
+    history = {"q_wave_proved": (8, dict(green)),
+               "q_wave_pending": (6, dict(green))}
+    got = _order_with(history, (), names, monkeypatch)
+    assert got == ["q_wave_pending", "q_never", "q_wave_proved"]
+
+
+def test_driver_history_completeness_is_derived(tmp_path, monkeypatch):
+    """ADVICE r7: the completeness threshold must derive from observed
+    window sizes, not a hardcoded 50 — a driver window resized to 40
+    must still complete, and any round older than the newest file is
+    final by construction."""
+    import json
+
+    green = {"rows_match": True, "hash_match": True, "err": None}
+    # r7: finished 40-row window; r8 (newest): 40 rows -> complete at
+    # the observed threshold even though < 50
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({f"q{i}": green for i in range(40)}))
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps({f"p{i}": green for i in range(40)}))
+    fake_pkg = tmp_path / "pkg"
+    fake_pkg.mkdir()
+    monkeypatch.setattr(
+        registry, "__file__", str(fake_pkg / "registry.py"), raising=False
+    )
+    _, max_complete = registry._driver_history()
+    assert max_complete == 8
+    # newest file partial (5 rows < threshold 40) -> only r7 complete
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps({f"p{i}": green for i in range(5)}))
+    _, max_complete = registry._driver_history()
+    assert max_complete == 7
+
+
 def test_recheck_next_wave_self_activates(monkeypatch):
     """The deferred display-exactness wave must sort AFTER all
     first-rows while the activation round's CORRECTNESS file is absent
