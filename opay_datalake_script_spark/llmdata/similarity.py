@@ -715,29 +715,49 @@ def _srp_bucket_sql(one_based: bool, bits: int = 8) -> str:
 _ANN_PROBE_RADIUS = 3
 _ANN_MASKS = sorted(m for m in range(256) if bin(m).count("1") <= _ANN_PROBE_RADIUS)
 
+
+def _dot_chain_sql(a: str, b: str, dims: int = 64) -> str:
+    """Left-associated explicit dot product over 1-based DuckDB list
+    indexing — the same association order as Spark's sequential
+    ``F.aggregate`` fold, so the resulting double is bit-identical
+    across engines (the `_rp_chain` technique, extended to products;
+    ADVICE r7: `list_cosine_similarity` sums in an engine-private order
+    and its quotient can land on the opposite side of a rounding
+    boundary from Spark's fold)."""
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dims + 1)) + ")"
+
+
 _ANN_GRID_ORACLE = f"""
-    WITH proj AS (
+    WITH base AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
                {_srp_bucket_sql(one_based=True)} AS bucket
         FROM embeddings
     ),
+    proj AS (
+        SELECT vec_id, label, ev, bucket,
+               sqrt({_dot_chain_sql("ev", "ev")}) AS nrm
+        FROM base
+    ),
     q AS (
-        SELECT vec_id AS q_id, ev AS qv, bucket AS qbucket
+        SELECT vec_id AS q_id, ev AS qv, bucket AS qbucket, nrm AS qnrm
         FROM proj WHERE vec_id < 8
     ),
     masks AS (SELECT unnest([{", ".join(str(m) for m in _ANN_MASKS)}]) AS mask),
     probes AS (
-        SELECT q_id, qv, xor(qbucket, mask) AS bucket FROM q CROSS JOIN masks
+        SELECT q_id, qv, qnrm, xor(qbucket, mask) AS bucket
+        FROM q CROSS JOIN masks
     ),
     cand AS (
         SELECT p.q_id, e.vec_id, e.label,
-               round(list_cosine_similarity(e.ev, p.qv), 6) AS sim
+               CAST(floor(({_dot_chain_sql("e.ev", "p.qv")}
+                           / (e.nrm * p.qnrm)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS sim_e6
         FROM proj e JOIN probes p USING (bucket)
         WHERE e.vec_id <> p.q_id
     )
-    SELECT q_id, vec_id, label, sim, rnk FROM (
+    SELECT q_id, vec_id, label, sim_e6, rnk FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
-                                     ORDER BY sim DESC, vec_id) AS rnk
+                                     ORDER BY sim_e6 DESC, vec_id) AS rnk
         FROM cand
     ) WHERE rnk <= 5
 """
@@ -751,12 +771,23 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded Rademacher projection (SRP-LSH) pack into a 256-way bucket
     id, each query (vec_id < 8) multi-probes every bucket within
     Hamming distance _ANN_PROBE_RADIUS of its own, and probed
-    candidates are re-ranked by exact cosine (rounded, vec_id
-    tie-break) keeping top-5. Unlike
+    candidates are re-ranked by exact cosine keeping top-5. Unlike
     IVF's fitted KMeans centroids (JVM-model state -> rows-only check),
     every step here is a pure expression, so the FULL ANN pipeline —
     bucketing, multi-probe, re-rank — is differentially hash-checked
     against DuckDB.
+
+    The score is EXACT-BY-CONSTRUCTION, not round-6dp-and-hope
+    (ADVICE r7's medium item): dot and norm are the same
+    left-associated IEEE chains in both engines (Spark's sequential
+    ``F.aggregate`` fold == the oracle's explicit ``ev[1]*qv[1] + ...``
+    chain — the `_rp_chain` technique), so the unrounded cosine double
+    is bit-identical across engines; it is then quantized with
+    ``floor(sim*1e6 + 0.5)`` — floor acts on the BINARY value in both
+    engines (no shortest-decimal-repr divergence, unlike round()) — and
+    ranked/emitted as the integer ``sim_e6``. A boundary-adjacent
+    cosine therefore cannot flip the displayed value or the top-5
+    membership between engines.
 
     Scale shape: bucket assignment is map-only whole-stage codegen (the
     sign matrix folds into literals); the probe table is queries x
@@ -806,17 +837,18 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with(ev, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
+    sim = dot / (F.col("nrm") * F.col("qnrm"))
     cand = (
         e.join(F.broadcast(probes), "bucket")
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id", "label",
-            F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("sim"),
+            F.floor(sim * F.lit(1000000.0) + F.lit(0.5)).alias("sim_e6"),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    w = W.partitionBy("q_id").orderBy(F.desc("sim_e6"), "vec_id")
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
-        .select("q_id", "vec_id", "label", "sim", "rnk")
+        .select("q_id", "vec_id", "label", "sim_e6", "rnk")
     )
