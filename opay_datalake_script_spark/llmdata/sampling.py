@@ -495,14 +495,20 @@ def k_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_e6"),
         )
     )
+    # accumulate in DECIMAL, not long (ADVICE r7): Spark's long sum
+    # wraps silently past int64 at corpus scale while the DuckDB oracle
+    # widens to HUGEINT — the exact overflow e4()'s docstring cites.
+    # The display sum casts back to long only at the end (fixture-exact;
+    # the quotient path below is the statistic that must never wrap).
+    dec_sum = F.sum(F.col("term_e6").cast("decimal(20,0)"))
     return (
         b.join(F.broadcast(terms), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("term_e6").alias("logratio_e6_sum"),
+            dec_sum.cast("long").alias("logratio_e6_sum"),
             round_div_e4(
-                F.sum("term_e6").cast("decimal(20,0)"),
+                dec_sum,
                 F.count(F.lit(1)) * 1000000,
                 6,
             ).alias("avg_logratio"),

@@ -1419,18 +1419,23 @@ def r_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_day",
             F.datediff(F.to_date("ts"), F.to_date("s_ts")).alias("day_age"),
         )
-        .agg(F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("rev_e4"))
+        # decimal accumulator end-to-end (ADVICE r7): the inner long sum
+        # would wrap silently past int64 at corpus scale while DuckDB
+        # widens to HUGEINT; downcast the per-(cohort, age) total back
+        # to decimal(20,0) so the window sum widens once, not twice
+        .agg(F.sum(e4(F.col("value"))).cast("decimal(20,0)").alias("rev_e4"))
     )
     wc = W.partitionBy("cohort_day").orderBy("day_age")
+    cum = F.sum("rev_e4").over(wc)
     return (
         rev.join(F.broadcast(sizes), "cohort_day")
         .select(
             "cohort_day",
             F.col("day_age").cast("long").alias("day_age"),
             F.col("n_users").cast("long").alias("n_users"),
-            F.sum("rev_e4").over(wc).cast("long").alias("cum_rev_e4"),
+            cum.cast("long").alias("cum_rev_e4"),
             round_div_e4(
-                F.sum("rev_e4").over(wc).cast("decimal(20,0)"),
+                cum,
                 F.col("n_users") * 10000,
                 4,
             ).alias("cum_arpu"),
@@ -1508,10 +1513,15 @@ def r_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("arm"),
         F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
     )
+    # decimal accumulators (ADVICE r7): long sums wrap silently past
+    # int64 at corpus scale (sum of v4^2 ~ 1e16/row gets there first)
+    # while the DuckDB oracle widens to HUGEINT; v4 is cast to decimal
+    # BEFORE squaring so the per-row product cannot wrap either
+    vdec = F.col("v4").cast("decimal(20,0)")
     s = assigned.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v4").alias("sum_v4"),
-        F.sum(F.col("v4") * F.col("v4")).alias("sum_sq_v4"),
+        F.sum(vdec).alias("sum_v4"),
+        F.sum(vdec * vdec).alias("sum_sq_v4"),
     )
     a = s.where(F.col("arm") == 1).select(
         F.col("n").alias("n_treat"),
@@ -1534,12 +1544,8 @@ def r_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         "n_treat",
         "n_ctrl",
-        round_div_e4(
-            F.col("sa").cast("decimal(20,0)"), F.col("n_treat") * 10000, 4
-        ).alias("mean_treat"),
-        round_div_e4(
-            F.col("sb").cast("decimal(20,0)"), F.col("n_ctrl") * 10000, 4
-        ).alias("mean_ctrl"),
+        round_div_e4(F.col("sa"), F.col("n_treat") * 10000, 4).alias("mean_treat"),
+        round_div_e4(F.col("sb"), F.col("n_ctrl") * 10000, 4).alias("mean_ctrl"),
         F.round((ma - mb) / mb, 6).alias("rel_lift"),
         F.round((ma - mb) / F.sqrt(va + vb), 4).alias("z_stat"),
     )
