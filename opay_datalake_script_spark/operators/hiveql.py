@@ -29,6 +29,11 @@ import threading
 
 _DDL_VIEW_REGISTRY: list[str] = []
 _DDL_VIEW_LOCK = threading.Lock()
+# how many PREDECESSOR views stay live alongside the newest one: 2 keeps
+# each of two interleaving callers' outstanding lazy results valid at
+# action time (ADVICE r7) while bounding the catalog at 3 ext_events
+# views across any number of repeated driver/bench runs
+_DDL_VIEW_KEEP = 2
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -361,32 +366,34 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     why a_sink_partitioned lands parquet instead, and that tradeoff
     belongs to the format, not to the DDL entry point.
 
-    Concurrency + lifetime (ADVICE r5/r6): the landing dir and the view
-    name are uuid-fresh per invocation, so one call can never overwrite
-    another's CSV or re-point its table mid-plan (the a_sink_orc
-    scratch-race class), and the plan still shows the DDL-declared CSV
-    FileScan (pinned in test_plans) — the proof that the text-DDL path,
-    not a cached DataFrame, feeds the aggregate. Catalog hygiene: each
-    invocation first drops the views its predecessors registered
-    (tracked in _DDL_VIEW_REGISTRY under a lock), so repeated
-    driver/bench runs hold at most ONE live ext_events view instead of
-    growing the catalog unboundedly. The two guarantees compose into an
-    explicit lifetime contract: the returned lazy DataFrame's VIEW
-    stays valid until the next invocation on the same session
-    (consume-before-rebuild — the driver's pattern); a caller that
-    interleaves builds must collect each result before building the
-    next, or read the landing dir directly.
+    Concurrency + lifetime (ADVICE r5/r6/r7): the landing dir and the
+    view name are uuid-fresh per invocation, so one call can never
+    overwrite another's CSV or re-point its table mid-plan (the
+    a_sink_orc scratch-race class), and the plan still shows the
+    DDL-declared CSV FileScan (pinned in test_plans) — the proof that
+    the text-DDL path, not a cached DataFrame, feeds the aggregate.
+    Catalog hygiene with a GENERATION LAG (ADVICE r7): each invocation
+    drops only views more than _DDL_VIEW_KEEP generations old (tracked
+    in _DDL_VIEW_REGISTRY; registry mutation AND drops run under the
+    lock), so the catalog stays bounded at _DDL_VIEW_KEEP + 1 live
+    views while the lazy DataFrames of the last _DDL_VIEW_KEEP
+    invocations remain valid at action time even when other callers
+    interleave builds — an interleaved pair of callers each keeps its
+    outstanding result usable. Only a caller holding a result more
+    than _DDL_VIEW_KEEP rebuilds stale must collect before building
+    again.
     """
     import uuid
 
     from ..sources.io import scratch_path
 
     with _DDL_VIEW_LOCK:
-        stale, _DDL_VIEW_REGISTRY[:] = _DDL_VIEW_REGISTRY[:], []
         tag = uuid.uuid4().hex
         _DDL_VIEW_REGISTRY.append(f"ext_events_{tag}")
-    for v in stale:
-        spark.sql(f"DROP VIEW IF EXISTS {v}")
+        stale = _DDL_VIEW_REGISTRY[:-(_DDL_VIEW_KEEP + 1)]
+        del _DDL_VIEW_REGISTRY[:-(_DDL_VIEW_KEEP + 1)]
+        for v in stale:
+            spark.sql(f"DROP VIEW IF EXISTS {v}")
     csv_dir = scratch_path("ddl_csv", tag, "_")[: -len("/_")]
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"

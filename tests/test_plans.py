@@ -815,23 +815,32 @@ def test_block_pair_count_scales_with_input_rows(spark):
 
 
 def test_ddl_external_table_catalog_stays_bounded(spark):
-    """ADVICE r6: repeated s_sql_ddl_external_table invocations must not
-    accumulate uuid temp views — each call drops its predecessors', so
-    the catalog holds at most one ext_events view and the latest result
-    still computes."""
+    """ADVICE r6/r7: repeated s_sql_ddl_external_table invocations must
+    not accumulate uuid temp views — each call drops views more than
+    _DDL_VIEW_KEEP generations old, so the catalog stays bounded at
+    _DDL_VIEW_KEEP + 1 ext_events views across any number of runs, AND
+    an outstanding lazy result stays valid at action time when another
+    invocation interleaves before it is consumed (the r7 lifetime
+    race: the predecessor's view used to be dropped eagerly)."""
+    from opay_datalake_script_spark.operators.hiveql import _DDL_VIEW_KEEP
     from opay_datalake_script_spark.registry import QUERIES, load_all_queries
 
     load_all_queries()
     q = QUERIES["s_sql_ddl_external_table"]
-    q(spark, "/root/testdata/sf0.001").count()
-    out = q(spark, "/root/testdata/sf0.001")
-    assert out.count() > 0
+    # interleave: build TWO lazy results before consuming either — the
+    # older one must still compute after the newer build
+    older = q(spark, "/root/testdata/sf0.001")
+    newer = q(spark, "/root/testdata/sf0.001")
+    assert older.count() > 0  # consumed AFTER the interleaved rebuild
+    assert newer.count() > 0
+    for _ in range(_DDL_VIEW_KEEP + 3):  # enough runs to cycle the lag
+        q(spark, "/root/testdata/sf0.001").count()
     views = [
         t.name
         for t in spark.catalog.listTables()
         if t.name.startswith("ext_events_")
     ]
-    assert len(views) == 1
+    assert len(views) == _DDL_VIEW_KEEP + 1
 
 
 def test_ann_grid_recall_against_exact_knn(spark):
