@@ -1101,3 +1101,79 @@ def test_round_div_identity_three_way_fuzz(spark):
         assert got[i] == expected, (s, q, dp, got[i], expected)
         assert duck == expected, (s, q, dp, duck, expected)
     con.close()
+
+
+def test_e4_accumulator_survives_past_int64_and_cancellation(spark):
+    """VERDICT r7 item 5: adversarial-magnitude proof of the exact-sum
+    layer, beyond the seeded identity fuzz.
+
+    (a) OVERFLOW: a group whose TRUE e4 sum exceeds int64 must still
+        sum exactly — e4() accumulates in decimal(30,0); a long
+        accumulator wraps silently here and this test fails. Spark,
+        DuckDB (HUGEINT) and Python Decimal must agree on the display.
+    (b) CANCELLATION: +x/-x pairs leaving a half-cent residual (e4
+        sum = 50) must display 0.01 exactly in both engines — the
+        HALF_UP boundary a double accumulator resolves by summation
+        order.
+    (c) MARGIN: the 100 TB headroom is asserted explicitly — row count
+        x max practical |e4| clears the decimal(30,0) accumulator cap
+        by ~5 orders of magnitude while exceeding int64 (which is why
+        long sums are not an option).
+    (d) 2^53 EDGE: at e4 magnitudes near the double-exactness limit the
+        two engines must still agree bit-for-bit (both compute
+        round(v*10000) on the SAME double).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from opay_datalake_script_spark.functions.exact import (
+        sql_sum_e4_2dp,
+        sum_e4_2dp,
+    )
+
+    # (c) static margin: 1e13 rows (generous for 100 TB) x 1e12 max
+    # practical |e4| (a $100M money value) = 1e25 — inside decimal(30,0)
+    # by 5 orders, far past int64
+    rows_100tb, max_abs_e4 = 10**13, 10**12
+    assert rows_100tb * max_abs_e4 < 10**30  # decimal(30,0) cap holds
+    assert rows_100tb * max_abs_e4 > 2**63  # a long sum would wrap
+
+    # (a) 10_000 rows of 5e11 -> e4 sum 5e19 > 2^63 = 9.22e18
+    big = [(0, 500_000_000_000.0)] * 10_000
+    # (b) cancellation: 300 +/- pairs of 123456.7891 + one 0.0050 row
+    cancel = [(1, 123456.7891), (1, -123456.7891)] * 300 + [(1, 0.0050)]
+    # (d) e4 near 2^53: 4dp values whose e4 is within 40 of 2^53
+    edge = [(2, (2**53 - 8) / 10000.0), (3, (2**53 - 40) / 10000.0)]
+    df = spark.createDataFrame(big + cancel + edge, "g long, v double")
+    got = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(sum_e4_2dp(F.col("v")).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", big + cancel + edge)
+    duck = {
+        g: s
+        for g, s in con.execute(
+            f"SELECT g, {sql_sum_e4_2dp('v')} AS s FROM t GROUP BY g"
+        ).fetchall()
+    }
+    con.close()
+    # ground truth: Decimal HALF_UP on per-row e4 of the exact binary
+    # doubles, summed exactly
+    import collections
+
+    sums = collections.defaultdict(Decimal)
+    for g, v in big + cancel + edge:
+        sums[g] += (Decimal(v) * 10000).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    for g, s_e4 in sums.items():
+        expected = float(
+            (s_e4 / 10000).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+        assert got[g] == expected, (g, got[g], expected)
+        assert duck[g] == expected, (g, duck[g], expected)
+    assert sums[0] > 2**63  # the overflow case genuinely exceeded int64
+    assert got[1] == 0.01  # the half-cent residual survived cancellation
