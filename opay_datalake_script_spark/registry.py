@@ -64,29 +64,17 @@ _QUERY_MODULES = (
 # lesson: the 13 round-7 re-proofs, all green in CORRECTNESS_r07, were
 # still sorting into tier 1 and would have displaced 7 of the 8 spilled
 # first-rows).
-_RECHECK_PROOF_ROUND = 7
+_RECHECK_PROOF_ROUND = 8
 _RECHECK = (
-    # round-7 changes (all 16 round-6 entries got green r6 rows and are
-    # cleared). The e4-integer hardening wave (VERDICT r6 item 4): the
-    # nine remaining T-queries whose display sums still accumulated in
-    # doubles now use the exact integer ten-thousandths scheme in BOTH
-    # engines (Q18's >250 cut and Q22's above-average cut are integer-
-    # exact too, so their result SETS are fixture-stable).
-    "t_q03_shipping_priority",
-    "t_q05_local_supplier",
-    "t_q06_forecast_revenue",
-    "t_q07_volume_shipping",
-    "t_q10_returned_items",
-    "t_q17_small_quantity_revenue",
-    "t_q18_large_volume_customer",
-    "t_q19_discounted_revenue",
-    "t_q22_idle_rich_customers",
-    # LSH bucket-width cap (VERDICT r6 item 3): band_candidate_pairs and
-    # the shared banding oracle CTE both drop (band, bucket) groups
-    # wider than LSH_BUCKET_CAP; these four already-driver-checked
-    # consumers changed code+oracle and need re-proof (the other
-    # consumers are in the never-checked tier and get the capped form on
-    # their first row).
+    # round-8 changes (all 13 round-7 entries got green r7 rows and are
+    # cleared). The salted-chain densification of capped LSH buckets
+    # (VERDICT r7 item 7): band_candidate_pairs and the shared banding
+    # oracle CTE both add LSH_CHAIN_SALTS deterministic chains to
+    # oversized (band, bucket) groups; these four flagship consumers
+    # changed code+oracle and get re-proof per the r7 precedent (results
+    # at the oracle SF are unchanged — no oversized buckets — so the
+    # other consumers' green rows stay valid evidence; sf0.1 candidate
+    # parity was verified cross-engine bit-for-bit this round).
     "k_jaccard_pairs",
     "k_near_dedup_lsh",
     "k_lsh_band_candidates",
