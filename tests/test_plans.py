@@ -56,6 +56,18 @@ def test_single_shuffle_aggregations(spark):
     assert count_shuffles(QUERIES["e_dedupe_latest"](spark, SF_DIR)) == 1
     assert count_shuffles(QUERIES["k_exact_dedup"](spark, SF_DIR)) == 1
     assert count_shuffles(QUERIES["d_agg_basic"](spark, SF_DIR)) == 1
+    # celebrity-key immunity (VERDICT r7 item 6): snapshot dedup must be
+    # a partial-combine AGGREGATE, never a row_number window — a window
+    # co-locates a key's full row set and AQE cannot split it
+    plan = (
+        QUERIES["e_dedupe_latest"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
 
 
 def test_salted_join_spreads_key(spark):
