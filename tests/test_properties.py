@@ -105,48 +105,49 @@ sessions_strategy = st.lists(
 )
 
 
-def _spark_sessionize(spark, offsets):
-    """The e_sessionize_batch two-window formulation on ad-hoc rows."""
+# anchor 23:00 so the 0..200-minute offsets straddle the midnight chunk
+# boundary of the chunked sessionizer (sessions spanning midnight,
+# events exactly at midnight, gaps of exactly 30 min across it)
+T0_SESS = dt.datetime(2023, 12, 31, 23, 0)
+
+
+def _op_sessionize(spark, offsets, chunk_days):
+    """The REAL sessionize operator helper on ad-hoc rows."""
+    from opay_datalake_script_spark.operators.windows import sessionize
+
     if not offsets:
         return []
     ev = spark.createDataFrame(
-        [(i, 1, T0 + dt.timedelta(minutes=m)) for i, m in enumerate(offsets)],
+        [(i, 1, T0_SESS + dt.timedelta(minutes=m)) for i, m in enumerate(offsets)],
         "event_id long, user_id long, ts timestamp",
     )
-    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
-        > 30 * 60,
-        1,
-    ).otherwise(0)
-    sessions = (
-        ev.withColumn("new_session", gap)
-        .withColumn(
-            "session_id",
-            F.sum("new_session").over(
-                w_user.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-        .groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    return sorted(r["n"] for r in sessions)
+    out = sessionize(ev, chunk_days=chunk_days).collect()
+    return sorted((r["sid"], r["n"], r["s"], r["e"]) for r in out)
 
 
 def _naive_sessionize(offsets):
+    """Reference: full (sid, n, start, end) per session, 1-based sids in
+    time order."""
     if not offsets:
         return []
     ts = sorted(offsets)
-    sizes, cur = [], 1
+    groups, cur = [], [ts[0]]
     for a, b in zip(ts, ts[1:]):
         if b - a > 30:
-            sizes.append(cur)
-            cur = 1
+            groups.append(cur)
+            cur = [b]
         else:
-            cur += 1
-    sizes.append(cur)
-    return sorted(sizes)
+            cur.append(b)
+    groups.append(cur)
+    return sorted(
+        (
+            sid + 1,
+            len(g),
+            T0_SESS + dt.timedelta(minutes=g[0]),
+            T0_SESS + dt.timedelta(minutes=g[-1]),
+        )
+        for sid, g in enumerate(groups)
+    )
 
 
 @settings(
@@ -156,7 +157,13 @@ def _naive_sessionize(offsets):
 )
 @given(offsets=sessions_strategy)
 def test_sessionize_matches_naive(spark, offsets):
-    assert _spark_sessionize(spark, offsets) == _naive_sessionize(offsets)
+    """Both plan shapes of the registered sessionizer (chunked default
+    incl. a 1-day chunk that forces boundary stitching, and the classic
+    single-window form) must produce identical full session rows —
+    sids, sizes, and bounds — matching the naive reference."""
+    expected = _naive_sessionize(offsets)
+    assert _op_sessionize(spark, offsets, chunk_days=1) == expected
+    assert _op_sessionize(spark, offsets, chunk_days=None) == expected
 
 
 def test_approx_percentile_error_bound(spark):
@@ -1251,3 +1258,47 @@ def test_lsh_chain_salts_reconnect_dense_family(spark, monkeypatch):
     n_chain, n_cand = verified_components(16)
     assert n_chain == 1, f"chains failed to reconnect ({n_chain} components)"
     assert n_cand <= (1 + 4) * 8 * 59  # (1+salts) * bands * (B-1)
+
+
+def test_sessionize_chunked_equals_single_window_on_celebrity_skew(spark):
+    """VERDICT r7 item 6: the chunked sessionizer must (a) produce
+    exactly the single-window form's output on a celebrity-skewed
+    corpus — one user owning 20k events across 90 days (incl. a
+    continuous multi-day run that chains chunk merges) among 200 normal
+    users — and (b) partition its event-grain window by (user_id,
+    chunk), so the heaviest task holds one user's busiest chunk, not
+    their lifetime."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import sessionize
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # celebrity: user 7 — 20k events, 10-minute spacing (continuous
+    # 30-min-gap chains spanning many midnights), plus scattered bursts
+    for k in range(20000):
+        rows.append((eid, 7, t0 + dtm.timedelta(minutes=10 * k))); eid += 1
+    # normal users: 3 sessions of 3 events each
+    for u in range(100, 300):
+        for s in range(3):
+            for j in range(3):
+                rows.append(
+                    (eid, u, t0 + dtm.timedelta(days=s, minutes=5 * j))
+                ); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    chunked = sessionize(ev, chunk_days=7)
+    single = sessionize(ev, chunk_days=None)
+    a = sorted(tuple(r) for r in chunked.collect())
+    b = sorted(tuple(r) for r in single.collect())
+    assert a == b
+    # celebrity's continuous 10-min spacing = ONE session spanning ~139
+    # days -> the chunk-merge chain worked across ~20 chunk boundaries
+    celeb = [r for r in a if r[0] == 7]
+    assert len(celeb) == 1 and celeb[0][2] == 20000
+    plan = (
+        chunked._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the event-grain window must be keyed by (user_id, chunk)
+    assert "windowspecdefinition(user_id" in plan and "chunk" in plan
