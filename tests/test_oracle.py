@@ -75,10 +75,13 @@ def test_lsh_cap_oracle_mirror_under_active_cap(spark):
 
     capped_sql = _BAND_ORACLE.replace(
         f"a.bsz <= {LSH_BUCKET_CAP}", "a.bsz <= 64"
-    )
+    ).replace(f"WHERE bsz > {LSH_BUCKET_CAP}", "WHERE bsz > 64")
     import duckdb
 
-    assert capped_sql != _BAND_ORACLE  # the substitution actually hit
+    # both cap occurrences (star predicate AND salted-chain CTE) hit
+    assert f"bsz <= {LSH_BUCKET_CAP}" not in capped_sql
+    assert f"bsz > {LSH_BUCKET_CAP}" not in capped_sql
+    assert capped_sql != _BAND_ORACLE
     docs = _load(spark, SMOKE_SF_DIR, "documents")
     df = band_candidate_pairs(docs, max_bucket_size=64)
     con = duckdb.connect()

@@ -88,12 +88,21 @@ def test_bucketed_join_is_shuffle_free(spark):
 
 
 def test_asof_and_sessionize_single_shuffle(spark):
-    """The union+window as-of join and the stacked-window sessionizer
-    must each partition on user_id exactly once."""
+    """The union+window as-of join must partition on user_id exactly
+    once. The sessionizer moved to the chunked celebrity-immune form
+    (r8): its event-grain window keys on (user_id, chunk) — the skew
+    guard — and the chunk/session-grain stages add bounded exchanges
+    (4 total); pin the shape, not a single-shuffle claim."""
     from opay_datalake_script_spark.plans.inspect import count_shuffles
 
     assert count_shuffles(QUERIES["c_join_asof"](spark, SF_DIR)) == 1
-    assert count_shuffles(QUERIES["e_sessionize_batch"](spark, SF_DIR)) == 1
+    sess = QUERIES["e_sessionize_batch"](spark, SF_DIR)
+    assert count_shuffles(sess) <= 4
+    plan = (
+        sess._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "windowspecdefinition(user_id" in plan and "chunk" in plan
 
 
 def test_lsh_recall_against_exact_jaccard(spark):
