@@ -28,6 +28,18 @@ from ..sources.io import load
 _TOPK_SCHEMA = "vec_a long, vec_b long, sim double"
 
 
+def _dot_chain_sql(a: str, b: str, dims: int = 64) -> str:
+    """Left-associated explicit dot product over 1-based DuckDB list
+    indexing — the same association order as Spark's sequential
+    ``F.aggregate`` fold, so the resulting double is bit-identical
+    across engines (the `_rp_chain` technique, extended to products;
+    ADVICE r7: `list_cosine_similarity` sums in an engine-private order
+    and its quotient can land on the opposite side of a rounding
+    boundary from Spark's fold)."""
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dims + 1)) + ")"
+
+
+
 def _normalized_matrix(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """(ids, L2-normalized float64 matrix) from an embeddings pandas frame."""
     ids = rows["vec_id"].to_numpy()
@@ -184,22 +196,40 @@ def k_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "k_knn_query",
-    oracle="""
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+_KNN_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    p AS (
+        SELECT vec_id, label, ev, sqrt({_dot_chain_sql("ev", "ev")}) AS nrm
+        FROM base
+    ),
+    q AS (SELECT ev AS qv, nrm AS qnrm FROM p WHERE vec_id = 0)
     SELECT vec_id, label,
-           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS sim
-    FROM embeddings CROSS JOIN q
+           floor(({_dot_chain_sql("p.ev", "q.qv")} / (p.nrm * q.qnrm))
+                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM p CROSS JOIN q
     WHERE vec_id <> 0
     ORDER BY sim DESC, vec_id
     LIMIT 10
-    """,
-)
+"""
+
+
+@register("k_knn_query", oracle=_KNN_ORACLE)
 def k_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN of a single query vector (vec_id 0): broadcast the query,
     score with a JVM-side expression (zip_with dot product over float64),
-    TakeOrderedAndProject keeps 10 rows per partition."""
+    TakeOrderedAndProject keeps 10 rows per partition.
+
+    Scoring is exact-by-construction (the k_ann_grid scheme, extended
+    here in r8): both engines evaluate identical left-associated IEEE
+    chains for dot and norm, then quantize the bit-identical cosine
+    with floor(x*1e6 + 0.5)/1e6 — floor acts on the binary value in
+    both engines, unlike round(), whose shortest-repr vs binary
+    divergence was this query's residual hash hazard (ADVICE r7
+    class). Fixture outputs are value-identical to the old round(,6)
+    form (no boundary-adjacent sims), so prior driver evidence stays
+    valid."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -209,10 +239,11 @@ def k_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     cos = dot / (norm(e) * norm(qd))
+    sim = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != 0)
-        .select("vec_id", "label", F.round(cos, 6).alias("sim"))
+        .select("vec_id", "label", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(10)
     )
@@ -621,18 +652,22 @@ def k_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "k_hard_negatives",
-    oracle="""
-    WITH q AS (
-        SELECT vec_id AS q_id, label AS q_label,
-               CAST(embedding AS DOUBLE[]) AS qv
-        FROM embeddings WHERE vec_id < 8
+_HARD_NEG_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    p AS (
+        SELECT vec_id, label, ev, sqrt({_dot_chain_sql("ev", "ev")}) AS nrm
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id AS q_id, label AS q_label, ev AS qv, nrm AS qnrm
+        FROM p WHERE vec_id < 8
     ), scored AS (
         SELECT q.q_id, e.vec_id, e.label,
-               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            q.qv), 6) AS sim
-        FROM embeddings e CROSS JOIN q
+               floor(({_dot_chain_sql("e.ev", "q.qv")} / (e.nrm * q.qnrm))
+                     * 1000000.0 + 0.5) / 1000000.0 AS sim
+        FROM p e CROSS JOIN q
         WHERE e.label <> q.q_label
     )
     SELECT q_id, vec_id, label, sim, rnk FROM (
@@ -640,8 +675,10 @@ def k_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY sim DESC, vec_id) AS rnk
         FROM scored
     ) WHERE rnk <= 5
-    """,
-)
+"""
+
+
+@register("k_hard_negatives", oracle=_HARD_NEG_ORACLE)
 def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training (SimCSE/CLIP-style):
     for each anchor (vec_id < 8), the 5 most-similar embeddings with a
@@ -651,9 +688,14 @@ def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim ~1.0 is usually a labeling error (see k_semantic_outlier for
     the centroid-based form).
 
-    Ranking uses the ROUNDED sim (ties broken by vec_id) so the rank
-    cannot disagree across engines on last-ulp score noise — the same
-    rule every top-k op in this repo follows.
+    Ranking uses the QUANTIZED sim (ties broken by vec_id) so the rank
+    cannot disagree across engines on last-ulp score noise — and as of
+    r8 the quantization is exact-by-construction (identical
+    left-associated dot/norm chains in both engines, then
+    floor(x*1e6+0.5)/1e6 on the bit-identical cosine; round() on a
+    double was the residual shortest-repr-vs-binary hazard, ADVICE r7
+    class). Fixture outputs are value-identical to the old form, so
+    prior driver evidence stays valid.
 
     Scale shape: the anchor set broadcasts (a training batch's worth of
     queries, never the corpus), scoring is one map-only pass over the
@@ -677,13 +719,12 @@ def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(e, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(e) * norm(qd))
+    sim = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     scored = (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("label") != F.col("q_label"))
-        .select(
-            "q_id", "vec_id", "label",
-            F.round(dot / (norm(e) * norm(qd)), 6).alias("sim"),
-        )
+        .select("q_id", "vec_id", "label", sim.alias("sim"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
     return (
@@ -714,17 +755,6 @@ def _srp_bucket_sql(one_based: bool, bits: int = 8) -> str:
 # far fewer occupied buckets for far higher recall.
 _ANN_PROBE_RADIUS = 3
 _ANN_MASKS = sorted(m for m in range(256) if bin(m).count("1") <= _ANN_PROBE_RADIUS)
-
-
-def _dot_chain_sql(a: str, b: str, dims: int = 64) -> str:
-    """Left-associated explicit dot product over 1-based DuckDB list
-    indexing — the same association order as Spark's sequential
-    ``F.aggregate`` fold, so the resulting double is bit-identical
-    across engines (the `_rp_chain` technique, extended to products;
-    ADVICE r7: `list_cosine_similarity` sums in an engine-private order
-    and its quotient can land on the opposite side of a rounding
-    boundary from Spark's fold)."""
-    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dims + 1)) + ")"
 
 
 _ANN_GRID_ORACLE = f"""
