@@ -1302,3 +1302,69 @@ def test_sessionize_chunked_equals_single_window_on_celebrity_skew(spark):
     )
     # the event-grain window must be keyed by (user_id, chunk)
     assert "windowspecdefinition(user_id" in plan and "chunk" in plan
+
+
+def test_cosine_chain_identity_cross_engine_fuzz(spark):
+    """The exact-chain cosine scheme (k_ann_grid / k_knn_query /
+    k_hard_negatives) rests on one claim: Spark's sequential
+    F.aggregate fold and DuckDB's explicit left-associated chain
+    compute the SAME double, so floor(x*1e6+0.5) quantizes identically.
+    Pin it on seeded random float32 vectors (including near-parallel,
+    near-orthogonal, and sign-flipped pairs — negative sims exercise
+    floor's toward--inf behavior on both sides)."""
+    import random
+    import struct as _struct
+
+    import duckdb
+
+    from opay_datalake_script_spark.llmdata.similarity import _dot_chain_sql
+
+    rng = random.Random(808)
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+    vecs = []
+    base = [f32(rng.uniform(-1, 1)) for _ in range(64)]
+    for i in range(60):
+        if i % 3 == 0:  # near-parallel to base (high positive sim)
+            v = [f32(b + rng.uniform(-0.01, 0.01)) for b in base]
+        elif i % 3 == 1:  # sign-flipped (negative sim)
+            v = [f32(-b + rng.uniform(-0.01, 0.01)) for b in base]
+        else:  # independent (near-zero sim)
+            v = [f32(rng.uniform(-1, 1)) for _ in range(64)]
+        vecs.append((i, v))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qrow = df.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    sim_e6 = F.floor(dot / (norm(e) * norm(qd)) * F.lit(1000000.0) + F.lit(0.5))
+    got = {
+        r["vec_id"]: r["s"]
+        for r in df.crossJoin(F.broadcast(qrow))
+        .select("vec_id", sim_e6.alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)", vecs)
+    duck = dict(
+        con.execute(f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM emb
+        ),
+        q AS (SELECT ev AS qv FROM base WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(floor(({_dot_chain_sql("base.ev", "q.qv")}
+                           / (sqrt({_dot_chain_sql("base.ev", "base.ev")})
+                              * sqrt({_dot_chain_sql("q.qv", "q.qv")})))
+                          * 1000000.0 + 0.5) AS BIGINT)
+        FROM base CROSS JOIN q
+        """).fetchall()
+    )
+    con.close()
+    assert got == duck
+    # the fuzz covered both signs and the full range
+    assert min(got.values()) < -900_000 and max(got.values()) == 1_000_000
