@@ -504,8 +504,9 @@ def k_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison anywhere. Bucket ids are 128-bit md5 of signature pairs,
     so only true near-dup clusters collide; buckets wider than
     LSH_BUCKET_CAP (a boilerplate-heavy corpus's degenerate clusters)
-    are star-expanded rather than all-paired, bounding the one
-    remaining skew hazard. The oracle mirrors the identical cap.
+    are star+salted-chain-expanded rather than all-paired, bounding
+    the one remaining skew hazard at O(B) while keeping dense families
+    cluster-connected. The oracle mirrors the identical cap and chains.
     """
     return band_candidate_pairs(load(spark, sf_dir, "documents"))
 

@@ -972,9 +972,20 @@ def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_build_oracle() -> str:
-    from .dedup import _BANDS, _MINHASH_K, _mh_expr_sql, LSH_BUCKET_CAP
+    from .dedup import (
+        _BANDS,
+        _MINHASH_K,
+        _mh_expr_sql,
+        LSH_BUCKET_CAP,
+        LSH_CHAIN_SALTS,
+    )
 
-    cap = LSH_BUCKET_CAP  # mirror the engine's bucket-width star cap
+    # mirror the engine's bucket-width star cap AND its salted chains
+    # (r8: band_candidate_pairs gained chain densification; a hand-rolled
+    # banding CTE that lags the shared scheme is exactly the r7 review
+    # class this function was flagged for once already)
+    cap = LSH_BUCKET_CAP
+    salts = ", ".join(str(s) for s in range(LSH_CHAIN_SALTS))
     sig_cols = ", ".join(
         f"min({_mh_expr_sql(i)}) AS mh{i}" for i in range(_MINHASH_K)
     )
@@ -1010,11 +1021,30 @@ def _corpus_build_oracle() -> str:
                min(doc_id) OVER (PARTITION BY band, bucket) AS hub
         FROM bld_buckets
     ),
+    bld_chain AS (
+        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+        FROM (
+            SELECT doc_id,
+                   lead(doc_id) OVER (
+                       PARTITION BY band, bucket, salt
+                       ORDER BY md5(doc_id::VARCHAR || ':' || salt::VARCHAR),
+                                doc_id
+                   ) AS nxt
+            FROM (SELECT doc_id, band, bucket FROM bld_sized
+                  WHERE bsz > {cap})
+            CROSS JOIN (SELECT unnest([{salts}]) AS salt) s
+        ) WHERE nxt IS NOT NULL
+    ),
     bld_cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bld_sized a JOIN bld_sized b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE a.bsz <= {cap} OR a.doc_id = a.hub
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bld_sized a JOIN bld_sized b
+              ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            WHERE a.bsz <= {cap} OR a.doc_id = a.hub
+            UNION ALL
+            SELECT doc_a, doc_b FROM bld_chain
+        )
     ),
     tsets AS (
         SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
