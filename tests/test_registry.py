@@ -270,3 +270,31 @@ def test_recheck_next_wave_self_activates(monkeypatch):
     # behind current rechecks
     got = _order_with(history, ("q_recheck",), names, monkeypatch, max_complete=7)
     assert got == ["q_recheck", "q_wave", "q_never", "q_stale"]
+
+
+def test_every_banding_oracle_carries_cap_and_chains():
+    """Mirror-drift tripwire (bitten twice: r7 review item 2 and the r8
+    corpus-build oracle): ANY registered oracle that hand-rolls the
+    (band, bucket) banding window must also carry the bucket cap AND
+    the salted-chain CTE, i.e. stay structurally in sync with
+    band_candidate_pairs. Oracles using the shared _BAND_CAND_CTES
+    satisfy this automatically."""
+    from opay_datalake_script_spark.llmdata.dedup import (
+        LSH_BUCKET_CAP,
+        LSH_CHAIN_SALTS,
+    )
+
+    registry.load_all_queries()
+    offenders = []
+    for name, sql in registry.ORACLES.items():
+        if "PARTITION BY band, bucket" not in sql:
+            continue
+        has_cap = f"bsz <= {LSH_BUCKET_CAP}" in sql
+        has_chain = (
+            f"bsz > {LSH_BUCKET_CAP}" in sql
+            and "salt" in sql
+            and str(LSH_CHAIN_SALTS - 1) in sql
+        )
+        if not (has_cap and has_chain):
+            offenders.append(name)
+    assert not offenders, offenders
