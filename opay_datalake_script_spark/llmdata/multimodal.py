@@ -375,6 +375,9 @@ def k_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .dedup import LSH_BUCKET_CAP as _CAP  # noqa: E402
+from .dedup import LSH_CHAIN_SALTS as _SALTS  # noqa: E402
+
+_SALT_LIST = ", ".join(str(s) for s in range(_SALTS))
 
 _AHASH_ORACLE = f"""
     WITH px AS (
@@ -422,11 +425,28 @@ _AHASH_ORACLE = f"""
                min(doc_id) OVER (PARTITION BY band, key) AS hub
         FROM bands
     ),
+    chain AS (
+        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+        FROM (
+            SELECT doc_id,
+                   lead(doc_id) OVER (
+                       PARTITION BY band, key, salt
+                       ORDER BY md5(doc_id::VARCHAR || ':' || salt::VARCHAR),
+                                doc_id
+                   ) AS nxt
+            FROM (SELECT doc_id, band, key FROM sized WHERE bsz > {_CAP})
+            CROSS JOIN (SELECT unnest([{_SALT_LIST}]) AS salt) s
+        ) WHERE nxt IS NOT NULL
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sized a JOIN sized b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        WHERE a.bsz <= {_CAP} OR a.doc_id = a.hub
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE a.bsz <= {_CAP} OR a.doc_id = a.hub
+            UNION ALL
+            SELECT doc_a, doc_b FROM chain
+        )
     )
     SELECT c.doc_a, c.doc_b,
            CAST(bit_count(xor(ha.lo, hb.lo)) AS BIGINT)
@@ -493,12 +513,15 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8x8 grid needs 8 rows; 291/500 qualify at sf0.01).
 
     Per-band bucket skew: near-constant images share degenerate hashes
-    (all-zero bands), so the same LSH_BUCKET_CAP star guard as the text
-    banding applies — a (band, key) group wider than the cap emits only
-    hub pairs, with the identical predicate mirrored in the oracle.
-    Inside a capped bucket the pigeonhole recall-1.0 guarantee narrows
-    to hub-reachable pairs; flat images cluster within a couple of bits
-    of each other, so the hub verify keeps the clique in practice, and
+    (all-zero bands), so the same LSH_BUCKET_CAP star+salted-chain
+    guard as the text banding applies (r8) — a (band, key) group wider
+    than the cap emits hub pairs plus LSH_CHAIN_SALTS deterministic
+    md5-order chains, identical CTE mirrored in the oracle. Inside a
+    capped bucket the pigeonhole recall-1.0 guarantee narrows to
+    star/chain-reachable pairs; flat images cluster within a couple of
+    bits of each other, so the hub verify keeps the clique in practice
+    (the chains add independent probes for gradient families whose
+    members are not hub-near, the sf0.1 text-side failure shape), and
     real pipelines pre-filter flat images by variance (px_std from
     k_multimodal_decode) before banding anyway.
     """
@@ -524,12 +547,28 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bsz") <= _CAP) | (F.col("doc_id") == F.col("hub"))
     ).select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = sized.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    cand = (
+    star = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    ws = W.partitionBy("band", "key", "salt").orderBy(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("salt"))), "doc_id"
+    )
+    chain = (
+        sized.where(F.col("bsz") > _CAP)
+        .select(
+            "doc_id", "band", "key",
+            F.explode(F.array(*[F.lit(s) for s in range(_SALTS)])).alias("salt"),
+        )
+        .withColumn("nxt", F.lead("doc_id").over(ws))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.least("doc_id", "nxt").alias("doc_a"),
+            F.greatest("doc_id", "nxt").alias("doc_b"),
+        )
+    )
+    cand = star.unionByName(chain).distinct()
     ha = F.broadcast(hashes.select(F.col("doc_id").alias("doc_a"),
                                    F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")))
     hb = F.broadcast(hashes.select(F.col("doc_id").alias("doc_b"),

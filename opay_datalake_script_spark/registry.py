@@ -79,6 +79,8 @@ _RECHECK = (
     "k_near_dedup_lsh",
     "k_lsh_band_candidates",
     "k_ngram_jaccard",
+    # image-side twin of the chain change (code+oracle, same round)
+    "k_image_ahash_dedup",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately

@@ -107,8 +107,12 @@ def test_ahash_cap_oracle_mirror_under_active_cap(spark, monkeypatch):
     dedup outputs to match exactly."""
     from opay_datalake_script_spark.llmdata import multimodal as mm
 
-    capped_sql = mm._AHASH_ORACLE.replace("a.bsz <= 1024", "a.bsz <= 2")
-    assert capped_sql != mm._AHASH_ORACLE
+    capped_sql = mm._AHASH_ORACLE.replace(
+        "a.bsz <= 1024", "a.bsz <= 2"
+    ).replace("WHERE bsz > 1024", "WHERE bsz > 2")
+    # both cap occurrences (star predicate AND salted-chain CTE) hit
+    assert "bsz <= 1024" not in capped_sql
+    assert "bsz > 1024" not in capped_sql
     monkeypatch.setattr(mm, "_CAP", 2)
     import duckdb
 

@@ -287,7 +287,10 @@ def test_every_banding_oracle_carries_cap_and_chains():
     registry.load_all_queries()
     offenders = []
     for name, sql in registry.ORACLES.items():
-        if "PARTITION BY band, bucket" not in sql:
+        if (
+            "PARTITION BY band, bucket" not in sql
+            and "PARTITION BY band, key" not in sql  # the image-ahash twin
+        ):
             continue
         has_cap = f"bsz <= {LSH_BUCKET_CAP}" in sql
         has_chain = (
