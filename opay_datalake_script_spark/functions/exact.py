@@ -111,3 +111,30 @@ def spark_sql_sum_e4_2dp(expr: str, denom: int = 10000) -> str:
         f"CAST(round(sum(CAST(round(({expr}) * 10000, 0) AS DECIMAL(20,0)))"
         f" / {denom}, 2) AS DOUBLE)"
     )
+
+
+def quantize_e6(x: Column) -> Column:
+    """floor(x*1e6 + 0.5) as LongType — deterministic HALF-UP
+    quantization of a double that both engines compute identically:
+    floor acts on the BINARY value (unlike round(), whose
+    shortest-repr-vs-binary split diverges on boundary doubles). Only
+    meaningful when ``x`` itself is bit-identical across engines (e.g.
+    the left-associated cosine chains in llmdata/similarity.py)."""
+    return F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+
+
+def sql_quantize_e6(expr: str) -> str:
+    """DuckDB twin of quantize_e6 (BIGINT result)."""
+    return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def display_q6(x: Column) -> Column:
+    """quantize_e6 displayed back at 6 decimals as double: the long /
+    1e6 division is one deterministic IEEE op on identical operands in
+    both engines, so the displayed double is bit-identical too."""
+    return quantize_e6(x) / F.lit(1000000.0)
+
+
+def sql_display_q6(expr: str) -> str:
+    """DuckDB twin of display_q6."""
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"

@@ -613,12 +613,22 @@ def band_bucket_stats(docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP) ->
         F.sum(over.cast("long")).alias("n_oversized"),
         F.max("bsz").alias("max_width"),
         F.sum(F.when(over, F.col("bsz")).otherwise(0)).alias("rows_star_expanded"),
-        # sum m*(m-1) in integers, halve with an exact shift (the sum of
-        # even numbers stays even) — no double division that would lose
-        # exactness past 2^53 on a degenerate corpus
-        F.shiftright(
-            F.sum(F.when(over, m * (m - 1)).otherwise(F.lit(0).cast("long"))), 1
-        ).alias("member_pairs_deferred"),
+        # accumulate m*(m-1) in DECIMAL (r8 review: a 1M-wide bucket
+        # contributes ~1e12 per band; enough of them wrap an int64 sum
+        # silently — the exact overflow class the e4 hardening kills
+        # elsewhere), then halve exactly: the sum of even numbers is
+        # even, so the scale-6 decimal quotient is integral and the
+        # downcast is lossless
+        (
+            F.sum(
+                F.when(over, m.cast("decimal(20,0)") * (m - 1)).otherwise(
+                    F.lit(0).cast("decimal(20,0)")
+                )
+            )
+            / 2
+        )
+        .cast("decimal(38,0)")
+        .alias("member_pairs_deferred"),
     )
 
 

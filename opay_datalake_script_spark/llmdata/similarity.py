@@ -21,6 +21,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import (
+    display_q6,
+    quantize_e6,
+    sql_display_q6,
+    sql_quantize_e6,
+)
 from ..registry import register
 from ..schemas import EMBEDDING_DIM
 from ..sources.io import load
@@ -206,8 +212,7 @@ _KNN_ORACLE = f"""
     ),
     q AS (SELECT ev AS qv, nrm AS qnrm FROM p WHERE vec_id = 0)
     SELECT vec_id, label,
-           floor(({_dot_chain_sql("p.ev", "q.qv")} / (p.nrm * q.qnrm))
-                 * 1000000.0 + 0.5) / 1000000.0 AS sim
+           {sql_display_q6(f'{_dot_chain_sql("p.ev", "q.qv")} / (p.nrm * q.qnrm)')} AS sim
     FROM p CROSS JOIN q
     WHERE vec_id <> 0
     ORDER BY sim DESC, vec_id
@@ -239,7 +244,7 @@ def k_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     cos = dot / (norm(e) * norm(qd))
-    sim = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    sim = display_q6(cos)
     return (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != 0)
@@ -665,8 +670,7 @@ _HARD_NEG_ORACLE = f"""
         FROM p WHERE vec_id < 8
     ), scored AS (
         SELECT q.q_id, e.vec_id, e.label,
-               floor(({_dot_chain_sql("e.ev", "q.qv")} / (e.nrm * q.qnrm))
-                     * 1000000.0 + 0.5) / 1000000.0 AS sim
+               {sql_display_q6(f'{_dot_chain_sql("e.ev", "q.qv")} / (e.nrm * q.qnrm)')} AS sim
         FROM p e CROSS JOIN q
         WHERE e.label <> q.q_label
     )
@@ -720,7 +724,7 @@ def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     cos = dot / (norm(e) * norm(qd))
-    sim = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    sim = display_q6(cos)
     scored = (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("label") != F.col("q_label"))
@@ -779,9 +783,7 @@ _ANN_GRID_ORACLE = f"""
     ),
     cand AS (
         SELECT p.q_id, e.vec_id, e.label,
-               CAST(floor(({_dot_chain_sql("e.ev", "p.qv")}
-                           / (e.nrm * p.qnrm)) * 1000000.0 + 0.5)
-                    AS BIGINT) AS sim_e6
+               {sql_quantize_e6(f'{_dot_chain_sql("e.ev", "p.qv")} / (e.nrm * p.qnrm)')} AS sim_e6
         FROM proj e JOIN probes p USING (bucket)
         WHERE e.vec_id <> p.q_id
     )
@@ -873,7 +875,7 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id", "label",
-            F.floor(sim * F.lit(1000000.0) + F.lit(0.5)).alias("sim_e6"),
+            quantize_e6(sim).alias("sim_e6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim_e6"), "vec_id")

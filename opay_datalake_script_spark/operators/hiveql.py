@@ -387,13 +387,13 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.io import scratch_path
 
-    with _DDL_VIEW_LOCK:
-        tag = uuid.uuid4().hex
-        _DDL_VIEW_REGISTRY.append(f"ext_events_{tag}")
-        stale = _DDL_VIEW_REGISTRY[:-(_DDL_VIEW_KEEP + 1)]
-        del _DDL_VIEW_REGISTRY[:-(_DDL_VIEW_KEEP + 1)]
-        for v in stale:
-            spark.sql(f"DROP VIEW IF EXISTS {v}")
+    # The view name is uuid-fresh, so landing-dir write and CREATE VIEW
+    # need no lock; the name is registered only AFTER the view exists
+    # (r8 review: registering before CREATE let interleaved callers
+    # slice a not-yet-created name out of the registry and no-op-drop
+    # it, leaving the later-created view permanently untracked and the
+    # catalog unbounded).
+    tag = uuid.uuid4().hex
     csv_dir = scratch_path("ddl_csv", tag, "_")[: -len("/_")]
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -411,6 +411,12 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         OPTIONS (path '{csv_dir}', header 'true')
         """
     )
+    with _DDL_VIEW_LOCK:
+        _DDL_VIEW_REGISTRY.append(f"ext_events_{tag}")
+        stale = _DDL_VIEW_REGISTRY[:-(_DDL_VIEW_KEEP + 1)]
+        del _DDL_VIEW_REGISTRY[:-(_DDL_VIEW_KEEP + 1)]
+        for v in stale:
+            spark.sql(f"DROP VIEW IF EXISTS {v}")
     return spark.sql(
         f"""
         SELECT event_type,

@@ -151,10 +151,13 @@ def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
     displace the first-rows it exists to protect). Completeness is
     DERIVED, not hardcoded (ADVICE r7): any round older than the newest
     file is final by construction (the driver never appends to a past
-    round), and the newest file is complete once it reaches the smallest
-    window size ever observed in a finished round (fallback 50 when no
-    history exists) — so a future driver window smaller than 50 cannot
-    permanently block wave activation."""
+    round), and the newest file is complete once it reaches the MOST
+    RECENT finished round's window size (fallback 50 when no history
+    exists) — so a future driver window smaller than 50 cannot
+    permanently block wave activation, while one historically small or
+    crash-abandoned round cannot poison the bar for every later round
+    (r8 review: an all-time minimum would let a genuinely partial
+    newest file count as complete forever after)."""
     import glob
     import json
     import os
@@ -180,7 +183,7 @@ def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
         finished = [r for r in sizes if r < max_rnd]
         if finished:
             max_complete = max(finished)
-        threshold = min((sizes[r] for r in finished), default=50)
+        threshold = sizes[max(finished)] if finished else 50
         if sizes[max_rnd] >= threshold:
             max_complete = max_rnd
     return latest, max_complete

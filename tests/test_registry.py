@@ -244,6 +244,15 @@ def test_driver_history_completeness_is_derived(tmp_path, monkeypatch):
         json.dumps({f"p{i}": green for i in range(5)}))
     _, max_complete = registry._driver_history()
     assert max_complete == 7
+    # r8 review: the threshold is the MOST RECENT finished round's size,
+    # so one historically small round (r7's 40) cannot poison the bar —
+    # after a full 50-row r8, a 40-row partial r9 must NOT be complete
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps({f"p{i}": green for i in range(50)}))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({f"z{i}": green for i in range(40)}))
+    _, max_complete = registry._driver_history()
+    assert max_complete == 8
 
 
 def test_recheck_next_wave_self_activates(monkeypatch):
