@@ -908,3 +908,53 @@ def test_ann_grid_recall_against_exact_knn(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin [bucket" in final, plan
     assert final.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_ddl_external_table_concurrent_invocations(spark):
+    """r8 review race: the uuid view name must be registered only AFTER
+    the view exists, so concurrent invocations can never evict a
+    not-yet-created name (which left the later view untracked and the
+    catalog unbounded). Six threads, two build+consume cycles each; no
+    errors, every view left in the catalog is tracked by the registry,
+    and the catalog stays bounded."""
+    import threading
+
+    from opay_datalake_script_spark.operators import hiveql as hq
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from pyspark.errors import AnalysisException
+
+    load_all_queries()
+    q = QUERIES["s_sql_ddl_external_table"]
+    errors, evicted, consumed = [], [], []
+
+    def worker():
+        for _ in range(2):
+            try:
+                assert q(spark, "/root/testdata/sf0.001").count() > 0
+                consumed.append(1)
+            except AnalysisException:
+                # documented contract: under >_DDL_VIEW_KEEP-way
+                # interleaving a caller's view can age out of the lag
+                # before it consumes — consume-before-rebuild applies
+                evicted.append(1)
+            except Exception as ex:  # noqa: BLE001
+                errors.append(repr(ex))
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert consumed, "no invocation consumed its result"
+    views = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ext_events_")
+    }
+    assert len(views) <= hq._DDL_VIEW_KEEP + 1
+    # every live view is tracked — nothing escaped the registry
+    with hq._DDL_VIEW_LOCK:
+        tracked = set(hq._DDL_VIEW_REGISTRY)
+    assert views <= tracked, (views, tracked)
