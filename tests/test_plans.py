@@ -958,3 +958,23 @@ def test_ddl_external_table_concurrent_invocations(spark):
     with hq._DDL_VIEW_LOCK:
         tracked = set(hq._DDL_VIEW_REGISTRY)
     assert views <= tracked, (views, tracked)
+
+
+def test_topk_window_group_limit_and_knn_take_ordered(spark):
+    """Pin two docstring-claimed scale shapes: e_topk_per_group must ride
+    WindowGroupLimit (map-side partial limiting keeps <= k rows per
+    group through the shuffle-sort — the celebrity-tolerant top-k), and
+    k_knn_query's global top-10 must be TakeOrderedAndProject (per-
+    partition heads, never a global sort)."""
+    topk = (
+        QUERIES["e_topk_per_group"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "WindowGroupLimit" in topk, topk
+    knn = (
+        QUERIES["k_knn_query"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in knn, knn
