@@ -15,6 +15,7 @@ Scratch output for round-trip queries goes under ``<repo>/.scratch``
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,10 +48,6 @@ def _nano_cols(path: str, table: str) -> tuple[str, ...]:
     candidates = _MAYBE_NANO_TS_COLS.get(table, ())
     if not candidates:
         return ()
-    key = (path, table)
-    hit = _NANO_SNIFF_CACHE.get(key)
-    if hit is not None:
-        return hit
     import glob as _glob
 
     import pyarrow.parquet as _pq
@@ -61,17 +58,27 @@ def _nano_cols(path: str, table: str) -> tuple[str, ...]:
         if not parts:  # empty staging dir: assume current (us) encoding
             return ()
         target = parts[0]
+    # Cache keyed by the resolved file's (size, mtime_ns): a regenerated or
+    # re-staged fixture gets a fresh footer sniff instead of a stale cached
+    # encoding — no explicit invalidation hooks needed anywhere.
+    st = os.stat(target)
+    key = (target, table, st.st_size, st.st_mtime_ns)
+    hit = _NANO_SNIFF_CACHE.get(key)
+    if hit is not None:
+        return hit
     footer = _pq.read_schema(target)
     out = tuple(
         c
         for c in candidates
         if c in footer.names and str(footer.field(c).type) == "timestamp[ns]"
     )
+    for stale in [k for k in _NANO_SNIFF_CACHE if k[:2] == (target, table)]:
+        del _NANO_SNIFF_CACHE[stale]
     _NANO_SNIFF_CACHE[key] = out
     return out
 
 
-_NANO_SNIFF_CACHE: dict[tuple[str, str], tuple[str, ...]] = {}
+_NANO_SNIFF_CACHE: dict[tuple[str, str, int, int], tuple[str, ...]] = {}
 
 
 def _read_schema(table: str, nanos: tuple[str, ...]) -> T.StructType:
@@ -118,25 +125,71 @@ def scratch_path(*parts: str) -> str:
     return path
 
 
+def scratch_dir(*parts: str) -> str:
+    """Scratch DIRECTORY path: like :func:`scratch_path` but the joined path
+    itself is created (scratch_path only makedirs the dirname, which forced
+    call sites into the `scratch_path(..., "_")[:-2]` slice hack)."""
+    path = os.path.join(SCRATCH_DIR, *parts)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def fixture_tag(sf_dir: str) -> str:
+    """Filesystem-safe tag for a fixture dir, so scratch outputs from
+    different scale factors (or differently-located fixtures) never share a
+    landing path — sharing one lets a dynamic partition overwrite leave a
+    larger fixture's stale partitions visible to a smaller fixture's read."""
+    return sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+
+
+def rotate_scratch_runs(base: str, prefix: str = "run_", keep: int = 4) -> None:
+    """Bound per-run scratch growth: delete all but the ``keep``
+    most-recently-modified ``prefix*`` entries under ``base``.
+
+    Lagged cleanup, not delete-all: a concurrently-running invocation's
+    fresh run dir is always among the newest entries, so (like the DDL
+    view generation lag) rotation can never pull a directory out from
+    under an in-flight query, while the scratch tree stays bounded at
+    O(keep) run dirs per op instead of growing with every invocation."""
+    import glob as _glob
+    import shutil
+
+    entries = _glob.glob(os.path.join(base, prefix + "*"))
+    entries.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    for stale in entries[keep:]:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def stage_stream_dir(sf_dir: str, table: str = "events") -> str:
     """Stage a fixture parquet file into a directory for the file stream
     source (Spark's FileStreamSource requires a directory path)."""
     import shutil
 
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    dst_dir = os.path.join(SCRATCH_DIR, "stream_src", f"{table}_{tag}")
-    os.makedirs(dst_dir, exist_ok=True)
+    dst_dir = scratch_dir("stream_src", f"{table}_{fixture_tag(sf_dir)}")
     src = f"{sf_dir}/{table}.parquet"
     dst = os.path.join(dst_dir, f"{table}.parquet")
-    # Re-copy when the fixture changed (size or newer mtime), not just when
-    # the staged copy is missing — a regenerated fixture must not leave
-    # streaming queries reading a stale staged file.
-    if (
-        not os.path.exists(dst)
-        or os.path.getsize(dst) != os.path.getsize(src)
-        or os.path.getmtime(dst) < os.path.getmtime(src)
-    ):
-        shutil.copyfile(src, dst)
+    # Re-copy unless the recorded fixture stamp matches EXACTLY (same
+    # discipline as the stream_cdc staging): a size/newer-mtime heuristic
+    # misses a regenerated fixture restored with preserved (older)
+    # timestamps and coincidentally equal size, leaving streaming queries
+    # on a stale staged copy while batch ops and the oracle read fresh.
+    # The marker's leading underscore hides it from Spark's file listing.
+    st = os.stat(src)
+    stamp = f"v1:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(dst_dir, "_fixture_stamp")
+    fresh = os.path.exists(dst) and os.path.exists(marker)
+    if fresh:
+        with open(marker) as fh:
+            fresh = fh.read() == stamp
+    if not fresh:
+        # Atomic publish (hidden temp + rename): a concurrent staging or a
+        # mid-copy crash must never leave a partially-written parquet file
+        # visible to Spark's file listing (leading '_'/'.' names are hidden).
+        tmp = os.path.join(dst_dir, f"_tmp_{uuid.uuid4().hex}")
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
     return dst_dir
 
 
@@ -188,15 +241,22 @@ def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checked end-to-end: the landed table must equal the full
     source (order-insensitive value hash) — if the one-month rerun
     truncated the other months (static overwrite mode) or duplicated
-    its own, the hash differs. The overwrite mode is set per-writer:
-    a caller-built session defaults to 'static', under which the rerun
-    would wipe every other partition.
+    its own, the hash differs. Both overwrite modes are exercised and
+    set per-writer: the initial full reload uses STATIC mode so it
+    truncates the whole landing (any stale partition from a prior
+    fixture generation is wiped — under the session's dynamic default
+    a month absent from the new fixture would silently survive and
+    leak into the re-read), then the one-month rerun uses DYNAMIC mode
+    so the other months must survive it. The landing is also tagged by
+    fixture dir so scale factors never share partitions.
     """
-    out = scratch_path("sink_partitioned", "orders")
+    out = scratch_dir("sink_partitioned", f"orders_{fixture_tag(sf_dir)}")
     orders = load(spark, sf_dir, "orders").withColumn(
         "dt", F.date_format("o_orderdate", "yyyy-MM")
     )
-    orders.write.partitionBy("dt").mode("overwrite").parquet(out)
+    orders.write.partitionBy("dt").option(
+        "partitionOverwriteMode", "static"
+    ).mode("overwrite").parquet(out)
     # Dynamic overwrite of a single partition: rewrite one month only;
     # with partitionOverwriteMode=dynamic the other months must survive.
     one_month = orders.where(F.col("dt") == orders.select(F.min("dt")).first()[0])
@@ -259,7 +319,7 @@ def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     each input split writes its own ORC stripe set in parallel.
     """
     src = load(spark, sf_dir, "orders")
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    tag = fixture_tag(sf_dir)
     out = scratch_path("sink_orc", f"orders_{tag}")
     src.write.mode("overwrite").option("compression", "zlib").orc(out)
     back = spark.read.schema(SCHEMAS["orders"]).orc(out)
@@ -296,7 +356,7 @@ def a_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt-filtered source — a partition lost to the overwrite or a row
     mis-bucketed into the wrong dt directory breaks the hash.
     """
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    tag = fixture_tag(sf_dir)
     out = scratch_path("scan_pruned", f"orders_{tag}")
     orders = load(spark, sf_dir, "orders").withColumn(
         "dt", F.date_format("o_orderdate", "yyyy-MM")
@@ -342,7 +402,7 @@ def a_scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the final tiny group count.
     """
     ev = load(spark, sf_dir, "events")
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    tag = fixture_tag(sf_dir)
     out = scratch_path("scan_corrupt", f"events_{tag}")
     line = F.to_json(F.struct("event_id", "event_type"))
     ev.select(
@@ -418,7 +478,7 @@ def _jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import duckdb
 
     spark.sql(f"ADD JAR '{JDBC_JAR}'")
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    tag = fixture_tag(sf_dir)
     db = scratch_path("jdbc", f"roundtrip_{tag}.db")
     if os.path.exists(db):
         os.remove(db)
@@ -531,9 +591,9 @@ def a_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    v1p = scratch_path("snapshots", tag, "v1", "_")[: -len("/_")]
-    v2p = scratch_path("snapshots", tag, "v2", "_")[: -len("/_")]
+    tag = fixture_tag(sf_dir)
+    v1p = scratch_dir("snapshots", tag, "v1")
+    v2p = scratch_dir("snapshots", tag, "v2")
     base.write.mode("overwrite").parquet(v1p)
     a_cdc_upsert(spark, sf_dir).write.mode("overwrite").parquet(v2p)
     s1 = spark.read.parquet(v1p).select(
@@ -576,7 +636,11 @@ def a_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §3.4).
     """
     stream = load_stream(spark, sf_dir, "events")
-    name = "a_stream_file_source_sink"
+    # uuid-fresh sink name: starting a memory sink under a name that is
+    # already ACTIVE raises, so a fixed name breaks concurrent invocations
+    # (an actively tested registry pattern) — same discipline as every
+    # other memory-sink query in the repo.
+    name = f"a_stream_file_source_{uuid.uuid4().hex[:8]}"
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -692,7 +756,7 @@ def a_cluster_by_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     date skew.
     """
     li = load(spark, sf_dir, "lineitem")
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    tag = fixture_tag(sf_dir)
     out = scratch_path("cluster_by", f"lineitem_{tag}")
     (
         li.repartitionByRange(8, "l_shipdate")
@@ -744,8 +808,8 @@ def a_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     base = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    tag = "ret_" + sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    root = scratch_path("snapshots", tag, "_")[: -len("/_")]
+    tag = "ret_" + fixture_tag(sf_dir)
+    root = scratch_dir("snapshots", tag)
     v = {i: f"{root}/v{i}" for i in (1, 2, 3)}
     base.write.mode("overwrite").parquet(v[1])
     base.where(F.col("o_orderkey") % 100 != 0).write.mode("overwrite").parquet(v[2])
@@ -795,7 +859,7 @@ def a_scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     month list — same rows, so a mis-pruned or double-read partition
     breaks the hash.
     """
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    tag = fixture_tag(sf_dir)
     out = scratch_path("scan_dpp", f"orders_{tag}")
     orders = load(spark, sf_dir, "orders").withColumn(
         "dt", F.date_format("o_orderdate", "yyyy-MM")
@@ -931,9 +995,9 @@ def a_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         WriterCommitMessage,
     )
 
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    out_dir = scratch_path("pyds_sink", f"orders_{tag}", "_")[: -len("/_")]
-    for old in _glob.glob(f"{out_dir}/part-*.jsonl"):
+    tag = fixture_tag(sf_dir)
+    out_dir = scratch_dir("pyds_sink", f"orders_{tag}")
+    for old in _glob.glob(f"{out_dir}/part-*.jsonl*"):
         _os.remove(old)
 
     class _ShardWriter(DataSourceWriter):
@@ -943,10 +1007,19 @@ def a_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         def write(self, iterator):
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
             shard = f"{self._path}/part-{pid:05d}.jsonl"
+            # Temp file keyed by TASK ATTEMPT, not just partition: with
+            # speculative execution (or a zombie task racing its retry)
+            # two attempts of the same partition would otherwise open the
+            # SAME .tmp — the second open truncates the first mid-write
+            # and the interleaved file then gets atomically published.
+            # Attempt-keyed temps make each attempt's rename a complete,
+            # self-consistent shard; last rename wins, both are correct.
+            tmp = f"{shard}.{ctx.taskAttemptId()}.tmp"
             n = 0
-            with open(shard + ".tmp", "w") as fh:
+            with open(tmp, "w") as fh:
                 for row in iterator:
                     fh.write(
                         _json.dumps(
@@ -958,7 +1031,7 @@ def a_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + "\n"
                     )
                     n += 1
-            _os.replace(shard + ".tmp", shard)  # atomic per-shard publish
+            _os.replace(tmp, shard)  # atomic per-shard publish
             return WriterCommitMessage()
 
         def commit(self, messages):
@@ -1024,8 +1097,8 @@ def a_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..quality import accepted_values, not_null, row_count, run_gates, unique_key
 
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    root = scratch_path("wap", tag, "_")[: -len("/_")]
+    tag = fixture_tag(sf_dir)
+    root = scratch_dir("wap", tag)
     stage = f"{root}/_stage"
     published = f"{root}/published"
 
@@ -1204,7 +1277,7 @@ def a_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings or epoch integers (this feed carries only ids, enums, and
     doubles).
     """
-    out = scratch_path("xml_feed", "events", "_")[: -len("/_")]
+    out = scratch_dir("xml_feed", "events")
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )

@@ -16,6 +16,7 @@ shuffle-partitioned like any aggregation.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,7 +24,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..functions.exact import sql_sum_e4_2dp, sum_e4_2dp
-from ..sources.io import load, load_stream, scratch_path
+from ..sources.io import (
+    fixture_tag,
+    load,
+    load_stream,
+    rotate_scratch_runs,
+    scratch_dir,
+    scratch_path,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -179,23 +187,30 @@ def i_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def i_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch incremental load (the Airflow daily-partition analog):
-    foreachBatch writes each micro-batch into a dt-partitioned parquet
-    table with idempotent dynamic overwrite (set per-writer — a
-    caller-built session defaults to static mode, under which a later
-    batch would truncate earlier batches' partitions), then the landed
+    foreachBatch lands each micro-batch into a (dt, epoch)-partitioned
+    parquet table via :func:`write_day_epoch_partition`, then the landed
     table is re-read. Oracle-checked: the landed table must equal the
-    full source keyed by day."""
-    out = scratch_path("foreach_batch", "events_by_day")
-    ckpt = scratch_path("foreach_batch", f"ckpt_{uuid.uuid4().hex}")
+    full source keyed by day.
+
+    Partitioning by dt ALONE with dynamic overwrite — the naive daily
+    reload — is only correct when the whole source collapses into one
+    micro-batch: as soon as the stream splits (multi-file staging,
+    maxFilesPerTrigger), batch 2's day-D rows dynamically overwrite the
+    dt=D partition batch 1 already wrote, silently dropping rows. The
+    epoch sub-key (the fanout/ADVICE-r5 mechanism) makes batches
+    disjoint while keeping replays idempotent: a replayed batch
+    overwrites exactly its own (dt, epoch) slices. The landing dir is
+    run-fresh (epochs restart at 0 per checkpoint, so reusing a dir
+    across runs would resurrect stale (dt, epoch) slices) and prior run
+    dirs are rotated away to keep scratch bounded."""
+    base = scratch_dir("foreach_batch", fixture_tag(sf_dir))
+    rotate_scratch_runs(base)
+    run = scratch_dir("foreach_batch", fixture_tag(sf_dir), f"run_{uuid.uuid4().hex}")
+    out = os.path.join(run, "events_by_day")
+    ckpt = os.path.join(run, "ckpt")
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
-            .write.partitionBy("dt")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        write_day_epoch_partition(batch_df, epoch_id, out)
 
     q = (
         load_stream(spark, sf_dir, "events")
@@ -207,6 +222,24 @@ def i_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "value", F.col("dt").cast("string").alias("dt")
+    )
+
+
+def write_day_epoch_partition(batch_df: DataFrame, epoch_id: int, path: str) -> None:
+    """Land a micro-batch under (dt, epoch) partitions with dynamic
+    overwrite: dt gives the daily-reload partition layout readers prune
+    on; epoch scopes each batch to its own slice so concurrent-day
+    batches never clobber each other and an at-least-once replay
+    replaces only itself (see write_epoch_partition for the epoch-key
+    rationale). Tested directly by
+    test_day_epoch_write_multi_batch_and_replay."""
+    (
+        batch_df.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("epoch", F.lit(int(epoch_id)))
+        .write.partitionBy("dt", "epoch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
     )
 
 
@@ -242,29 +275,28 @@ def i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned-directory swap here is the jar-free stand-in with the same
     idempotent rerun-safety (re-running a batch lands identical state).
     """
-    run_id = uuid.uuid4().hex
-    ckpt = scratch_path("stream_cdc", f"ckpt_{run_id}")
+    rotate_scratch_runs(scratch_dir("stream_cdc"))
+    run = scratch_dir("stream_cdc", f"run_{uuid.uuid4().hex}")
+    ckpt = os.path.join(run, "ckpt")
     state: dict[str, str] = {}
 
     # Stage the change stream as several files and feed them one per
     # micro-batch — a single staged file would collapse availableNow into
     # one batch and never exercise the incremental-merge path.
-    import os
-
-    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    src_dir = os.path.join(
-        os.path.dirname(scratch_path("stream_cdc", "x")), f"src_{tag}"
-    )
+    tag = fixture_tag(sf_dir)
+    src_dir = scratch_dir("stream_cdc", f"src_{tag}")
     src = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     # Freshness check (same discipline as io.stage_stream_dir): the staged
     # split is derived output, so record the fixture's (size, mtime) in a
     # marker and re-stage when the fixture was regenerated — otherwise the
     # CDC merge would consume stale data while the oracle reads fresh.
     fixture = os.path.join(sf_dir, "events.parquet")
-    # "v2": staging-format version — bumped when the loader semantics change
-    # (e.g. the ns→us timestamp-encoding fix) so stale staged splits written
-    # by an older loader are rebuilt even if the fixture itself is unchanged.
-    stamp = f"v2:{os.path.getsize(fixture)}:{os.path.getmtime(fixture)}"
+    # "v3": staging-format version — bumped when the loader semantics change
+    # (e.g. the ns→us timestamp-encoding fix, the s→ns mtime precision bump)
+    # so stale staged splits written by an older loader are rebuilt even if
+    # the fixture itself is unchanged.
+    _fst = os.stat(fixture)
+    stamp = f"v3:{_fst.st_size}:{_fst.st_mtime_ns}"
     marker = src_dir + ".fixture_stamp"
     stale = True
     if os.path.isdir(src_dir) and os.path.exists(marker):
@@ -292,7 +324,7 @@ def i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        new_path = scratch_path("stream_cdc", f"state_{run_id}_{epoch_id}")
+        new_path = os.path.join(run, f"state_{epoch_id}")
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
 
@@ -457,7 +489,26 @@ def run_tws_counter(spark: SparkSession, sf_dir: str, name_prefix: str = "tws") 
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # The memory sink in update mode APPENDS every batch's emitted rows, so
+    # a user spanning micro-batches lands once per batch with intermediate
+    # counts (n=3, then n=7). Keep only each user's final state: n_events is
+    # monotonically non-decreasing across batches, so max_by over it picks
+    # the last emission. (Single-batch runs are unaffected — one row per
+    # user either way.)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value"), F.col("n_events")
+            ).alias("fin")
+        )
+        .select(
+            "user_id",
+            F.col("fin.n_events").alias("n_events"),
+            F.col("fin.total_value").alias("total_value"),
+        )
+    )
 
 
 @register(
@@ -764,9 +815,10 @@ def i_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import duckdb as _duck
 
-    run_id = uuid.uuid4().hex
-    src = scratch_path("ckpt_restart", run_id, "src", "_")[: -len("/_")]
-    out = scratch_path("ckpt_restart", run_id, "out", "_")[: -len("/_")]
+    rotate_scratch_runs(scratch_dir("ckpt_restart"))
+    run_id = f"run_{uuid.uuid4().hex}"
+    src = scratch_dir("ckpt_restart", run_id, "src")
+    out = scratch_dir("ckpt_restart", run_id, "out")
     ckpt = scratch_path("ckpt_restart", run_id, "ckpt")
     fixture = f"{sf_dir}/events.parquet"
     con = _duck.connect()
@@ -869,9 +921,10 @@ def i_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     1x, each sink write parallelizes independently, and the epoch key
     makes every sink exactly-once under retries.
     """
-    run_id = uuid.uuid4().hex
-    out_type = scratch_path("fanout", run_id, "by_type", "_")[: -len("/_")]
-    out_day = scratch_path("fanout", run_id, "by_day", "_")[: -len("/_")]
+    rotate_scratch_runs(scratch_dir("fanout"))
+    run_id = f"run_{uuid.uuid4().hex}"
+    out_type = scratch_dir("fanout", run_id, "by_type")
+    out_day = scratch_dir("fanout", run_id, "by_day")
     ckpt = scratch_path("fanout", run_id, "ckpt")
 
     def fanout(batch_df: DataFrame, epoch_id: int) -> None:
