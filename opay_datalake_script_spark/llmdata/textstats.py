@@ -882,7 +882,12 @@ def k_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count(F.when(F.col("value") < F.col("p01"), 1)).alias("n_clip_low"),
         F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_clip_high"),
-        F.sum(F.round(clamped * 10000, 0).cast("long")).alias("winsorized_sum_e4"),
+        # decimal accumulator (the e4() rule): per-type groups span ~1/k of
+        # the corpus, so a long sum overflows at scale (ANSI job-kill,
+        # or a silent wrap under ANSI-off sessions); display recasts.
+        F.sum(F.round(clamped * 10000, 0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("winsorized_sum_e4"),
     )
 
 

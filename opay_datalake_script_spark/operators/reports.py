@@ -811,7 +811,11 @@ def r_observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias(
+        # decimal accumulator (the e4() rule): this is a WHOLE-TABLE sum,
+        # the first place a long accumulator overflows at corpus scale —
+        # ANSI kills the load job; ANSI-off wraps and the bad metric
+        # silently passes the DQ gate.
+        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("decimal(38,0)")).alias(
             "revenue_e4"
         ),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
@@ -820,7 +824,7 @@ def r_observed_load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").parquet(out)  # the action that feeds obs
     m = obs.get
     return spark.createDataFrame(
-        [(m["n_rows"], m["revenue_e4"], m["n_open"], m["max_price"])],
+        [(m["n_rows"], int(m["revenue_e4"]), m["n_open"], m["max_price"])],
         "n_rows long, revenue_e4 long, n_open long, max_price double",
     )
 
@@ -867,8 +871,14 @@ def r_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import global_row_number
 
     o = load(spark, sf_dir, "orders")
+    # Per-customer sums fit long, but the same column feeds the DECILE
+    # sums (~10% of corpus revenue each) and the grand total — so the
+    # accumulator is decimal end-to-end (the e4() rule) and only the
+    # per-decile display casts back to long.
     rev = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias("rev_e4")
+        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("decimal(38,0)")).alias(
+            "rev_e4"
+        )
     )
     ranked = global_row_number(rev, F.desc("rev_e4"), F.asc("o_custkey"))
     total = rev.agg(F.sum("rev_e4").cast("double").alias("tot"))
@@ -884,7 +894,7 @@ def r_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("dec0") + 1).alias("decile"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum("rev_e4").alias("revenue_e4"),
+            F.sum("rev_e4").cast("long").alias("revenue_e4"),
         )
         .crossJoin(F.broadcast(total))
         .select(
@@ -1114,13 +1124,17 @@ def r_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 for display is a presentation-layer concern. The identity
     volume + price = n0 * delta holds EXACTLY in integers. The lag
     window runs over the MONTH table (corpus-sublinear, the
-    r_mom_yoy_report rule), never the fact stream; at 100 TB revenue
-    scales, widen the products to decimal(38,0).
+    r_mom_yoy_report rule), never the fact stream. Accumulator and
+    count x sum products run in decimal(38,0) — a month of corpus
+    revenue times a month's order count passes int64 long before 100
+    TB — with only the month-grain display columns cast back to long.
     """
     o = load(spark, sf_dir, "orders")
     m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mo")).agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias("s_e4"),
+        F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("decimal(38,0)")).alias(
+            "s_e4"
+        ),
     )
     w = W.orderBy("mo")
     lagged = m.select(
@@ -1129,10 +1143,14 @@ def r_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("s_e4").over(w).alias("s0"),
     ).where(F.col("n0").isNotNull())
     return lagged.select(
-        "mo", "n", "s_e4",
-        (F.col("s_e4") - F.col("s0")).alias("delta_e4"),
-        ((F.col("n") - F.col("n0")) * F.col("s0")).alias("volume_effect_n0e4"),
-        (F.col("n0") * F.col("s_e4") - F.col("n") * F.col("s0")).alias(
+        "mo",
+        "n",
+        F.col("s_e4").cast("long").alias("s_e4"),
+        (F.col("s_e4") - F.col("s0")).cast("long").alias("delta_e4"),
+        ((F.col("n") - F.col("n0")) * F.col("s0")).cast("long").alias(
+            "volume_effect_n0e4"
+        ),
+        (F.col("n0") * F.col("s_e4") - F.col("n") * F.col("s0")).cast("long").alias(
             "price_effect_n0e4"
         ),
     )

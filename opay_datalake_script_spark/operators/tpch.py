@@ -604,6 +604,9 @@ def t_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        # long accumulator is safe HERE: TPC-H scales supplier count with
+        # SF, so lineitems-per-supplier (~600, ~50 in the 3-month slice)
+        # is constant at any corpus size — rows x max|e4| << 2^63.
         .agg(F.sum(F.round(_rev() * 10000, 0).cast("long")).alias("rev_e4"))
     )
     mx = rev.agg(F.max("rev_e4").alias("mx"))
@@ -992,7 +995,12 @@ def t_q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(e4).alias("val_e4"))
     )
-    total = v.agg(F.sum("val_e4").alias("tot"))
+    # Global-total accumulator in decimal: per-part val_e4 is bounded by a
+    # part's own lineitems (long is safe), but the corpus-wide total sums
+    # EVERY part and passes int64 around SF ~4e3 — a long sum overflows
+    # there (ANSI job-kill; silent wrap under ANSI-off caller sessions)
+    # while the oracle's HUGEINT widens.
+    total = v.agg(F.sum(F.col("val_e4").cast("decimal(38,0)")).alias("tot"))
     return (
         v.join(F.broadcast(total))
         # exact integer share cut: val > 0.001 * tot as 1000*val > tot

@@ -882,9 +882,12 @@ def a_scan_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dt").cast("string").alias("dt"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("long")).alias(
-                "revenue_e4"
-            ),
+            # decimal accumulator (the e4() rule): month groups are a fixed
+            # fraction of the corpus, so a long sum overflows at scale
+            # (ANSI job-kill, or a silent wrap under ANSI-off sessions).
+            F.sum(F.round(F.col("o_totalprice") * 10000, 0).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_e4"),
         )
     )
 

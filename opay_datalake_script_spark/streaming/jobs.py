@@ -951,17 +951,21 @@ def i_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    e4 = F.round(F.col("value") * 10000, 0).cast("long")
+    # decimal accumulator (the e4() rule): per-type/per-day groups span
+    # large corpus fractions, so a long sum overflows at scale (ANSI
+    # job-kill, or a silent wrap under ANSI-off sessions); display recasts.
+    e4 = F.round(F.col("value") * 10000, 0).cast("decimal(38,0)")
+    sum_e4 = F.sum(e4).cast("long").alias("value_e4")
     by_type = (
         spark.read.parquet(out_type)
         .groupBy(F.col("event_type").alias("k"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(e4).alias("value_e4"))
+        .agg(F.count(F.lit(1)).alias("n"), sum_e4)
         .select(F.lit("by_type").alias("sink"), "k", "n", "value_e4")
     )
     by_day = (
         spark.read.parquet(out_day)
         .groupBy(F.col("day").alias("k"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(e4).alias("value_e4"))
+        .agg(F.count(F.lit(1)).alias("n"), sum_e4)
         .select(F.lit("by_day").alias("sink"), "k", "n", "value_e4")
     )
     return by_type.unionByName(by_day)

@@ -1368,3 +1368,32 @@ def test_cosine_chain_identity_cross_engine_fuzz(spark):
     assert got == duck
     # the fuzz covered both signs and the full range
     assert min(got.values()) < -900_000 and max(got.values()) == 1_000_000
+
+
+def test_raw_e4_long_display_sites_need_decimal_accumulator(spark):
+    """Regression pin for the round-8 accumulator sweep (t_q11 total,
+    r_observed_load_metrics, r_pareto_deciles, r_revenue_bridge,
+    k_winsorize_clip, i_stream_fanout_sinks, a_scan_dynamic_pruning):
+    queries whose DISPLAY contract is a raw e4 long must still
+    accumulate in decimal. Under this engine's ANSI default (Spark 4)
+    `sum(e4_long)` KILLS THE JOB with ARITHMETIC_OVERFLOW the moment a
+    group's true sum passes int64 — i.e. the query stops scaling — and
+    under a caller session with ANSI off the same sum wraps silently,
+    which is worse. `sum(e4 as decimal(38,0))` completes and carries
+    the exact value (checked against Python int math) at any group
+    size. The fixed sites all use the decimal shape; a revert
+    reintroduces the failure this test demonstrates."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    n, v = 10_000, 500_000_000_000.0  # e4 = 5e15 each; sum 5e19 > 2^63
+    df = spark.createDataFrame([(v,)] * n, "v double")
+    e4_long = F.round(F.col("v") * 10000, 0).cast("long")
+    e4_dec = F.round(F.col("v") * 10000, 0).cast("decimal(38,0)")
+    true_sum = n * 5_000_000_000_000_000  # exact int math
+    row = df.agg(F.sum(e4_dec).alias("exact_dec")).first()
+    assert int(row["exact_dec"]) == true_sum
+    # the long-accumulator shape cannot produce this number: ANSI kills
+    # the job at the first partial sum past 2^63
+    with _pytest.raises(ArithmeticException):
+        df.agg(F.sum(e4_long).alias("s")).first()
