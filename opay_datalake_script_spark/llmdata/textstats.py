@@ -1564,10 +1564,14 @@ def k_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     # Reuse the registered per-doc encode result, then re-key by lang.
+    # NO broadcast hint on the lang map: it is one row PER DOCUMENT
+    # (corpus-linear, unlike the vocab-bounded BPE dict) — forcing it
+    # into a broadcast would OOM at corpus scale. Both sides are
+    # doc-count-sized, so the uniform doc_id shuffle join is the plan.
     per_doc = k_bpe_encode(spark, sf_dir)
     langs = d.select("doc_id", "lang")
     return (
-        per_doc.join(F.broadcast(langs), "doc_id")
+        per_doc.join(langs, "doc_id")
         .groupBy("lang")
         .agg(
             F.sum("n_words").alias("n_words"),
