@@ -444,7 +444,7 @@ def c_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c_join_interval_overlap",
+    "c_join_interval_grid",
     oracle="""
     WITH u AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS dt,
@@ -461,9 +461,15 @@ def c_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM u JOIN p ON u.u_start <= p.p_end AND p.p_start <= u.u_end
     """,
 )
-def c_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join at scale — the equi-join rewrite that
-    c_join_range's docstring promises: per-(user, day) activity spans
+def c_join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed interval-vs-interval join against a GENERATED
+    promo-window dimension — the equi-join rewrite that c_join_range's
+    docstring promises. (Registered as its own ID in round 8: it was
+    added in round 7 as `c_join_interval_overlap`, then a second
+    operator registered the same ID hours later and — register() being
+    last-wins at the time — silently shadowed this one out of the
+    registry; register() now raises on duplicate IDs.)
+    Per-(user, day) activity spans
     [first event, last event] matched against overlapping 6-hour promo
     windows on a 4-hour grid. Both interval sets explode to the grid
     cells they span (map-side, a handful of cells per interval), the

@@ -250,9 +250,27 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     ``oracle`` is the DuckDB-runnable ANSI SQL equivalent; omit it for
     ops that are not SQL-expressible (the driver then records a weaker
     rows-only check).
+
+    Duplicate IDs raise: last-wins silently dropped an operator out of
+    the registry for a full round (`c_join_interval_overlap` shadowed
+    its round-7 predecessor, caught only by review in round 8 — the
+    exact failure mode the round-5 verify note warned about). A
+    re-registration of the SAME function object stays idempotent so
+    module re-execution (e.g. importlib.reload in a debug session)
+    doesn't false-positive.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        prev = QUERIES.get(name)
+        if prev is not None and (
+            prev.__module__ != fn.__module__ or prev.__qualname__ != fn.__qualname__
+        ):
+            raise ValueError(
+                f"duplicate registry ID {name!r}: already registered by "
+                f"{prev.__module__}.{prev.__qualname__}, now redefined by "
+                f"{fn.__module__}.{fn.__qualname__} — pick a distinct ID "
+                "(last-wins shadowing silently drops the first operator)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -175,9 +175,12 @@ def test_round5_new_ops_plan_shapes(spark):
     assert rn_lines and all("_pid" in ln for ln in rn_lines), rn_lines
     man = QUERIES["k_shard_manifest"](spark, SF_DIR)
     assert count_shuffles(man) == 1
-    # interval-overlap join: must plan as a cell-keyed equi-join (hash or
-    # sort-merge), never the theta join's broadcast-nested-loop
-    ov = QUERIES["c_join_interval_overlap"](spark, SF_DIR)
+    # grid interval-overlap join (written for the round-7 grid/promo op;
+    # re-pointed in round 8 when that op got its own ID after the
+    # c_join_interval_overlap shadowing was caught): must plan as a
+    # cell-keyed equi-join (hash or sort-merge), never the theta join's
+    # broadcast-nested-loop
+    ov = QUERIES["c_join_interval_grid"](spark, SF_DIR)
     ovplan = ov._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in ovplan
     assert "CartesianProduct" not in ovplan

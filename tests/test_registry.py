@@ -310,3 +310,25 @@ def test_every_banding_oracle_carries_cap_and_chains():
         if not (has_cap and has_chain):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_register_rejects_duplicate_ids():
+    """register() must raise on a second function claiming an existing
+    ID — last-wins silently dropped c_join_interval_overlap's round-7
+    predecessor out of the registry for a full round (caught by review
+    in round 8). Same-function re-registration stays idempotent (module
+    re-execution must not false-positive)."""
+    import pytest
+
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries, register
+
+    load_all_queries()
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate registry ID"):
+        @register(existing)
+        def _imposter(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+    # idempotent path: re-decorating the registered function itself
+    fn = QUERIES[existing]
+    assert register(existing)(fn) is fn
