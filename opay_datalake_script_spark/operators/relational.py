@@ -547,7 +547,9 @@ def f_global_sort_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         o, F.desc("o_totalprice"), F.asc("o_orderkey"), parts=16
     ).select(F.col("rn").alias("rank"), "o_orderkey", "o_totalprice")
-    out = scratch_path("global_sort", "orders_ranked")
+    from ..sources.io import fixture_tag
+
+    out = scratch_path("global_sort", f"orders_ranked_{fixture_tag(sf_dir)}")
     (
         ranked.repartitionByRange(16, "rank")
         .sortWithinPartitions("rank")

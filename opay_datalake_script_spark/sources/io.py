@@ -284,8 +284,11 @@ def a_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-round-trip-exact (int keys + integral-valued quantity).
     """
     src = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
-    csv_out = scratch_path("sink_csv", "lineitem")
-    json_out = scratch_path("sink_json", "lineitem")
+    # fixture-tagged landing (round-8 sweep): untagged scratch shared
+    # across fixture dirs lets one scale factor's re-read see another's
+    # landing when invocations interleave in-process
+    csv_out = scratch_path("sink_csv", f"lineitem_{fixture_tag(sf_dir)}")
+    json_out = scratch_path("sink_json", f"lineitem_{fixture_tag(sf_dir)}")
     src.write.mode("overwrite").option("header", True).csv(csv_out)
     src.write.mode("overwrite").json(json_out)
     back_csv = spark.read.schema(SCHEMAS["lineitem"]).option("header", True).csv(csv_out)
@@ -671,8 +674,8 @@ def a_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     src = load(spark, sf_dir, "events")
-    fragmented = scratch_path("compact", "fragmented")
-    compacted = scratch_path("compact", "compacted")
+    fragmented = scratch_path("compact", f"fragmented_{fixture_tag(sf_dir)}")
+    compacted = scratch_path("compact", f"compacted_{fixture_tag(sf_dir)}")
     # Simulate micro-batch litter: 64 splinter files for one table.
     src.repartition(64).write.mode("overwrite").parquet(fragmented)
     spark.read.parquet(fragmented).repartition(4).write.mode(
@@ -708,7 +711,7 @@ def a_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB mergeSchema is turned on per-read (footer sampling has a
     cost), with the metastore schema as the steady-state contract.
     """
-    out = scratch_path("schema_evolution", "orders")
+    out = scratch_path("schema_evolution", f"orders_{fixture_tag(sf_dir)}")
     o = load(spark, sf_dir, "orders")
     old_gen = o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -1179,7 +1182,7 @@ def a_zorder_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
-    out = scratch_path("zorder", "orders_clustered")
+    out = scratch_path("zorder", f"orders_clustered_{fixture_tag(sf_dir)}")
 
     def rank_bucket(df, col, alias, parts=16):
         ranged = df.repartitionByRange(parts, col).withColumn(
@@ -1280,7 +1283,7 @@ def a_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings or epoch integers (this feed carries only ids, enums, and
     doubles).
     """
-    out = scratch_dir("xml_feed", "events")
+    out = scratch_dir("xml_feed", f"events_{fixture_tag(sf_dir)}")
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )

@@ -712,8 +712,12 @@ def test_zorder_files_prune_on_both_dimensions(spark):
     from opay_datalake_script_spark.sources.io import SCRATCH_DIR
 
     QUERIES["a_zorder_clustered_write"](spark, SF_DIR).collect()
+    from opay_datalake_script_spark.sources.io import fixture_tag
+
     files = sorted(
-        glob.glob(f"{SCRATCH_DIR}/zorder/orders_clustered/*.parquet")
+        glob.glob(
+            f"{SCRATCH_DIR}/zorder/orders_clustered_{fixture_tag(SF_DIR)}/*.parquet"
+        )
     )
     assert len(files) >= 8, files
     stats = []
@@ -773,7 +777,13 @@ def test_global_sort_export_files_are_rank_disjoint(spark):
     from opay_datalake_script_spark.sources.io import SCRATCH_DIR
 
     QUERIES["f_global_sort_export"](spark, SF_DIR).collect()
-    files = sorted(glob.glob(f"{SCRATCH_DIR}/global_sort/orders_ranked/*.parquet"))
+    from opay_datalake_script_spark.sources.io import fixture_tag
+
+    files = sorted(
+        glob.glob(
+            f"{SCRATCH_DIR}/global_sort/orders_ranked_{fixture_tag(SF_DIR)}/*.parquet"
+        )
+    )
     assert len(files) >= 8, files
     ranges = []
     for f in files:
