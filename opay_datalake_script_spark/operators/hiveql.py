@@ -322,7 +322,9 @@ def s_hiveql_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT band, count(*) AS n,
-               CAST(sum(CAST(price_e4 AS BIGINT)) AS BIGINT) AS total_e4
+               -- decimal accumulator (the e4() rule): two corpus-half
+               -- bands overflow a long sum at scale (ANSI job-kill)
+               CAST(sum(CAST(price_e4 AS DECIMAL(38,0))) AS BIGINT) AS total_e4
         FROM (
             SELECT TRANSFORM(CAST(round(o_totalprice * 10000, 0) AS BIGINT))
             USING 'awk -f {prog}'
@@ -421,7 +423,10 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT event_type,
                count(*) AS n,
-               sum(cast(round(value * 10000, 0) AS BIGINT)) AS value_e4
+               -- decimal accumulator (the e4() rule): per-type groups
+               -- span ~1/k of the corpus, past int64 at scale
+               CAST(sum(cast(round(value * 10000, 0) AS DECIMAL(38,0)))
+                    AS BIGINT) AS value_e4
         FROM ext_events_{tag}
         GROUP BY event_type
         """
