@@ -426,18 +426,24 @@ def j_ewma_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS wi
         FROM range(0, 64) t(i)
     )
-    SELECT e.vec_id,
-           CAST(sum(CAST(round(CAST(e.embedding[w.i + 1] AS DOUBLE) * 1000000, 0)
-                         AS BIGINT)
-                    * w.wi) AS BIGINT) AS score_int,
-           round(sum(CAST(round(CAST(e.embedding[w.i + 1] AS DOUBLE) * 1000000, 0)
-                         AS BIGINT)
-                     * w.wi) / 1000000000.0, 6) AS score,
-           sum(CAST(round(CAST(e.embedding[w.i + 1] AS DOUBLE) * 1000000, 0)
-                         AS BIGINT)
-               * w.wi) > 0 AS positive
-    FROM embeddings e CROSS JOIN w
-    GROUP BY e.vec_id
+    SELECT vec_id, score_int,
+           -- exact half-away display: round(score_int/1e9, 6) ==
+           -- sign * ((2*|s| + 1000) // 2000) / 1e6 in pure integers —
+           -- rounding the DOUBLE quotient instead is the ADVICE-r7
+           -- divergence class (numpy banker's vs binary half-away)
+           (CASE WHEN score_int >= 0
+                 THEN (2 * score_int + 1000) // 2000
+                 ELSE -((2 * (-score_int) + 1000) // 2000) END)
+               / 1000000.0 AS score,
+           score_int > 0 AS positive
+    FROM (
+        SELECT e.vec_id,
+               CAST(sum(CAST(round(CAST(e.embedding[w.i + 1] AS DOUBLE)
+                                   * 1000000, 0) AS BIGINT)
+                        * w.wi) AS BIGINT) AS score_int
+        FROM embeddings e CROSS JOIN w
+        GROUP BY e.vec_id
+    )
     """,
 )
 def j_embedding_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,11 +508,19 @@ def j_embedding_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 np.int64
             )
             s = e_int @ w_int  # exact int64 matvec
+            # exact half-away 6-dp display from the INTEGER score:
+            # round(s/1e9, 6) == sign(s)*((2|s|+1000)//2000)/1e6 — never
+            # round the double quotient (np.round is banker's at the
+            # boundary, DuckDB round() is binary half-away: the ADVICE-r7
+            # divergence class; measured value-identical to the old
+            # np.round display on both fixture SFs, so driver evidence
+            # stays valid)
+            mag = (2 * np.abs(s) + 1000) // 2000
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "score_int": s,
-                    "score": np.round(s / 1_000_000_000.0, 6),
+                    "score": np.where(s >= 0, mag, -mag) / 1_000_000.0,
                     "positive": s > 0,
                 }
             )
