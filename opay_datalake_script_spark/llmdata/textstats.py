@@ -49,9 +49,12 @@ def k_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruning axis a 100 TB corpus would be laid out on
     (write.partitionBy('lang') -> scan only the language you train on)."""
     d = load(spark, sf_dir, "documents")
+    # decimal accumulator (the e4() rule): a (lang, source) slab is a fixed
+    # corpus fraction and n_chars runs ~1e3-1e5/doc, so the long sum passes
+    # int64 around 1e14 docs while DuckDB widens to HUGEINT; display recasts.
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("long").alias("total_chars"),
     )
 
 

@@ -1064,8 +1064,12 @@ def a_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema("o_orderstatus string, price_e4 long").json(
         f"{out_dir}/part-*.jsonl"
     )
+    # decimal accumulator (the e4() rule): each status group is a fixed
+    # corpus fraction, so a long sum wraps past int64 at scale while the
+    # DuckDB oracle widens to HUGEINT; display recasts to long.
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.sum("price_e4").alias("revenue_e4")
+        F.count("*").alias("n"),
+        F.sum(F.col("price_e4").cast("decimal(38,0)")).cast("long").alias("revenue_e4"),
     )
 
 
