@@ -569,6 +569,12 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = star.unionByName(chain).distinct()
+    # Verify-stage fetch, broadcast-hinted per the SCALE_DESIGN §2 class-(b)
+    # policy (the _exact_jaccard precedent): the hash side is one 24-byte
+    # row per image — tiny next to the candidate-pair stream it joins — so
+    # shipping hashes to the pairs avoids shuffling the pair stream twice.
+    # When the per-image table outgrows executor memory at full scale, drop
+    # the hint and AQE falls back to the same doc_id-keyed shuffle join.
     ha = F.broadcast(hashes.select(F.col("doc_id").alias("doc_a"),
                                    F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")))
     hb = F.broadcast(hashes.select(F.col("doc_id").alias("doc_b"),
