@@ -469,14 +469,19 @@ def r_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the transition pairs are engine-independent even with same-second
     events.
 
-    One user-keyed window shuffle + one k²-cell aggregate (k = event
-    types); the matrix output is constant-size regardless of corpus.
+    One (user, chunk)-keyed lag window (`with_chunked_shifts`, the
+    celebrity-immune form — hash-identical to the classic single
+    user-keyed shuffle) + one k²-cell aggregate (k = event types); the
+    matrix output is constant-size regardless of corpus.
     """
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    from .windows import with_chunked_shifts
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
     )
+    seq = with_chunked_shifts(
+        ev, "user_id", "ts", "event_id", lags={"prev_type": "event_type"}
+    ).select("event_type", "prev_type")
     return (
         seq.where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
@@ -1054,22 +1059,33 @@ def r_event_order_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per event type. Complements r_event_transitions (what
     transitions happen) with what transitions are ILLEGAL.
 
-    The prerequisite counts are two filtered running-count frames over
-    ONE user-partitioned sort (same single shuffle as sessionization);
-    ties resolve by event_id in both engines, and the 1-PRECEDING
-    frame excludes the event itself (an event cannot satisfy its own
-    prerequisite). All counts exact integers.
+    The prerequisite counts are two running 0/1-indicator sums over the
+    celebrity-immune chunked form (`with_chunked_running_sums` — hash-
+    identical to the classic ONE user-partitioned sort); the 1-PRECEDING
+    exclusive frame derives as inclusive-cum minus the row's own
+    indicator (an event cannot satisfy its own prerequisite). Ties
+    resolve by event_id in both engines. All counts exact integers.
     """
-    ev = load(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    seq = ev.select(
+    from .windows import with_chunked_running_sums
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
         "event_type",
-        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("views_before"),
-        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("clicks_before"),
+        "ts",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("_iv"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("_ic"),
+    )
+    seq = with_chunked_running_sums(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        {"_cum_v": F.col("_iv"), "_cum_c": F.col("_ic")},
+    ).select(
+        "event_type",
+        (F.col("_cum_v") - F.col("_iv")).alias("views_before"),
+        (F.col("_cum_c") - F.col("_ic")).alias("clicks_before"),
     )
     viol = (
         (F.col("event_type") == "click") & (F.coalesce("views_before", F.lit(0)) == 0)

