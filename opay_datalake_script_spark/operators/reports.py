@@ -1246,21 +1246,25 @@ def r_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines bound the window with identical inclusive
     arithmetic (the e_range_frame rule). Counts are exact ints.
 
-    Scale shape: one user-partitioned sort shared by the frame and the
-    rollup; the HAVING keeps output at flagged-user size. Unlike
-    e_sessionize_batch (gap splits) this measures sustained RATE —
-    a steady half-hour drumbeat never sessionizes apart but still
-    trips velocity. Window and threshold are tuned so the fixture
-    actually flags users (max 10-min burst here is 3 — a vacuous
-    always-empty gate verifies nothing).
+    Scale shape: the burst count rides the celebrity-immune
+    time-bounded tail carry (`with_chunked_trailing_range_count` —
+    a card-testing bot IS the celebrity key this op hunts, so the bare
+    user-keyed window would hot-spot exactly on positives): each
+    emitted row's 2 h frame completes inside its (user, 30-day chunk)
+    window with the previous chunk's 2 h tail replicated in;
+    hash-identical to the classic single sort. The HAVING keeps output
+    at flagged-user size. Unlike e_sessionize_batch (gap splits) this
+    measures sustained RATE — a steady half-hour drumbeat never
+    sessionizes apart but still trips velocity. Window and threshold
+    are tuned so the fixture actually flags users (max 10-min burst
+    here is 3 — a vacuous always-empty gate verifies nothing).
     """
-    ev = load(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-7_200_000_000, 0)
-    )
-    bursts = ev.select("user_id", F.count("*").over(w).alias("burst"))
+    from .windows import with_chunked_trailing_range_count
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    bursts = with_chunked_trailing_range_count(
+        ev, "user_id", "ts", 7_200_000_000, "burst"
+    ).select("user_id", "burst")
     return (
         bursts.groupBy("user_id")
         .agg(

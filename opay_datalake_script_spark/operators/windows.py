@@ -550,6 +550,62 @@ def with_chunked_running_sums(
     )
 
 
+def with_chunked_trailing_range_count(
+    ev: DataFrame,
+    key: str,
+    ts: str,
+    window_micros: int,
+    out: str,
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Append the trailing time-window count per key — the number of the
+    key's rows with ``ts`` in ``[t - window_micros, t]`` (inclusive both
+    ends, peers-at-t included: RANGE semantics) — celebrity-immune via a
+    TIME-BOUNDED TAIL CARRY, the range-frame member of the chunk family
+    (NOTES r8): rows in the last ``window_micros`` of each chunk are
+    replicated into the NEXT chunk as frame-feeding carry rows that emit
+    no output themselves, so every emitted row's frame is complete
+    inside its (key, chunk) window. Requires ``window_micros`` <= the
+    chunk span: an emitted row can then only be matched by rows in its
+    own chunk or the previous chunk's carried tail — a row two chunks
+    back is at least one full chunk (>= window) older by construction,
+    and rows carried across an EMPTY chunk are irrelevant for the same
+    reason. Replication cost is bounded by the tail fraction
+    (window / chunk span — e.g. 2 h / 30 d ~ 0.3%), not by key size.
+    ``chunk_days=None`` gives the classic single-window plan.
+    """
+    if chunk_days is None:
+        w = (
+            W.partitionBy(key)
+            .orderBy(F.unix_micros(F.col(ts)))
+            .rangeBetween(-window_micros, 0)
+        )
+        return ev.select("*", F.count("*").over(w).alias(out))
+    div = 86_400_000_000 * chunk_days
+    if window_micros > div:
+        raise ValueError(
+            f"window ({window_micros} us) exceeds the chunk span ({div} us); "
+            "raise chunk_days so the one-chunk tail carry stays sufficient"
+        )
+    for c in ("_carry", *_CHUNK_RESERVED):
+        if c in ev.columns:
+            raise ValueError(f"column {c!r} collides with chunk-helper internals")
+    um = F.unix_micros(F.col(ts))
+    ch = _chunked(ev, ts, chunk_days).withColumn("_carry", F.lit(0))
+    tail = (
+        ch.where(um >= (F.col("_chunk") + 1) * div - window_micros)
+        .withColumn("_chunk", F.col("_chunk") + 1)
+        .withColumn("_carry", F.lit(1))
+    )
+    w = (
+        W.partitionBy(key, "_chunk")
+        .orderBy(um)
+        .rangeBetween(-window_micros, 0)
+    )
+    counted = ch.unionByName(tail).select("*", F.count("*").over(w).alias(out))
+    return counted.where(F.col("_carry") == 0).select(*ev.columns, out)
+
+
 @register(
     "e_sessionize_batch",
     oracle="""
@@ -1121,9 +1177,15 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers throughout.
 
     Scale shape: the boundary union doubles the row count map-side,
-    then ONE user-partitioned sort carries both the running sum and
-    the rollup (same single-shuffle class as sessionize/merge); HAVING
-    keeps the report at flagged-user size.
+    then the running sum rides the celebrity-immune chunked form
+    (`with_chunked_running_sums` — the boundary-event window is the one
+    place a celebrity user doubles down, since every event contributes
+    TWO rows to their partition): within-(user, chunk) sums plus a
+    chunk-grain prefix, hash-identical to the classic single sort
+    because deltas are exact ±1 integers. Duplicate (t, delta) sort
+    keys are harmless in both forms: equal-delta ties produce the same
+    multiset of running values in any order, and only the per-user MAX
+    is emitted. HAVING keeps the report at flagged-user size.
     """
     ev = load(spark, sf_dir, "events")
     starts = ev.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"))
@@ -1133,12 +1195,9 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     bounds = starts.unionByName(ends)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("t", "delta")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    running = with_chunked_running_sums(
+        bounds, "user_id", "t", "delta", {"concurrent": F.col("delta")}
     )
-    running = bounds.select("user_id", F.sum("delta").over(w).alias("concurrent"))
     return (
         running.groupBy("user_id")
         .agg(F.max("concurrent").alias("peak_concurrent"))

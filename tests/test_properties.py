@@ -1485,3 +1485,95 @@ def test_chunked_running_sums_equal_single_window_on_boundaries_and_celebrity(sp
     b = sorted(tuple(r) for r in classic.collect())
     assert a == b
     assert all(r[-1] >= 0 for r in a)  # exclusive counts are never negative
+
+
+def test_chunked_trailing_range_count_equals_single_window(spark):
+    """`with_chunked_trailing_range_count` (the time-bounded tail carry
+    for range frames) must reproduce the classic trailing-window count
+    exactly on boundary-adversarial inputs: rows exactly AT the daily
+    chunk boundary, pairs exactly window-distance apart straddling it
+    (inclusive frame edge), duplicate timestamps (RANGE peers), a
+    single-event chunk following an empty chunk, and a celebrity burst
+    stream spanning several chunks."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import (
+        with_chunked_trailing_range_count,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(u, seconds):
+        nonlocal eid
+        rows.append((eid, u, t0 + dtm.timedelta(seconds=seconds)))
+        eid += 1
+
+    DAY = 86_400
+    WIN_US = 7_200_000_000  # 2 h, the r_velocity_flags window
+    # user 1: events at the boundary minus-window edge, just inside,
+    # exactly at midnight, and just after — plus a duplicate timestamp
+    for s in [DAY - 7200, DAY - 7199, DAY - 1, DAY, DAY, DAY + 1, DAY + 7200]:
+        add(1, s)
+    # user 2: one event, then an EMPTY day, then another (carry must not
+    # leak across the empty chunk)
+    add(2, 10)
+    add(2, 2 * DAY + 10)
+    # user 7: celebrity — 3000 events at 90 s spacing (~3 daily chunks,
+    # every 2 h frame holds 81 rows and many frames straddle midnights)
+    for k in range(3000):
+        add(7, 90 * k)
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    chunked = with_chunked_trailing_range_count(
+        ev, "user_id", "ts", WIN_US, "burst", chunk_days=1
+    )
+    classic = with_chunked_trailing_range_count(
+        ev, "user_id", "ts", WIN_US, "burst", chunk_days=None
+    )
+    a = sorted(tuple(r) for r in chunked.collect())
+    b = sorted(tuple(r) for r in classic.collect())
+    assert a == b
+    # the emitted row set is exactly the input (carries never leak out)
+    assert len(a) == len(rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # window wider than the chunk span
+        with_chunked_trailing_range_count(
+            ev, "user_id", "ts", 2 * 86_400_000_000, "burst", chunk_days=1
+        )
+
+
+def test_peak_concurrency_chunked_equals_classic_running_sum(spark):
+    """e_peak_concurrency's boundary-sweep running sum must be invariant
+    to the chunked rewrite even with duplicate (t, delta) sort keys
+    (equal-delta ties yield the same running-value multiset in any
+    order; only the per-user max is emitted)."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import (
+        with_chunked_running_sums,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    # duplicate start times (two +1 at the same t), exact touches at the
+    # daily boundary, and a celebrity pile-up
+    for u, s in [(1, 0), (1, 0), (1, 300), (1, 86_400), (1, 86_400)] + [
+        (7, 60 * k) for k in range(2000)
+    ]:
+        rows.append((u, t0 + dtm.timedelta(seconds=s), 1))
+        rows.append((u, t0 + dtm.timedelta(seconds=s + 600), -1))
+    bounds = spark.createDataFrame(rows, "user_id long, t timestamp, delta int")
+    peak = lambda df: sorted(  # noqa: E731
+        tuple(r)
+        for r in df.groupBy("user_id")
+        .agg(F.max("concurrent").alias("peak"))
+        .collect()
+    )
+    chunked = with_chunked_running_sums(
+        bounds, "user_id", "t", "delta", {"concurrent": F.col("delta")}, chunk_days=1
+    )
+    classic = with_chunked_running_sums(
+        bounds, "user_id", "t", "delta", {"concurrent": F.col("delta")}, chunk_days=None
+    )
+    assert peak(chunked) == peak(classic)
