@@ -500,9 +500,17 @@ def with_chunked_running_sums(
     single-window form because the measures are summed, never
     re-ordered (exact for integer/decimal measures; float measures
     would reassociate, which is why every caller here sums e4 integers
-    or 0/1 indicators). ``sums`` maps output name -> measure Column
-    (evaluated against ``ev``). Exclusive frames derive as
-    ``incl - measure`` at the call site. Measured at sf0.1 (Arrow path,
+    or 0/1 indicators). (ts, tie) SHOULD be a total order per key when
+    the running values feed row-attached downstream logic: a non-unique
+    tie is safe only for multiset-invariant consumers (e.g.
+    e_peak_concurrency, which emits the per-key MAX over equal-delta
+    peer permutations), while a multi-STAGE composition under a
+    non-total order can attach a stage-1 value to a DIFFERENT stage-2
+    peer order and corrupt the composition (the e_merge_intervals
+    duplicate-interval bug this note records — classic stacked windows
+    dodge it only by sharing one physical sort). ``sums`` maps output
+    name -> measure Column (evaluated against ``ev``). Exclusive frames
+    derive as ``incl - measure`` at the call site. Measured at sf0.1 (Arrow path,
     min of 7): chunked 161.0 ms vs classic 166.8 for e_cumulative — the
     skew-immune form is also the locally faster one (chunk-grain stages
     parallelize better than one per-key sort, the sessionize result
@@ -547,6 +555,56 @@ def with_chunked_running_sums(
     return j.select(
         *[F.col(c) for c in ev.columns],
         *[(F.col(f"_pre_{out}") + F.col(f"_lcum_{out}")).alias(out) for out, _ in measured],
+    )
+
+
+def with_chunked_running_max_excl(
+    ev: DataFrame,
+    key: str,
+    ts: str,
+    tie: str,
+    col: str,
+    out: str,
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Append the EXCLUSIVE running max — max of ``col`` over each key's
+    strictly-preceding rows in (ts, tie) order (NULL for the first row)
+    — celebrity-immune: max is associative like sum, so the chunk
+    stitch is `greatest(exclusive chunk-grain prefix max, within-chunk
+    exclusive running max)` with greatest's null-skipping handling the
+    first-row/first-chunk edges. Exact for any ordered type (pure
+    comparisons, no arithmetic). (ts, tie) must be a TOTAL order per
+    key when the output feeds a second ordered stage (see the
+    with_chunked_running_sums tie note). This is the interval-sweep
+    primitive: a row starts a new span iff its start exceeds every
+    previous end (e_merge_intervals)."""
+    if chunk_days is None:
+        w = (
+            W.partitionBy(key)
+            .orderBy(ts, tie)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return ev.select("*", F.max(col).over(w).alias(out))
+    ch = _chunked(ev, ts, chunk_days)
+    wloc = (
+        W.partitionBy(key, "_chunk")
+        .orderBy(ts, tie)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = ch.select("*", F.max(col).over(wloc).alias("_lmax"))
+    totals = ch.groupBy(key, "_chunk").agg(F.max(col).alias("_t"))
+    wc = (
+        W.partitionBy(key)
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = totals.select(
+        key, "_chunk", F.max("_t").over(wc).alias("_pre")
+    )
+    j = loc.join(pre, [key, "_chunk"])
+    return j.select(
+        *[F.col(c) for c in ev.columns],
+        F.greatest("_pre", "_lmax").alias(out),
     )
 
 
@@ -733,46 +791,47 @@ def e_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the ClickHouse `windowFunnel` analog):
     per user, how deep did view -> click -> purchase progress, with each
     later step strictly after the previous one and the whole sequence
-    inside 24h of the first view. Implemented as stacked conditional
-    minima over one user-partitioned window: t_view = min(ts | view),
-    t_click = min(ts | click, ts > t_view), t_purchase likewise — each
-    refers to the previous column, but all three share the same
-    partitioning, so Catalyst plans ONE exchange on user_id feeding the
-    window chain, the per-user collapse reuses that partitioning, and
-    only the final tiny depth histogram shuffles again (2 shuffles total,
-    no self-joins — the naive formulation is 3 joins x 3 shuffles).
+    inside 24h of the first view. Implemented as a chain of TYPE-FILTERED
+    conditional-min aggregations (r8 window-skew wave): t_view = one agg
+    over view events; t_click = click events joined to the user-grain
+    t_view map, filtered ts > t_view, aggregated; t_purchase likewise off
+    t_click. Every stage is a partial-combining aggregate or an equi-join
+    (AQE CAN skew-split joins — it can never split a window partition,
+    and the previous full-partition window form buffered a celebrity
+    user's whole event set in one task). Each pass scans only its own
+    event type (pushed-down filter), so total I/O is roughly ONE scan
+    split three ways — strictly better than shuffling every event through
+    a user window; the user-grain step maps stay orders smaller than the
+    event stream.
 
     At 100 TB this is the shape you want: funnel state per user is three
-    timestamps, never a sorted event buffer, and the events scan is a
-    single pass."""
+    timestamps built by partial aggregation, never a per-task event
+    buffer."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    w = W.partitionBy("user_id")
-    step = ev.withColumn(
-        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
     )
-    step = step.withColumn(
-        "t_click",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
-                F.col("ts"),
-            )
-        ).over(w),
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
     )
-    step = step.withColumn(
-        "t_purchase",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("ts") > F.col("t_click")),
-                F.col("ts"),
-            )
-        ).over(w),
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
     )
-    per_user = step.groupBy("user_id").agg(
-        F.min("t_view").alias("t_view"),
-        F.min("t_click").alias("t_click"),
-        F.min("t_purchase").alias("t_purchase"),
+    per_user = (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
     )
     deadline = F.col("t_view") + F.expr("INTERVAL 24 HOURS")
     depth = (
@@ -993,27 +1052,42 @@ def e_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     as span count + covered seconds (naively summing window lengths
     would double-count overlaps).
 
-    Both windows share ONE user-partitioned sort — a single shuffle,
-    same cost class as sessionization; span labels then aggregate on
-    (user, span). Sessionize (gap between POINTS) and this (union of
-    INTERVALS) are different primitives: a 9-minute gap between two
-    events fuses here only because the windows overlap, regardless of
-    any session gap parameter.
+    Both sweep stages ride the celebrity-immune chunked forms
+    (`with_chunked_running_max_excl` for the previous-end maximum,
+    `with_chunked_running_sums` for the span labels) — max and sum are
+    both associative, so the chunk-prefix stitches are exact and the
+    result is hash-identical to the classic single user-partitioned
+    sort. event_id rides along as the UNIQUE tiebreaker for both
+    stages: the classic two-stacked-windows form could sort duplicate
+    (s, e) peers arbitrarily because both windows shared ONE physical
+    sort, but the chunked stages sort independently — under a non-total
+    order a flag computed in stage-1 peer order would be consumed in a
+    DIFFERENT stage-2 peer order and split a span (caught by the
+    boundary property test; duplicate intervals are identical values,
+    so the unique-tie order still yields exactly the classic spans).
+    Span labels then aggregate on (user, span). Sessionize (gap between
+    POINTS) and this (union of INTERVALS) are different primitives: a
+    9-minute gap between two events fuses here only because the windows
+    overlap, regardless of any session gap parameter.
     """
     ev = load(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
+        "event_id",
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
     )
-    w = W.partitionBy("user_id").orderBy("s", "e")
-    prev_max_e = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    flagged = iv.withColumn(
-        "is_new",
-        F.when(F.col("s") <= prev_max_e, 0).otherwise(1),
+    flagged = with_chunked_running_max_excl(
+        iv, "user_id", "s", "event_id", "e", "_pm"
+    ).select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(F.col("s") <= F.col("_pm"), 0).otherwise(1).alias("is_new"),
     )
-    grouped = flagged.withColumn(
-        "grp", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    grouped = with_chunked_running_sums(
+        flagged, "user_id", "s", "event_id", {"grp": F.col("is_new")}
     )
     spans = grouped.groupBy("user_id", "grp").agg(
         (F.unix_micros(F.max("e")) - F.unix_micros(F.min("s"))).alias("span_us")

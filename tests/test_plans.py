@@ -322,13 +322,19 @@ def test_incremental_agg_single_shuffle_per_run(spark):
     assert has_pushed_filters(one_day)
 
 
-def test_window_funnel_two_shuffles(spark):
-    """e_window_funnel: the three stacked conditional-min windows must
-    share ONE user_id exchange (no per-step re-shuffle, no self-joins);
-    only the final depth histogram shuffles again."""
-    from opay_datalake_script_spark.plans.inspect import count_shuffles
+def test_window_funnel_no_full_partition_window(spark):
+    """e_window_funnel (r8 window-skew wave): the funnel must contain NO
+    window operator at all — the old stacked conditional-min windows
+    buffered a celebrity user's whole event set in one task (AQE never
+    splits a window partition) — and each step scan must push its
+    event_type filter down, so the three passes read type slivers
+    instead of shuffling every event through a user window."""
+    from opay_datalake_script_spark.plans.inspect import formatted_plan
 
-    assert count_shuffles(QUERIES["e_window_funnel"](spark, SF_DIR)) == 2
+    df = QUERIES["e_window_funnel"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan.lower() and "Window" not in plan
+    assert "event_type" in plan and "PushedFilters" in plan
 
 
 def test_global_rank_avoids_single_partition_window(spark):

@@ -587,8 +587,10 @@ def test_merge_intervals_matches_sweep(spark, offsets):
 
     load_all_queries()
     base = dtm.datetime(2024, 1, 1)
-    rows = [(1, base + dtm.timedelta(minutes=m)) for m in offsets]
-    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    # event_id: the unique tiebreaker the chunked sweep threads through
+    # both stages (r8; duplicate offsets are the peer-order case)
+    rows = [(i, 1, base + dtm.timedelta(minutes=m)) for i, m in enumerate(offsets)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
 
     real_load = wmod.load
     try:
@@ -1577,3 +1579,81 @@ def test_peak_concurrency_chunked_equals_classic_running_sum(spark):
         bounds, "user_id", "t", "delta", {"concurrent": F.col("delta")}, chunk_days=None
     )
     assert peak(chunked) == peak(classic)
+
+
+def test_chunked_running_max_merge_intervals_equal_classic(spark):
+    """`with_chunked_running_max_excl` + the chunked span labels must
+    reproduce the classic interval sweep exactly: duplicate intervals
+    (peer-order invariance), spans straddling the daily chunk boundary,
+    an interval whose END crosses into the next chunk while later rows
+    still compare against it (the prefix-max stitch), and a celebrity
+    user with a multi-chunk continuous span."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import (
+        with_chunked_running_max_excl,
+        with_chunked_running_sums,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    DAY = 86_400
+
+    def add(u, seconds):
+        nonlocal eid
+        rows.append((eid, u, t0 + dtm.timedelta(seconds=seconds)))
+        eid += 1
+
+    # user 1: duplicate intervals (the peer-order hazard: the two stages
+    # sort independently, so the sweep threads a unique eid tiebreaker —
+    # a non-total (s, e) order attached stage-1 flags to a different
+    # stage-2 peer order and split a span, the bug this test caught),
+    # a boundary-straddling interval, and a later row inside the
+    # straddler's carry-over end
+    for s in [0, 0, 300, DAY - 300, DAY + 100, DAY + 900, 2 * DAY]:
+        add(1, s)
+    # user 2: isolated events two days apart (every chunk single-row)
+    for d in range(4):
+        add(2, 2 * d * DAY + 50)
+    # user 7: celebrity — 3000 events at 5-minute spacing (continuous
+    # overlap chain across ~10 daily chunks)
+    for k in range(3000):
+        add(7, 300 * k)
+    ev = spark.createDataFrame(rows, "eid long, user_id long, ts timestamp")
+    iv = ev.select(
+        "user_id",
+        "eid",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+
+    def sweep(chunk_days):
+        flagged = with_chunked_running_max_excl(
+            iv, "user_id", "s", "eid", "e", "_pm", chunk_days=chunk_days
+        ).select(
+            "user_id", "eid", "s", "e",
+            F.when(F.col("s") <= F.col("_pm"), 0).otherwise(1).alias("is_new"),
+        )
+        grouped = with_chunked_running_sums(
+            flagged, "user_id", "s", "eid", {"grp": F.col("is_new")},
+            chunk_days=chunk_days,
+        )
+        spans = grouped.groupBy("user_id", "grp").agg(
+            F.min("s").alias("s0"), F.max("e").alias("e1"), F.count("*").alias("n")
+        )
+        return sorted(
+            tuple(r)
+            for r in spans.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.sum(
+                    F.unix_micros("e1") - F.unix_micros("s0")
+                ).alias("covered_us"),
+            )
+            .collect()
+        )
+
+    assert sweep(1) == sweep(None)
+    # celebrity's 5-min spacing < 10-min window: ONE span across ~10 chunks
+    celeb = [r for r in sweep(1) if r[0] == 7]
+    assert celeb[0][1] == 1
