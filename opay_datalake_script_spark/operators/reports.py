@@ -585,18 +585,21 @@ def r_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id so both engines walk the identical sequence; count ties
     order lexicographically.
 
-    Scale shape: one shuffle to partition by user (bounded per-user
-    groups), trigram formation is in-window (no self-join — the naive
-    form is two self-joins on consecutive ranks, i.e. two more fact
-    shuffles), then a k^3-bounded aggregate and TakeOrderedAndProject.
+    Scale shape: trigram formation rides the celebrity-immune lead-k
+    chunking (`with_chunked_lead_seq` — per-chunk head arrays feed a
+    chunk-grain continuation, hash-identical to the classic single
+    user-keyed window; no self-join — the naive form is two self-joins
+    on consecutive ranks, i.e. two more fact shuffles), then a
+    k^3-bounded aggregate and TakeOrderedAndProject.
     """
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type",
-        F.lead("event_type", 1).over(w).alias("e2"),
-        F.lead("event_type", 2).over(w).alias("e3"),
-    ).where(F.col("e3").isNotNull())
+    from .windows import with_chunked_lead_seq
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    seq = with_chunked_lead_seq(
+        ev, "user_id", "ts", "event_id", "event_type", ["e2", "e3"]
+    ).select("event_type", "e2", "e3").where(F.col("e3").isNotNull())
     return (
         seq.select(
             F.concat_ws(">", "event_type", "e2", "e3").alias("path")

@@ -558,6 +558,92 @@ def with_chunked_running_sums(
     )
 
 
+def with_chunked_lead_seq(
+    ev: DataFrame,
+    key: str,
+    ts: str,
+    tie: str,
+    src: str,
+    outs: list[str],
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Append lead-1..lead-k columns of ``src`` (k = len(outs)) over each
+    key's (ts, tie)-ordered stream, celebrity-key-immune — the lead-k
+    generalization the shift-1 helper can't express: a row near its
+    chunk's END needs up to k rows from FOLLOWING chunks, so each (key,
+    chunk) publishes its first min(k, n) src values as an ordered HEAD
+    ARRAY, a chunk-grain window flattens the next k chunks' heads into
+    a k-element CONTINUATION (k following present chunks always hold
+    >= k rows when they exist, so the k-chunk lookahead is sufficient
+    by pigeonhole), and row _rn of a chunk of size _cnt takes lead-i
+    from the within-chunk lead when _rn+i <= _cnt, else from
+    continuation[_rn+i-_cnt] (try_element_at: past-the-stream leads are
+    NULL exactly like the classic window's). (ts, tie) must be a total
+    order per key (the running-sums tie note). Exact for any src type.
+    """
+    k = len(outs)
+    if chunk_days is None:
+        w = W.partitionBy(key).orderBy(ts, tie)
+        return ev.select(
+            "*", *[F.lead(src, i + 1).over(w).alias(o) for i, o in enumerate(outs)]
+        )
+    ch = _chunked(ev, ts, chunk_days)
+    wloc = W.partitionBy(key, "_chunk").orderBy(ts, tie)
+    wcnt = W.partitionBy(key, "_chunk")
+    loc = ch.select(
+        "*",
+        *[F.lead(src, i + 1).over(wloc).alias(f"_ld{i + 1}") for i in range(k)],
+        F.row_number().over(wloc).alias("_rn"),
+        F.count("*").over(wcnt).alias("_cnt"),
+    )
+    heads = (
+        ch.select(key, "_chunk", src, F.row_number().over(wloc).alias("_hr"))
+        .where(F.col("_hr") <= k)
+        .groupBy(key, "_chunk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_hr"), F.col(src)))),
+                lambda s: s.getField(src),
+            ).alias("_heads")
+        )
+    )
+    wc = W.partitionBy(key).orderBy("_chunk")
+    cont = heads.select(
+        key,
+        "_chunk",
+        F.slice(
+            F.flatten(
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.lead("_heads", i + 1).over(wc),
+                            F.array().cast(f"array<{ev.schema[src].dataType.simpleString()}>"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ),
+            1,
+            k,
+        ).alias("_cont"),
+    )
+    j = loc.join(cont, [key, "_chunk"])
+    out_cols = [
+        F.when(
+            F.col("_rn") + (i + 1) <= F.col("_cnt"), F.col(f"_ld{i + 1}")
+        )
+        .otherwise(
+            # element_at indices must be INT (the h_nested_hof lesson)
+            F.try_element_at(
+                "_cont", (F.col("_rn") + (i + 1) - F.col("_cnt")).cast("int")
+            )
+        )
+        .alias(out)
+        for i, out in enumerate(outs)
+    ]
+    return j.select(*[F.col(c) for c in ev.columns], *out_cols)
+
+
 def with_chunked_running_max_excl(
     ev: DataFrame,
     key: str,

@@ -525,8 +525,11 @@ def test_round5c_new_ops_plan_shapes(spark):
     broadcast table); k_char_entropy exactly the two doc_id-keyed
     aggregations; k_hard_negatives broadcasts the anchor set (never a
     shuffled join of 8 rows) and spends its one shuffle on the per-
-    anchor window; r_user_path_topk forms trigrams in ONE user window
-    (no self-joins) and finishes with TakeOrderedAndProject."""
+    anchor window; r_user_path_topk forms trigrams in the chunked
+    celebrity-immune lead-k form (event-grain window keyed on
+    (user_id, chunk); exactly ONE join — the chunk-grain continuation
+    fetch, never the naive TWO rank self-joins of the fact stream) and
+    finishes with TakeOrderedAndProject."""
     from opay_datalake_script_spark.plans.inspect import (
         count_shuffles,
         uses_broadcast_join,
@@ -547,9 +550,15 @@ def test_round5c_new_ops_plan_shapes(spark):
     assert "SortMergeJoin" not in hn._jdf.queryExecution().executedPlan().toString()
 
     pt = QUERIES["r_user_path_topk"](spark, SF_DIR)
-    pplan = pt._jdf.queryExecution().executedPlan().toString()
+    pplan = pt._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
     assert uses_take_ordered(pt)
-    assert "Join" not in pplan
+    assert "windowspecdefinition(user_id" in pplan and "_chunk" in pplan
+    # one continuation join at chunk grain, never two rank self-joins
+    import re as _re
+
+    assert len(_re.findall(r"(?:SortMerge|BroadcastHash|ShuffledHash)Join", pplan)) == 1
 
 
 def test_dynamic_pruning_reaches_scan(spark):

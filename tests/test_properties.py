@@ -1657,3 +1657,55 @@ def test_chunked_running_max_merge_intervals_equal_classic(spark):
     # celebrity's 5-min spacing < 10-min window: ONE span across ~10 chunks
     celeb = [r for r in sweep(1) if r[0] == 7]
     assert celeb[0][1] == 1
+
+
+def test_chunked_lead_seq_equals_single_window(spark):
+    """`with_chunked_lead_seq` (lead-k via per-chunk head arrays + a
+    chunk-grain continuation) must reproduce the classic lead-1/lead-2
+    window exactly on the shapes that stress the continuation: chunks
+    holding exactly ONE row (lead-2 must chain across TWO following
+    present chunks), two-row chunks, empty chunks between present ones,
+    end-of-stream NULL leads, and a celebrity stream spanning many
+    chunks."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import with_chunked_lead_seq
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    DAY = 86_400
+
+    def add(u, seconds, kind):
+        nonlocal eid
+        rows.append((eid, u, t0 + dtm.timedelta(seconds=seconds), kind))
+        eid += 1
+
+    kinds = ["view", "click", "purchase", "signup"]
+    # user 1: one event per day for 6 days — every within-chunk lead is
+    # NULL, lead-1 comes from the next chunk's head, lead-2 from the
+    # chunk after (the two-hop continuation)
+    for d in range(6):
+        add(1, d * DAY + 30, kinds[d % 4])
+    # user 2: two-row chunks with an EMPTY day between — lead-2 of the
+    # second row must skip the empty chunk to the next present one
+    for d in (0, 2, 4):
+        add(2, d * DAY + 10, kinds[d % 4])
+        add(2, d * DAY + 20, kinds[(d + 1) % 4])
+    # user 3: single event — both leads NULL
+    add(3, 99, "view")
+    # user 7: celebrity — 2500 events at 90 s spacing (~3 daily chunks)
+    for k in range(2500):
+        add(7, 90 * k, kinds[k % 4])
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    kw = dict(src="event_type", outs=["e2", "e3"])
+    chunked = with_chunked_lead_seq(
+        ev, "user_id", "ts", "event_id", chunk_days=1, **kw
+    )
+    classic = with_chunked_lead_seq(
+        ev, "user_id", "ts", "event_id", chunk_days=None, **kw
+    )
+    a = sorted(tuple(r) for r in chunked.collect())
+    b = sorted(tuple(r) for r in classic.collect())
+    assert a == b
