@@ -821,20 +821,62 @@ def e_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct count over a window. Spark (like Hive) rejects
     DISTINCT inside window aggregates, so the reference-family idiom is
-    `size(collect_set(x) OVER w)` — same semantics (both ignore NULLs),
-    same single shuffle as any window on the partition key. State per row
-    is the distinct set; at 100 TB cardinalities this becomes the HLL
-    sketch (`d_approx_count_distinct`) accepted-error variant instead."""
-    o = load(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
+    `size(collect_set(x) OVER w)` — here in the celebrity-immune chunked
+    form (set UNION is associative like sum/max): the within-chunk
+    running set rides a (key, chunk) window, each chunk publishes its
+    full distinct set, a chunk-grain window unions the preceding chunks'
+    sets into an exclusive prefix set (bounded by the column's distinct
+    DOMAIN, not by rows — 5 priorities here), and the row value is
+    |prefix ∪ local| — hash-identical to the classic single user-keyed
+    sort. State per row is still the distinct set (same as classic); at
+    100 TB cardinalities this becomes the HLL sketch
+    (`d_approx_count_distinct`) accepted-error variant instead."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ch = o.withColumn(
+        "_chunk", F.expr("unix_micros(o_orderdate) div 2592000000000")
+    )
+    wloc = (
+        W.partitionBy("o_custkey", "_chunk")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return o.select(
+    loc = ch.select(
         "o_custkey",
         "o_orderkey",
-        F.size(F.collect_set("o_orderpriority").over(w)).cast("long").alias("distinct_prios"),
+        "_chunk",
+        F.collect_set("o_orderpriority").over(wloc).alias("_lset"),
+    )
+    chunk_sets = ch.groupBy("o_custkey", "_chunk").agg(
+        F.collect_set("o_orderpriority").alias("_cset")
+    )
+    wc = (
+        W.partitionBy("o_custkey")
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = chunk_sets.select(
+        "o_custkey",
+        "_chunk",
+        F.array_distinct(
+            F.flatten(
+                F.coalesce(
+                    F.collect_list("_cset").over(wc),
+                    F.array().cast("array<array<string>>"),
+                )
+            )
+        ).alias("_pset"),
+    )
+    return (
+        loc.join(pre, ["o_custkey", "_chunk"])
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.size(F.array_union("_pset", "_lset")).cast("long").alias(
+                "distinct_prios"
+            ),
+        )
     )
 
 

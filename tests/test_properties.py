@@ -1709,3 +1709,68 @@ def test_chunked_lead_seq_equals_single_window(spark):
     a = sorted(tuple(r) for r in chunked.collect())
     b = sorted(tuple(r) for r in classic.collect())
     assert a == b
+
+
+def test_window_distinct_chunked_equals_classic(spark):
+    """e_window_distinct's chunked running-distinct (prefix-set union)
+    must equal the classic single-window collect_set form on adversarial
+    shapes: values reappearing across chunk boundaries (the prefix union
+    must dedupe, not double-count), single-row chunks, and a celebrity
+    key spanning many chunks."""
+    import datetime as dtm
+
+    import opay_datalake_script_spark.operators.windows as wmod
+    from opay_datalake_script_spark.operators.windows import e_window_distinct
+    from opay_datalake_script_spark.registry import load_all_queries
+
+    load_all_queries()
+    t0 = dtm.datetime(2024, 1, 1)
+    rows, oid = [], 0
+
+    def add(cust, days, prio):
+        nonlocal oid
+        rows.append((cust, oid, t0 + dtm.timedelta(days=days), prio))
+        oid += 1
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-LOW"]
+    # cust 1: the same priority reappears in every 30-day chunk (prefix
+    # union must not inflate the count), one new value per later chunk
+    for m in range(5):
+        add(1, 30 * m + 1, "1-URGENT")
+        add(1, 30 * m + 2, prios[m])
+    # cust 2: single-order chunks, alternating two values
+    for m in range(4):
+        add(2, 60 * m, prios[m % 2])
+    # cust 7: celebrity — 2000 orders across ~36 chunks cycling all 5
+    for k in range(2000):
+        add(7, k % 1080, prios[k % 5])
+    ev = spark.createDataFrame(
+        rows,
+        "o_custkey long, o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+
+    real_load = wmod.load
+    try:
+        wmod.load = lambda _s, _d, _t: ev
+        got = sorted(tuple(r) for r in e_window_distinct(spark, "ignored").collect())
+    finally:
+        wmod.load = real_load
+
+    from pyspark.sql import Window as W2
+
+    w = (
+        W2.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.select(
+            "o_custkey",
+            "o_orderkey",
+            F.size(F.collect_set("o_orderpriority").over(w))
+            .cast("long")
+            .alias("distinct_prios"),
+        ).collect()
+    )
+    assert got == want
