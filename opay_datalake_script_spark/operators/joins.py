@@ -211,14 +211,19 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same user.
 
     Spark has no native ASOF JOIN; the scalable formulation is union +
-    window — ONE shuffle on user_id, no range-join blowup: tag both
-    streams, sort by (ts, kind, event_id) within user, carry the last
-    click forward with last(ignorenulls), keep purchase rows. The
-    event_id ordering makes the max-event_id click win among same-ts
-    clicks (the oracle's dedup rule) without a separate pre-dedup
-    groupBy — which would cost a second shuffle, since hash partitioning
-    on (user_id, ts) doesn't co-locate a user's rows for the window.
+    forward-fill — no range-join blowup: tag both streams, order by
+    (ts, kind, click_id) within user, carry the last click forward with
+    the last-non-null fill, keep purchase rows. The click_id ordering
+    makes the max-event_id click win among same-ts clicks (the oracle's
+    dedup rule) without a separate pre-dedup groupBy. The fill rides
+    the celebrity-immune chunked form (`with_chunked_last_nonnull` —
+    last-non-null is associative, so within-(user, 30-day-chunk) fills
+    stitch through a chunk-grain prefix; hash-identical to the classic
+    single user-keyed sort, which a windowed bot/celebrity user would
+    funnel through one task).
     """
+    from .windows import with_chunked_last_nonnull
+
     ev = load(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id",
@@ -235,18 +240,18 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     tagged = clicks.unionByName(purch)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "kind", "click_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    filled = with_chunked_last_nonnull(
+        tagged,
+        "user_id",
+        "ts",
+        ["kind", "click_id"],
+        {
+            "last_click_id": F.col("click_id"),
+            "last_click_ts": F.when(F.col("kind") == 0, F.col("ts")),
+        },
     )
     return (
-        tagged.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
-        .withColumn(
-            "last_click_ts",
-            F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
-        )
-        .where(F.col("kind") == 1)
+        filled.where(F.col("kind") == 1)
         .select(
             "event_id",
             "user_id",

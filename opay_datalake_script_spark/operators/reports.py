@@ -131,16 +131,19 @@ def r_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day, counted
-    on each subsequent active day — min-over-window for the cohort (one
-    shuffle on user_id, reused by the distinct), then the tiny
-    (cohort, day_n) aggregate. The standard growth-analytics query shape.
+    on each subsequent active day — the cohort comes from a user-grain
+    MIN AGGREGATE joined back (r8 window-skew wave: the full-partition
+    min window buffered a celebrity user's events in one task, while the
+    aggregate partial-combines and the user_id equi-join is
+    AQE-skew-splittable), then the tiny (cohort, day_n) aggregate. The
+    standard growth-analytics query shape.
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
-    w = W.partitionBy("user_id")
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ev.withColumn("cohort_day", F.min("day").over(w))
+        ev.join(firsts, "user_id")
         .select("user_id", "cohort_day", F.datediff("day", "cohort_day").alias("day_n"))
         .distinct()
         .groupBy(
@@ -1007,17 +1010,18 @@ def r_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     check for r_cohort_retention's triangle): a user is "new" on their
     first-ever active day, "returning" on any later one.
 
-    One min-over-user window (single user_id shuffle, reused by the
-    distinct — the r_cohort_retention plan shape) classifies every
-    active (user, day); the rollup is calendar-bounded. The share
-    divides two exact counts, so round(6) is safe.
+    A user-grain min aggregate joined back (the r_cohort_retention r8
+    shape: partial-combining agg + AQE-splittable join instead of a
+    full-partition window) classifies every active (user, day); the
+    rollup is calendar-bounded. The share divides two exact counts, so
+    round(6) is safe.
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
-    w = W.partitionBy("user_id")
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily = (
-        ev.withColumn("first_day", F.min("day").over(w))
+        ev.join(firsts, "user_id")
         .select("user_id", "day", "first_day")
         .distinct()
     )

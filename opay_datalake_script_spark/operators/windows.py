@@ -270,19 +270,26 @@ def e_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First/last order value per customer with an explicit full frame
-    (the default frame would silently truncate last_value at CURRENT ROW)."""
+    """First/last order value per customer — min_by/max_by AGGREGATES on
+    the (o_orderdate, o_orderkey) order key joined back to the rows (the
+    e_dedupe_latest celebrity-key pattern: partial combine emits one
+    candidate per key per input partition and the equi-join is
+    AQE-skew-splittable, where the classic full-frame
+    first_value/last_value window buffers a whole key's rows in one
+    task). SQL's explicit-full-frame subtlety lives in the oracle: the
+    default window frame would silently truncate last_value at
+    CURRENT ROW."""
     o = load(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ordk = F.struct("o_orderdate", "o_orderkey")
+    fl = o.groupBy("o_custkey").agg(
+        F.min_by("o_totalprice", ordk).alias("first_total"),
+        F.max_by("o_totalprice", ordk).alias("last_total"),
     )
-    return o.select(
+    return o.join(fl, "o_custkey").select(
         "o_orderkey",
         "o_custkey",
-        F.first("o_totalprice").over(w).alias("first_total"),
-        F.last("o_totalprice").over(w).alias("last_total"),
+        "first_total",
+        "last_total",
     )
 
 
@@ -555,6 +562,90 @@ def with_chunked_running_sums(
     return j.select(
         *[F.col(c) for c in ev.columns],
         *[(F.col(f"_pre_{out}") + F.col(f"_lcum_{out}")).alias(out) for out, _ in measured],
+    )
+
+
+def with_chunked_last_nonnull(
+    ev: DataFrame,
+    key: str,
+    ts: str,
+    ties: list[str],
+    cols: dict[str, Column],
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Append running LAST-NON-NULL columns (forward fill / as-of carry)
+    over each key's (ts, *ties)-ordered stream, celebrity-key-immune:
+    "latest non-null so far" is associative (combine = coalesce(later,
+    earlier)), so each (key, chunk) publishes its last non-null value
+    per measure (max_by over a null-when-null order key — chunks whose
+    measure is all-null publish NULL and fall through), a chunk-grain
+    last(ignorenulls) window builds the exclusive prefix, and the row
+    value is coalesce(within-chunk last-non-null, prefix). This is the
+    as-of-join / forward-fill primitive (c_join_asof's union+window
+    carry). Ordering rules as in the sibling helpers: ties among
+    IDENTICAL (order, value) rows are harmless; anything feeding a
+    second ordered stage needs a total order."""
+    order_cols = [ts, *ties]
+    if chunk_days is None:
+        w = (
+            W.partitionBy(key)
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return ev.select(
+            "*",
+            *[
+                F.last(col, ignorenulls=True).over(w).alias(out)
+                for out, col in cols.items()
+            ],
+        )
+    ch = _chunked(ev, ts, chunk_days).select(
+        "*", *[col.alias(f"_m_{out}") for out, col in cols.items()]
+    )
+    wloc = (
+        W.partitionBy(key, "_chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = ch.select(
+        "*",
+        *[
+            F.last(f"_m_{out}", ignorenulls=True).over(wloc).alias(f"_l_{out}")
+            for out in cols
+        ],
+    )
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    chunk_last = ch.groupBy(key, "_chunk").agg(
+        *[
+            # null order key for null measures: max_by ignores them, so an
+            # all-null chunk publishes NULL and the prefix falls through
+            F.max_by(
+                f"_m_{out}",
+                F.when(F.col(f"_m_{out}").isNotNull(), ordk),
+            ).alias(f"_c_{out}")
+            for out in cols
+        ]
+    )
+    wc = (
+        W.partitionBy(key)
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = chunk_last.select(
+        key,
+        "_chunk",
+        *[
+            F.last(f"_c_{out}", ignorenulls=True).over(wc).alias(f"_p_{out}")
+            for out in cols
+        ],
+    )
+    j = loc.join(pre, [key, "_chunk"])
+    return j.select(
+        *[F.col(c) for c in ev.columns],
+        *[
+            F.coalesce(F.col(f"_l_{out}"), F.col(f"_p_{out}")).alias(out)
+            for out in cols
+        ],
     )
 
 

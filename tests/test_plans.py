@@ -87,15 +87,21 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert count_shuffles(QUERIES["c_join_bucketed"](spark, SF_DIR)) == 1
 
 
-def test_asof_and_sessionize_single_shuffle(spark):
-    """The union+window as-of join must partition on user_id exactly
-    once. The sessionizer moved to the chunked celebrity-immune form
-    (r8): its event-grain window keys on (user_id, chunk) — the skew
-    guard — and the chunk/session-grain stages add bounded exchanges
-    (4 total); pin the shape, not a single-shuffle claim."""
+def test_asof_and_sessionize_chunked_shapes(spark):
+    """Both the as-of forward fill and the sessionizer ride the chunked
+    celebrity-immune forms (r8): their event-grain windows key on
+    (user_id, _chunk/chunk) — the skew guard — and the chunk-grain
+    stitch stages add bounded exchanges; pin the shape and a bounded
+    shuffle count, not the old single-shuffle claim."""
     from opay_datalake_script_spark.plans.inspect import count_shuffles
 
-    assert count_shuffles(QUERIES["c_join_asof"](spark, SF_DIR)) == 1
+    asof = QUERIES["c_join_asof"](spark, SF_DIR)
+    aplan = (
+        asof._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "windowspecdefinition(user_id" in aplan and "_chunk" in aplan
+    assert count_shuffles(asof) <= 4
     sess = QUERIES["e_sessionize_batch"](spark, SF_DIR)
     assert count_shuffles(sess) <= 4
     plan = (

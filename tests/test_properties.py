@@ -35,11 +35,21 @@ events_strategy = st.lists(
 )
 
 
-def _spark_asof(spark, rows):
-    """The c_join_asof union+window formulation applied to ad-hoc rows."""
+def _spark_asof(spark, rows, chunk_days=30):
+    """The c_join_asof union + forward-fill formulation applied to
+    ad-hoc rows, through the REAL chunked helper (r8): chunk_days=None
+    exercises the classic single-window form, an int the chunked one."""
+    from opay_datalake_script_spark.operators.windows import (
+        with_chunked_last_nonnull,
+    )
+
+    # anchor 23:55 so the 0..10-minute offsets straddle the midnight
+    # chunk boundary under chunk_days=1 (clicks and purchases split
+    # across chunks, carries across the boundary, ties AT midnight)
+    base = T0 - dt.timedelta(minutes=5)
     ev = spark.createDataFrame(
         [
-            (i, u, T0 + dt.timedelta(minutes=m), k)
+            (i, u, base + dt.timedelta(minutes=m), k)
             for i, (u, m, k) in enumerate(rows)
         ],
         "event_id long, user_id long, ts timestamp, event_type string",
@@ -53,14 +63,15 @@ def _spark_asof(spark, rows):
         "user_id", "ts", F.lit(1).alias("kind"),
         F.lit(None).cast("long").alias("click_id"), "event_id",
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "kind", "click_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     out = (
-        clicks.unionByName(purch)
-        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        with_chunked_last_nonnull(
+            clicks.unionByName(purch),
+            "user_id",
+            "ts",
+            ["kind", "click_id"],
+            {"last_click_id": F.col("click_id")},
+            chunk_days=chunk_days,
+        )
         .where(F.col("kind") == 1)
         .select("event_id", "last_click_id")
         .collect()
@@ -95,7 +106,12 @@ def _naive_asof(rows):
 )
 @given(rows=events_strategy)
 def test_asof_join_matches_naive(spark, rows):
-    assert _spark_asof(spark, rows) == _naive_asof(rows)
+    """Both plan shapes of the as-of forward fill — the classic single
+    window and the chunked form with a 1-day chunk that forces
+    midnight-boundary carries — must match the naive reference."""
+    expected = _naive_asof(rows)
+    assert _spark_asof(spark, rows, chunk_days=1) == expected
+    assert _spark_asof(spark, rows, chunk_days=None) == expected
 
 
 sessions_strategy = st.lists(
