@@ -155,24 +155,27 @@ def e_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-row moving average/sum per customer."""
+    """7-row moving average/sum per customer — on the celebrity-immune
+    row-tail carry (`with_chunked_trailing_rows_sums`: each chunk's last
+    6 rows re-enter the next present chunk as non-emitting frame
+    feeders, so the 7-row frame completes inside (customer, 30-day
+    chunk) windows; hash-identical to the classic single customer-keyed
+    sort). Exact e4 frame sums; the frame avg divides by the windowed
+    count with the pure-integer HALF_UP identity (functions/exact)."""
     o = load(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-6, W.currentRow)
+    framed = with_chunked_trailing_rows_sums(
+        o,
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        {"_sum4": e4(F.col("o_totalprice")), "_n": F.lit(1)},
+        n_prev=6,
     )
-    return o.select(
+    return framed.select(
         "o_orderkey",
         "o_custkey",
-        # exact e4 frame sums; the frame avg divides by the windowed
-        # count with the pure-integer HALF_UP identity (functions/exact)
-        round_div_e4(
-            F.sum(e4(F.col("o_totalprice"))).over(w),
-            F.count(F.lit(1)).over(w) * 10000,
-            6,
-        ).alias("avg7"),
-        display_2dp(F.sum(e4(F.col("o_totalprice"))).over(w)).alias("sum7"),
+        round_div_e4(F.col("_sum4"), F.col("_n") * 10000, 6).alias("avg7"),
+        display_2dp(F.col("_sum4")).alias("sum7"),
     )
 
 
@@ -733,6 +736,107 @@ def with_chunked_lead_seq(
         for i, out in enumerate(outs)
     ]
     return j.select(*[F.col(c) for c in ev.columns], *out_cols)
+
+
+def with_chunked_trailing_rows_sums(
+    ev: DataFrame,
+    key: str,
+    ts: str,
+    tie: str,
+    sums: dict[str, Column],
+    n_prev: int,
+    chunk_days: int | None = 30,
+) -> DataFrame:
+    """Append trailing ROWS-frame sums — sum of each measure over ROWS
+    BETWEEN ``n_prev`` PRECEDING AND CURRENT ROW in (ts, tie) order per
+    key — celebrity-key-immune via a ROW-TAIL CARRY, the rows-frame
+    member of the chunk family (the time-bounded carry's positional
+    twin): each (key, chunk) publishes its LAST min(n_prev, n) rows'
+    (order key, measures) as an ordered tail array (built from a
+    row_number-desc filter, never a whole-chunk collect), a chunk-grain
+    window flattens the previous ``n_prev`` present chunks' tails
+    oldest-first and keeps the last ``n_prev`` entries (sufficient by
+    pigeonhole — n_prev present chunks hold >= n_prev rows), and the
+    carried entries re-enter the NEXT present chunk as null-padded,
+    non-emitting frame-feeder rows (chunk monotone in ts => carried
+    rows sort strictly before the chunk's own). Frames of early stream
+    rows see exactly their real predecessors; sums are exact for
+    integer/decimal measures (every caller's). (ts, tie) must be a
+    total order per key."""
+    if chunk_days is None:
+        w = (
+            W.partitionBy(key)
+            .orderBy(ts, tie)
+            .rowsBetween(-n_prev, 0)
+        )
+        return ev.select(
+            "*", *[F.sum(col).over(w).alias(out) for out, col in sums.items()]
+        )
+    measured = list(sums.items())
+    ch = _chunked(ev, ts, chunk_days).select(
+        "*", *[col.alias(f"_m_{out}") for out, col in measured]
+    )
+    m_names = [f"_m_{out}" for out, _ in measured]
+    wdesc = W.partitionBy(key, "_chunk").orderBy(F.desc(ts), F.desc(tie))
+    tail_rows = ch.select(
+        key, "_chunk", ts, tie, *m_names,
+        F.row_number().over(wdesc).alias("_tr"),
+    ).where(F.col("_tr") <= n_prev)
+    tail_struct = F.struct(F.col(ts), F.col(tie), *[F.col(m) for m in m_names])
+    tails = tail_rows.groupBy(key, "_chunk").agg(
+        F.array_sort(F.collect_list(tail_struct)).alias("_tail")
+    )
+    elem_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{ch.schema[c].dataType.simpleString()}" for c in (ts, tie, *m_names)
+        )
+        + ">"
+    )
+    wc = W.partitionBy(key).orderBy("_chunk")
+    flat = F.flatten(
+        F.array(
+            *[
+                F.coalesce(
+                    F.lag("_tail", i).over(wc),
+                    F.array().cast(f"array<{elem_type}>"),
+                )
+                for i in range(n_prev, 0, -1)  # oldest chunk first
+            ]
+        )
+    )
+    carry = tails.select(
+        key,
+        "_chunk",
+        # last n_prev entries; guarded because slice(x, -n, n) on an array
+        # SHORTER than n returns EMPTY, not the whole array (measured) —
+        # unguarded, users with short histories would lose their carries
+        F.when(
+            F.size(flat) > n_prev, F.slice(flat, -n_prev, n_prev)
+        ).otherwise(flat).alias("_carr"),
+    )
+    pad = {c: F.lit(None).cast(ch.schema[c].dataType) for c in ch.columns}
+    carried = carry.select(key, "_chunk", F.explode("_carr").alias("_s")).select(
+        *[
+            F.col(f"_s.{c}").alias(c)
+            if c in (ts, tie, *m_names)
+            else (F.col(c) if c in (key, "_chunk") else pad[c].alias(c))
+            for c in ch.columns
+        ],
+        F.lit(1).alias("_cr"),
+    )
+    allr = ch.withColumn("_cr", F.lit(0)).unionByName(carried)
+    w2 = (
+        W.partitionBy(key, "_chunk")
+        .orderBy(ts, tie)
+        .rowsBetween(-n_prev, 0)
+    )
+    out = allr.select(
+        "*", *[F.sum(f"_m_{o}").over(w2).alias(o) for o, _ in measured]
+    )
+    return out.where(F.col("_cr") == 0).select(
+        *[F.col(c) for c in ev.columns], *[o for o, _ in measured]
+    )
 
 
 def with_chunked_running_max_excl(

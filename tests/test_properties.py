@@ -1790,3 +1790,53 @@ def test_window_distinct_chunked_equals_classic(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_chunked_trailing_rows_sums_equal_classic(spark):
+    """`with_chunked_trailing_rows_sums` (the rows-frame tail carry) must
+    reproduce the classic ROWS BETWEEN 6 PRECEDING frame exactly:
+    one-row chunks forcing SIX-chunk-deep carries, histories SHORTER
+    than the frame (the slice(x, -n, n)-returns-empty guard), frames
+    straddling chunk boundaries mid-stream, and a celebrity key."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import (
+        with_chunked_trailing_rows_sums,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows, oid = [], 0
+    DAY = 86_400
+
+    def add(u, seconds, v):
+        nonlocal oid
+        rows.append((oid, u, t0 + dtm.timedelta(seconds=seconds), v))
+        oid += 1
+
+    # user 1: ONE row per day for 10 days — every frame spans 7 chunks
+    for d in range(10):
+        add(1, d * DAY + 5, d + 1)
+    # user 2: history SHORTER than the frame (3 rows over 3 days)
+    for d in range(3):
+        add(2, d * DAY + 9, 10 * (d + 1))
+    # user 3: bursts of 4 around midnights (frames straddle boundaries)
+    for d in range(4):
+        for j in range(4):
+            add(3, d * DAY - 600 + 300 * j, d * 10 + j)
+    # user 7: celebrity — 3000 rows at 90 s spacing
+    for k in range(3000):
+        add(7, 90 * k, k % 13)
+    ev = spark.createDataFrame(
+        rows, "o_orderkey long, user_id long, ts timestamp, v int"
+    )
+    sums = {"s7": F.col("v").cast("long"), "n7": F.lit(1)}
+    chunked = with_chunked_trailing_rows_sums(
+        ev, "user_id", "ts", "o_orderkey", sums, n_prev=6, chunk_days=1
+    )
+    classic = with_chunked_trailing_rows_sums(
+        ev, "user_id", "ts", "o_orderkey", sums, n_prev=6, chunk_days=None
+    )
+    a = sorted(tuple(r) for r in chunked.collect())
+    b = sorted(tuple(r) for r in classic.collect())
+    assert a == b
+    assert len(a) == len(rows)  # carries never leak into the output
