@@ -1602,21 +1602,25 @@ def d_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the other's up (the k_char_entropy class of bug, in a
     bucketer).
 
-    Plan shape: one (user, event_type)-partitioned lag window (the
-    e_lag_lead shuffle) feeding one hash aggregate whose output is
+    Plan shape: the lag rides the celebrity-immune chunked form on the
+    COMPOSITE (user, event_type) key (`with_chunked_shifts` — a bot's
+    click stream is one compound key, so the bare window would hot-spot
+    exactly on it), feeding one hash aggregate whose output is
     O(types x 64 buckets) — at 100 TB the histogram is the classic
     mergeable pre-aggregate: per-partition partial counts combine by
     +, so a day-partitioned warehouse can roll latency SLOs across
     any period without touching raw events (the d_kmv_sketch_merge
     argument, for distributions instead of distinct counts).
     """
-    ev = load(spark, sf_dir, "events")
-    wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "event_type",
-        (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
-        ).alias("gap_us"),
+    from .windows import with_chunked_shifts
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", F.unix_micros("ts").alias("um")
+    )
+    gaps = with_chunked_shifts(
+        ev, ["user_id", "event_type"], "ts", "event_id", lags={"prev_um": "um"}
+    ).select(
+        "event_type", (F.col("um") - F.col("prev_um")).alias("gap_us")
     ).where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
     return gaps.groupBy(
         "event_type",

@@ -641,19 +641,34 @@ def c_join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows make the match unique even when a version closes the same
     instant the next opens.
 
-    Two shuffles (dim window + fact join key), both on custkey;
-    zero-length [d, d) versions from same-instant order ties are
-    unmatched by construction, keeping the mapping deterministic.
+    The dim build rides the celebrity-immune chunked forms (r8 window
+    wave): version_no is a chunked running count and valid_to a chunked
+    lead-1, composed over the TOTAL (o_orderdate, o_orderkey) order (the
+    multi-stage tie rule) — hash-identical to the classic per-customer
+    window, whose one task would otherwise sort a power account's whole
+    version history. Zero-length [d, d) versions from same-instant order
+    ties are unmatched by construction, keeping the mapping
+    deterministic.
     """
+    from .windows import with_chunked_running_sums, with_chunked_shifts
+
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    dim = o.select(
+    dim0 = with_chunked_shifts(
+        o.select("o_custkey", "o_orderkey", "o_orderdate"),
         "o_custkey",
-        F.row_number().over(w).cast("long").alias("version_no"),
+        "o_orderdate",
+        "o_orderkey",
+        leads={"_nxt": "o_orderdate"},
+    )
+    dim = with_chunked_running_sums(
+        dim0, "o_custkey", "o_orderdate", "o_orderkey", {"_vn": F.lit(1)}
+    ).select(
+        "o_custkey",
+        F.col("_vn").cast("long").alias("version_no"),
         F.col("o_orderdate").alias("valid_from"),
         F.coalesce(
-            F.lead("o_orderdate").over(w), F.lit("9999-12-31").cast("timestamp")
+            F.col("_nxt"), F.lit("9999-12-31").cast("timestamp")
         ).alias("valid_to"),
     )
     fact = li.join(

@@ -171,22 +171,27 @@ def r_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes versioned rows with [valid_from, valid_to) intervals and an
     is_current flag — the DWD dimension-snapshot idiom (lead() closes each
     interval with the next version's start; open intervals get the
-    9999-12-31 sentinel). One shuffle on the dimension key; dates emitted
-    as strings and the flag as int per the differential-comparison rules.
+    9999-12-31 sentinel). The lead rides the celebrity-immune chunked
+    form (`with_chunked_shifts` — a power account's whole version
+    history would otherwise sort in one task); dates emitted as strings
+    and the flag as int per the differential-comparison rules.
     """
+    from .windows import with_chunked_shifts
+
     o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    nxt = F.lead("o_orderdate").over(w)
-    return o.select(
+    led = with_chunked_shifts(
+        o, "o_custkey", "o_orderdate", "o_orderkey", leads={"_nxt": "o_orderdate"}
+    )
+    return led.select(
         "o_custkey",
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
-        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+        F.coalesce(F.date_format("_nxt", "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
             "valid_to"
         ),
-        nxt.isNull().cast("int").alias("is_current"),
+        F.col("_nxt").isNull().cast("int").alias("is_current"),
     )
 
 

@@ -420,7 +420,7 @@ def _chunked(ev: DataFrame, ts: str, chunk_days: int) -> DataFrame:
 
 def with_chunked_shifts(
     ev: DataFrame,
-    key: str,
+    key: str | list[str],
     ts: str,
     tie: str,
     lags: dict[str, str] | None = None,
@@ -451,14 +451,15 @@ def with_chunked_shifts(
     """
     lags = lags or {}
     leads = leads or {}
+    keys = [key] if isinstance(key, str) else list(key)
     if chunk_days is None:
-        w = W.partitionBy(key).orderBy(ts, tie)
+        w = W.partitionBy(*keys).orderBy(ts, tie)
         cols = [F.lag(src).over(w).alias(out) for out, src in lags.items()]
         cols += [F.lead(src).over(w).alias(out) for out, src in leads.items()]
         return ev.select("*", *cols)
     ch = _chunked(ev, ts, chunk_days)
-    wloc = W.partitionBy(key, "_chunk").orderBy(ts, tie)
-    wcnt = W.partitionBy(key, "_chunk")
+    wloc = W.partitionBy(*keys, "_chunk").orderBy(ts, tie)
+    wcnt = W.partitionBy(*keys, "_chunk")
     ordk = F.struct(F.col(ts), F.col(tie))
     loc_cols = [F.lag(src).over(wloc).alias(f"_lag_{out}") for out, src in lags.items()]
     loc_cols += [
@@ -472,15 +473,15 @@ def with_chunked_shifts(
     )
     aggs = [F.max_by(src, ordk).alias(f"_last_{out}") for out, src in lags.items()]
     aggs += [F.min_by(src, ordk).alias(f"_first_{out}") for out, src in leads.items()]
-    bnd = ch.groupBy(key, "_chunk").agg(*aggs)
-    wc = W.partitionBy(key).orderBy("_chunk")
+    bnd = ch.groupBy(*keys, "_chunk").agg(*aggs)
+    wc = W.partitionBy(*keys).orderBy("_chunk")
     bnd2 = bnd.select(
-        key,
+        *keys,
         "_chunk",
         *[F.lag(f"_last_{out}").over(wc).alias(f"_prev_{out}") for out in lags],
         *[F.lead(f"_first_{out}").over(wc).alias(f"_next_{out}") for out in leads],
     )
-    j = loc.join(bnd2, [key, "_chunk"])
+    j = loc.join(bnd2, [*keys, "_chunk"])
     out_cols = [
         F.when(F.col("_rn") == 1, F.col(f"_prev_{out}"))
         .otherwise(F.col(f"_lag_{out}"))
