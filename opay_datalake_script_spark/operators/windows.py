@@ -1230,13 +1230,15 @@ def e_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hr"),
     )
     joined = grid.join(hourly, ["user_id", "hr"], "left")
-    ffill = W.partitionBy("user_id").orderBy("hr").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    return joined.select(
+    # forward fill via the celebrity-immune chunked carry (hr is unique
+    # per user, so the empty extra-ties list still gives a total order);
+    # the grid is span-bounded anyway, but the helper is now a drop-in
+    return with_chunked_last_nonnull(
+        joined, "user_id", "hr", [], {"v_filled": F.col("v")}
+    ).select(
         "user_id",
         "hr",
-        F.last("v", ignorenulls=True).over(ffill).alias("v_filled"),
+        "v_filled",
         F.col("v").isNull().alias("is_gap"),
     )
 

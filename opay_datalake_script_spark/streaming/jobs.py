@@ -316,13 +316,19 @@ def i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = batch_df.select("user_id", "event_id", "ts", "value")
         if "path" in state:
             cur = spark.read.parquet(state["path"]).unionByName(cur)
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+        # keep-latest as a max_by AGGREGATE (the e_dedupe_latest
+        # celebrity-key pattern — partial combine, no per-user sort);
+        # the (ts, -event_id) struct reproduces the row_number
+        # (ts DESC, event_id ASC) tie-break exactly
         merged = (
-            cur.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+            cur.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_id", "ts", "value"),
+                    F.struct(F.col("ts"), (-F.col("event_id")).alias("nid")),
+                ).alias("r")
+            )
+            .select("user_id", "r.event_id", "r.ts", "r.value")
         )
         new_path = os.path.join(run, f"state_{epoch_id}")
         merged.write.mode("overwrite").parquet(new_path)
