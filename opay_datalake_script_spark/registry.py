@@ -64,84 +64,53 @@ _QUERY_MODULES = (
 # lesson: the 13 round-7 re-proofs, all green in CORRECTNESS_r07, were
 # still sorting into tier 1 and would have displaced 7 of the 8 spilled
 # first-rows).
-_RECHECK_PROOF_ROUND = 8
+_RECHECK_PROOF_ROUND = 9
 _RECHECK = (
-    # round-8 changes (all 13 round-7 entries got green r7 rows and are
-    # cleared). The salted-chain densification of capped LSH buckets
-    # (VERDICT r7 item 7): band_candidate_pairs and the shared banding
-    # oracle CTE both add LSH_CHAIN_SALTS deterministic chains to
-    # oversized (band, bucket) groups; these four flagship consumers
-    # changed code+oracle and get re-proof per the r7 precedent (results
-    # at the oracle SF are unchanged — no oversized buckets — so the
-    # other consumers' green rows stay valid evidence; sf0.1 candidate
-    # parity was verified cross-engine bit-for-bit this round).
-    "k_jaccard_pairs",
-    "k_near_dedup_lsh",
-    "k_lsh_band_candidates",
-    "k_ngram_jaccard",
-    # image-side twin of the chain change (code+oracle, same round)
-    "k_image_ahash_dedup",
+    # Round-9 wave (VERDICT r8 item 1): the late-r8 chunked-window
+    # conversions (celebrity-immune (key, 30-day chunk) windows with
+    # chunk-grain stitches) landed AFTER these IDs' latest driver rows
+    # (r1/r2 for most), so their green evidence predates the code they
+    # now run. All are locally hash-verified at sf0.01 AND sf0.1, but
+    # the driver has not re-proved them post-change — front-load ALL 16
+    # so CORRECTNESS_r09 carries post-conversion rows. (The r8 wave —
+    # salted LSH chains + the deferred exactness re-proofs — all landed
+    # green in CORRECTNESS_r08 and is cleared.) New registrations this
+    # round go through _DEFER_FIRST_ROW so they cannot displace these.
+    "e_dedupe_latest",
+    "e_sessionize_batch",
+    "e_lag_lead",
+    "e_first_last",
+    "c_join_asof",
+    "e_window_distinct",
+    "e_merge_intervals",
+    "e_window_funnel",
+    "e_peak_concurrency",
+    "e_value_change_points",
+    "r_velocity_flags",
+    "r_event_transitions",
+    "r_event_order_violations",
+    "r_user_path_topk",
+    "r_cohort_retention",
+    "r_new_vs_returning",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
-# deferred behind the 44 older never-checked IDs (VERDICT r6 item 7:
-# "defer to r8 rather than displace first-rows"). They order after
-# every plain never-checked entry but before the stale-evidence tier.
-_DEFER_FIRST_ROW = frozenset({"k_ann_grid"})
+# deferred behind higher-priority entries (VERDICT r6 item 7 precedent).
+# Round 9: any ID registered this round goes here so the 16 re-proofs
+# above keep their window slots ("freeze new registrations until these
+# land" — VERDICT r8 item 1). They order after every plain
+# never-checked entry but before the stale-evidence tier.
+_DEFER_FIRST_ROW = frozenset({"e_window_distinct_hll"})
 
-# The round-7 display-exactness wave: every remaining query whose
-# rounded money/quantity display either summed raw doubles or rounded
-# a DOUBLE quotient was converted to the shared exact scheme
-# (functions/exact.py). All are locally hash-verified on the new code;
-# their driver re-proof is DEFERRED one round so the round-7 window
-# still drains the never-checked backlog (VERDICT r6 item 1 outranks).
-# Self-activating: while a COMPLETE (>= 50-row) CORRECTNESS file for
-# round >= _RECHECK_NEXT_AFTER_ROUND does not exist (i.e. during the
-# round-7 driver run, even a crashed-and-resumed one that left a
-# partial file) these sort AFTER all never-checked entries; once it
-# lands (round 8), they sort directly after _RECHECK — 36 re-proofs +
-# the 8 spilled first-rows fit round 8's 50-slot window with 6 slots
-# to spare.
-_RECHECK_NEXT_AFTER_ROUND = 7
-_RECHECK_NEXT_PROOF_ROUND = 8
-_RECHECK_NEXT = (
-    "d_agg_basic",
-    "d_agg_filtered_pivot",
-    "d_grouping_sets",
-    "d_cube",
-    "d_rollup",
-    "c_join_multiway",
-    "c_join_skew_salted",
-    "c_join_bucketed",
-    "t_q01_pricing_summary",
-    "t_q08_market_share",
-    "t_q09_product_profit",
-    "t_q11_important_share",
-    "t_q14_promo_effect",
-    "t_q15_top_supplier",
-    "i_tumbling",
-    "i_sliding",
-    "i_session",
-    "i_stateful_counter",
-    "e_rolling_rows",
-    "e_cumulative",
-    "e_gap_fill_forward",
-    "e_rolling_median",
-    "s_hiveql_mapjoin_report",
-    "s_hiveql_multi_insert",
-    "s_hiveql_grouping_id",
-    "r_ads_daily_report",
-    "r_incremental_daily_agg",
-    "r_mom_yoy_report",
-    "r_dq_anomaly_zscore",
-    "r_rfm_segments",
-    "r_user_trend_slope",
-    "r_ltv_cohort",
-    "r_ab_test_lift",
-    "h_geo_grid_heatmap",
-    "j_ewma_grouped",
-    "j_grouped_agg",
-)
+# Deferred-recheck wave: IDs whose changed code is locally verified but
+# whose driver re-proof waits one round because a higher-priority wave
+# owns the current window. Self-activating once a COMPLETE CORRECTNESS
+# file for round >= _RECHECK_NEXT_AFTER_ROUND exists (see r7/r8 history
+# in git). Empty this round: the r8 wave (36 exactness re-proofs) all
+# landed green in CORRECTNESS_r08.
+_RECHECK_NEXT_AFTER_ROUND = 9
+_RECHECK_NEXT_PROOF_ROUND = 10
+_RECHECK_NEXT: tuple[str, ...] = ()
 
 
 def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
@@ -151,13 +120,17 @@ def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
     displace the first-rows it exists to protect). Completeness is
     DERIVED, not hardcoded (ADVICE r7): any round older than the newest
     file is final by construction (the driver never appends to a past
-    round), and the newest file is complete once it reaches the MOST
-    RECENT finished round's window size (fallback 50 when no history
-    exists) — so a future driver window smaller than 50 cannot
-    permanently block wave activation, while one historically small or
-    crash-abandoned round cannot poison the bar for every later round
-    (r8 review: an all-time minimum would let a genuinely partial
-    newest file count as complete forever after)."""
+    round), and the newest file is complete once it reaches the LARGEST
+    finished round's window size (fallback 50 when no history exists).
+    The max — not the single most recent finished round's size — is the
+    bar (ADVICE r8): if the most recent finished round was itself
+    crash-abandoned small, its size would let a genuinely partial
+    newest file count as complete and activate the deferred-recheck
+    wave mid-round, displacing the first-rows it exists to protect.
+    The max of finished sizes can only come from a round the driver
+    actually completed at that window size, so it cannot under-count;
+    a future driver window PERMANENTLY smaller than history would need
+    this constant revisited (documented trade-off, loud in review)."""
     import glob
     import json
     import os
@@ -183,7 +156,7 @@ def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
         finished = [r for r in sizes if r < max_rnd]
         if finished:
             max_complete = max(finished)
-        threshold = sizes[max(finished)] if finished else 50
+        threshold = max(sizes[r] for r in finished) if finished else 50
         if sizes[max_rnd] >= threshold:
             max_complete = max_rnd
     return latest, max_complete
