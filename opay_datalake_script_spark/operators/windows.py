@@ -354,7 +354,7 @@ def sessionize(
     div = 86_400_000_000 * chunk_days
     ch = ev.select(
         "user_id", "ts", "event_id", um.alias("um"),
-        F.expr(f"unix_micros(ts) div {div}").alias("chunk"),
+        _chunk_id("ts", div).alias("chunk"),
     )
     wloc = W.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     gap = F.col("um") - F.lag("um").over(wloc)
@@ -410,12 +410,53 @@ def sessionize(
 _CHUNK_RESERVED = ("_chunk", "_rn", "_cnt")
 
 
+def _chunk_id(ts: str, div: int):
+    """FLOOR-division chunk id from epoch-micros. Spark's `div` truncates
+    toward zero, so a bare `unix_micros(ts) div n` makes chunk 0 span
+    TWO chunk widths for pre-1970 timestamps (negative micros) — the
+    one-chunk tail carries would then miss in-window rows across the
+    chunk -1/0 boundary (ADVICE r8). The nonnegative-remainder identity
+    `(x - pmod(x, n)) div n` is exact integer floor division for any
+    sign (numerator exactly divisible, so truncation == floor — the
+    repo-wide idiom, see aggregates.py block split)."""
+    um = f"unix_micros({ts})"
+    return F.expr(f"({um} - pmod({um}, {div})) div {div}")
+
+
+def _guard_chunk_names(ev: DataFrame, outs, internals=()) -> None:
+    """Collision guard for the chunk-helper family (ADVICE r8): the
+    helpers inject internal columns (`internals` — the exact generated
+    names for THIS call) and the caller-chosen output names into the
+    frame; a caller column with one of those names makes the join/select
+    ambiguous or silently wrong. Output names must be fresh in the frame
+    and distinct from this call's internal names (internal compositions
+    legitimately pick `_`-prefixed outputs, so only EXACT collisions
+    are rejected, not the whole underscore namespace)."""
+    clash = sorted(set(ev.columns) & ({*internals, *_CHUNK_RESERVED} if internals else set(_CHUNK_RESERVED)))
+    if internals and clash:
+        raise ValueError(
+            f"column(s) {clash!r} collide with chunk-helper internals"
+        )
+    bad = sorted(set(outs) & set(ev.columns))
+    if bad:
+        raise ValueError(
+            f"output name(s) {bad!r} already exist in the input frame — "
+            "the result select would silently shadow or duplicate them"
+        )
+    shadowing = sorted(set(outs) & {*internals, *_CHUNK_RESERVED})
+    if shadowing:
+        raise ValueError(
+            f"output name(s) {shadowing!r} collide with this helper's "
+            "internal column names"
+        )
+
+
 def _chunked(ev: DataFrame, ts: str, chunk_days: int) -> DataFrame:
     for c in _CHUNK_RESERVED:
         if c in ev.columns:
             raise ValueError(f"column {c!r} collides with chunk-helper internals")
     div = 86_400_000_000 * chunk_days
-    return ev.withColumn("_chunk", F.expr(f"unix_micros({ts}) div {div}"))
+    return ev.withColumn("_chunk", _chunk_id(ts, div))
 
 
 def with_chunked_shifts(
@@ -453,10 +494,19 @@ def with_chunked_shifts(
     leads = leads or {}
     keys = [key] if isinstance(key, str) else list(key)
     if chunk_days is None:
+        _guard_chunk_names(ev, [*lags, *leads])
         w = W.partitionBy(*keys).orderBy(ts, tie)
         cols = [F.lag(src).over(w).alias(out) for out, src in lags.items()]
         cols += [F.lead(src).over(w).alias(out) for out, src in leads.items()]
         return ev.select("*", *cols)
+    _guard_chunk_names(
+        ev,
+        [*lags, *leads],
+        internals=[
+            *(f"_{p}_{o}" for o in lags for p in ("lag", "last", "prev")),
+            *(f"_{p}_{o}" for o in leads for p in ("lead", "first", "next")),
+        ],
+    )
     ch = _chunked(ev, ts, chunk_days)
     wloc = W.partitionBy(*keys, "_chunk").orderBy(ts, tie)
     wcnt = W.partitionBy(*keys, "_chunk")
@@ -529,12 +579,20 @@ def with_chunked_running_sums(
     """
     measured = [(out, col) for out, col in sums.items()]
     if chunk_days is None:
+        _guard_chunk_names(ev, list(sums))
         w = (
             W.partitionBy(key)
             .orderBy(ts, tie)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         return ev.select("*", *[F.sum(col).over(w).alias(out) for out, col in measured])
+    _guard_chunk_names(
+        ev,
+        list(sums),
+        internals=[
+            f"_{p}_{o}" for o in sums for p in ("m", "lcum", "t", "pre")
+        ],
+    )
     ch = _chunked(ev, ts, chunk_days).select(
         "*", *[col.alias(f"_m_{out}") for out, col in measured]
     )
@@ -591,6 +649,7 @@ def with_chunked_last_nonnull(
     second ordered stage needs a total order."""
     order_cols = [ts, *ties]
     if chunk_days is None:
+        _guard_chunk_names(ev, list(cols))
         w = (
             W.partitionBy(key)
             .orderBy(*order_cols)
@@ -603,6 +662,11 @@ def with_chunked_last_nonnull(
                 for out, col in cols.items()
             ],
         )
+    _guard_chunk_names(
+        ev,
+        list(cols),
+        internals=[f"_{p}_{o}" for o in cols for p in ("m", "l", "c", "p")],
+    )
     ch = _chunked(ev, ts, chunk_days).select(
         "*", *[col.alias(f"_m_{out}") for out, col in cols.items()]
     )
@@ -678,10 +742,16 @@ def with_chunked_lead_seq(
     """
     k = len(outs)
     if chunk_days is None:
+        _guard_chunk_names(ev, outs)
         w = W.partitionBy(key).orderBy(ts, tie)
         return ev.select(
             "*", *[F.lead(src, i + 1).over(w).alias(o) for i, o in enumerate(outs)]
         )
+    _guard_chunk_names(
+        ev,
+        outs,
+        internals=["_hr", "_heads", "_cont", *(f"_ld{i + 1}" for i in range(k))],
+    )
     ch = _chunked(ev, ts, chunk_days)
     wloc = W.partitionBy(key, "_chunk").orderBy(ts, tie)
     wcnt = W.partitionBy(key, "_chunk")
@@ -765,6 +835,7 @@ def with_chunked_trailing_rows_sums(
     integer/decimal measures (every caller's). (ts, tie) must be a
     total order per key."""
     if chunk_days is None:
+        _guard_chunk_names(ev, list(sums))
         w = (
             W.partitionBy(key)
             .orderBy(ts, tie)
@@ -774,6 +845,11 @@ def with_chunked_trailing_rows_sums(
             "*", *[F.sum(col).over(w).alias(out) for out, col in sums.items()]
         )
     measured = list(sums.items())
+    _guard_chunk_names(
+        ev,
+        list(sums),
+        internals=["_tr", "_tail", "_carr", "_cr", *(f"_m_{o}" for o in sums)],
+    )
     ch = _chunked(ev, ts, chunk_days).select(
         "*", *[col.alias(f"_m_{out}") for out, col in measured]
     )
@@ -861,12 +937,14 @@ def with_chunked_running_max_excl(
     primitive: a row starts a new span iff its start exceeds every
     previous end (e_merge_intervals)."""
     if chunk_days is None:
+        _guard_chunk_names(ev, [out])
         w = (
             W.partitionBy(key)
             .orderBy(ts, tie)
             .rowsBetween(W.unboundedPreceding, -1)
         )
         return ev.select("*", F.max(col).over(w).alias(out))
+    _guard_chunk_names(ev, [out], internals=["_lmax", "_t", "_pre"])
     ch = _chunked(ev, ts, chunk_days)
     wloc = (
         W.partitionBy(key, "_chunk")
@@ -915,6 +993,7 @@ def with_chunked_trailing_range_count(
     ``chunk_days=None`` gives the classic single-window plan.
     """
     if chunk_days is None:
+        _guard_chunk_names(ev, [out])
         w = (
             W.partitionBy(key)
             .orderBy(F.unix_micros(F.col(ts)))
@@ -927,9 +1006,7 @@ def with_chunked_trailing_range_count(
             f"window ({window_micros} us) exceeds the chunk span ({div} us); "
             "raise chunk_days so the one-chunk tail carry stays sufficient"
         )
-    for c in ("_carry", *_CHUNK_RESERVED):
-        if c in ev.columns:
-            raise ValueError(f"column {c!r} collides with chunk-helper internals")
+    _guard_chunk_names(ev, [out], internals=["_carry"])
     um = F.unix_micros(F.col(ts))
     ch = _chunked(ev, ts, chunk_days).withColumn("_carry", F.lit(0))
     tail = (
@@ -1030,9 +1107,7 @@ def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    ch = o.withColumn(
-        "_chunk", F.expr("unix_micros(o_orderdate) div 2592000000000")
-    )
+    ch = o.withColumn("_chunk", _chunk_id("o_orderdate", 2_592_000_000_000))
     wloc = (
         W.partitionBy("o_custkey", "_chunk")
         .orderBy("o_orderdate", "o_orderkey")

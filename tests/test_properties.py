@@ -1840,3 +1840,125 @@ def test_chunked_trailing_rows_sums_equal_classic(spark):
     b = sorted(tuple(r) for r in classic.collect())
     assert a == b
     assert len(a) == len(rows)  # carries never leak into the output
+
+
+def test_chunk_family_pre_epoch_floor_division(spark):
+    """Chunk ids must be FLOOR division of epoch-micros (ADVICE r8):
+    Spark's `div` truncates toward zero, so pre-1970 timestamps would
+    all collapse into a double-width chunk 0 spanning (-chunk, +chunk),
+    breaking the one-chunk tail/boundary carries across the -1/0 chunk
+    boundary. Events straddling the epoch must produce identical
+    results from the chunked and classic forms for every helper family
+    member (shift, running sum, trailing range count, sessionize)."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import (
+        sessionize,
+        with_chunked_shifts,
+        with_chunked_running_sums,
+        with_chunked_trailing_range_count,
+    )
+
+    epoch = dtm.datetime(1970, 1, 1)
+    rows, eid = [], 0
+
+    def add(u, seconds):
+        nonlocal eid
+        rows.append((eid, u, epoch + dtm.timedelta(seconds=seconds)))
+        eid += 1
+
+    DAY = 86_400
+    # user 1: pairs exactly 2h apart straddling the epoch and the
+    # chunk -1/0 boundary; duplicates at the boundary itself
+    for s in [-DAY - 10, -7200, -7199, -1, 0, 0, 1, 7199, 7200, DAY + 10]:
+        add(1, s)
+    # user 2: entirely pre-epoch, multi-chunk (floor must separate
+    # chunk -3 / -2 / -1 correctly, not merge them toward zero)
+    for d in range(3):
+        for j in range(5):
+            add(2, -(d + 1) * DAY + 1800 * j)
+    # user 3: dense pre-to-post stream at 90 s spacing over 4 days
+    for k in range(3840):
+        add(3, -2 * DAY + 90 * k)
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    WIN_US = 7_200_000_000
+    a = with_chunked_trailing_range_count(
+        ev, "user_id", "ts", WIN_US, "burst", chunk_days=1
+    )
+    b = with_chunked_trailing_range_count(
+        ev, "user_id", "ts", WIN_US, "burst", chunk_days=None
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    a = with_chunked_shifts(
+        ev, "user_id", "ts", "event_id", lags={"p": "event_id"},
+        leads={"n": "event_id"}, chunk_days=1,
+    )
+    b = with_chunked_shifts(
+        ev, "user_id", "ts", "event_id", lags={"p": "event_id"},
+        leads={"n": "event_id"}, chunk_days=None,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    sums = {"cum": F.lit(1)}
+    a = with_chunked_running_sums(
+        ev, "user_id", "ts", "event_id", sums, chunk_days=1
+    )
+    b = with_chunked_running_sums(
+        ev, "user_id", "ts", "event_id", sums, chunk_days=None
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    gap = 30 * 60 * 1_000_000
+    a = sessionize(ev, gap_micros=gap, chunk_days=1)
+    b = sessionize(ev, gap_micros=gap, chunk_days=None)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_chunk_helper_name_guard(spark):
+    """The chunk helpers inject generated internal columns (_m_<out>,
+    _lag_<out>, _tr, _cr, ...) plus the caller's output names; a caller
+    column with one of those names must raise loudly instead of
+    producing ambiguous-column errors or silently wrong selects
+    (ADVICE r8)."""
+    import datetime as dtm
+
+    import pytest
+
+    from opay_datalake_script_spark.operators.windows import (
+        with_chunked_running_sums,
+        with_chunked_shifts,
+        with_chunked_trailing_rows_sums,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    # caller column collides with a generated internal name
+    bad = ev.withColumn("_lag_p", F.lit(0))
+    with pytest.raises(ValueError, match="internals"):
+        with_chunked_shifts(bad, "user_id", "ts", "event_id", lags={"p": "event_id"})
+    bad = ev.withColumn("_m_cum", F.lit(0))
+    with pytest.raises(ValueError, match="internals"):
+        with_chunked_running_sums(bad, "user_id", "ts", "event_id", {"cum": F.lit(1)})
+    bad = ev.withColumn("_cr", F.lit(0))
+    with pytest.raises(ValueError, match="internals"):
+        with_chunked_trailing_rows_sums(
+            bad, "user_id", "ts", "event_id", {"s": F.lit(1)}, n_prev=2
+        )
+    # output name shadowing an existing column (both forms must refuse)
+    with pytest.raises(ValueError, match="already exist"):
+        with_chunked_running_sums(
+            ev, "user_id", "ts", "event_id", {"event_id": F.lit(1)}
+        )
+    with pytest.raises(ValueError, match="already exist"):
+        with_chunked_running_sums(
+            ev, "user_id", "ts", "event_id", {"event_id": F.lit(1)}, chunk_days=None
+        )
+    # output name colliding with this call's internal namespace
+    with pytest.raises(ValueError, match="internal"):
+        with_chunked_shifts(
+            ev, "user_id", "ts", "event_id", lags={"_chunk": "event_id"}
+        )
