@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.hints import maybe_broadcast
 from ..registry import register
 from ..sources.io import load
 
@@ -569,15 +570,15 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = star.unionByName(chain).distinct()
-    # Verify-stage fetch, broadcast-hinted per the SCALE_DESIGN §2 class-(b)
-    # policy (the _exact_jaccard precedent): the hash side is one 24-byte
-    # row per image — tiny next to the candidate-pair stream it joins — so
-    # shipping hashes to the pairs avoids shuffling the pair stream twice.
-    # When the per-image table outgrows executor memory at full scale, drop
-    # the hint and AQE falls back to the same doc_id-keyed shuffle join.
-    ha = F.broadcast(hashes.select(F.col("doc_id").alias("doc_a"),
+    # Verify-stage fetch through the SIZE-GATED broadcast hint
+    # (plans/hints.py, SCALE_DESIGN §2 class (b)): the hash side is one
+    # 24-byte row per image — tiny next to the candidate-pair stream at
+    # test scale, but image-count-linear, so the hint detaches itself
+    # past the gate and the join falls back to the same doc_id-keyed
+    # shuffled equi-join with no human edit.
+    ha = maybe_broadcast(hashes.select(F.col("doc_id").alias("doc_a"),
                                    F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")))
-    hb = F.broadcast(hashes.select(F.col("doc_id").alias("doc_b"),
+    hb = maybe_broadcast(hashes.select(F.col("doc_id").alias("doc_b"),
                                    F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")))
     hamming = (
         F.bit_count(F.expr("lo_a ^ lo_b")).cast("long")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.hints import maybe_broadcast
 from ..registry import register
 from ..sources.io import load
 
@@ -253,7 +254,7 @@ def k_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.where(~is_eval)
     evals = sh.where(is_eval).select(F.col("doc_id").alias("eval_id"), "sh")
     return (
-        train.join(F.broadcast(evals), "sh")
+        train.join(maybe_broadcast(evals), "sh")
         .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 3)
@@ -331,12 +332,12 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .repartition(64, F.col("doc_a"))
     )
-    a = F.broadcast(toks.select(
+    a = maybe_broadcast(toks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("tset").alias("ta"),
     ))
-    b = F.broadcast(toks.select(
+    b = maybe_broadcast(toks.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("tset").alias("tb"),
@@ -944,8 +945,8 @@ def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = d.select(
         "doc_id", F.array_distinct(F.split(normalized_text(), " ")).alias("t")
     )
-    a = F.broadcast(tsets.select(F.col("doc_id").alias("new_id"), F.col("t").alias("ta")))
-    b = F.broadcast(tsets.select(F.col("doc_id").alias("old_id"), F.col("t").alias("tb")))
+    a = maybe_broadcast(tsets.select(F.col("doc_id").alias("new_id"), F.col("t").alias("ta")))
+    b = maybe_broadcast(tsets.select(F.col("doc_id").alias("old_id"), F.col("t").alias("tb")))
     jac = (
         F.size(F.array_intersect("ta", "tb")).cast("double")
         / F.size(F.array_union("ta", "tb"))
@@ -1157,10 +1158,10 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = surv.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
-    a = F.broadcast(tsets.select(F.col("doc_id").alias("doc_a"),
+    a = maybe_broadcast(tsets.select(F.col("doc_id").alias("doc_a"),
                                  F.col("lang").alias("lang_a"),
                                  F.col("tset").alias("ta")))
-    b = F.broadcast(tsets.select(F.col("doc_id").alias("doc_b"),
+    b = maybe_broadcast(tsets.select(F.col("doc_id").alias("doc_b"),
                                  F.col("lang").alias("lang_b"),
                                  F.col("tset").alias("tb")))
     jac = (
