@@ -150,12 +150,27 @@ def rotate_scratch_runs(base: str, prefix: str = "run_", keep: int = 4) -> None:
     fresh run dir is always among the newest entries, so (like the DDL
     view generation lag) rotation can never pull a directory out from
     under an in-flight query, while the scratch tree stays bounded at
-    O(keep) run dirs per op instead of growing with every invocation."""
+    O(keep) run dirs per op instead of growing with every invocation.
+    That safety claim is bounded by ``keep``: it holds for up to
+    ``keep`` concurrent invocations of the same op (each in-flight run
+    dir occupies one of the newest-``keep`` slots); more than ``keep``
+    truly simultaneous runs could rotate an in-flight sibling away —
+    raise ``keep`` for ops that legitimately run wider (ADVICE r8).
+
+    Entries deleted by a concurrent rotation between the glob and the
+    stat sort as oldest (mtime 0) and are re-deleted idempotently
+    instead of raising FileNotFoundError (ADVICE r8)."""
     import glob as _glob
     import shutil
 
+    def _mtime(p: str) -> float:
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
     entries = _glob.glob(os.path.join(base, prefix + "*"))
-    entries.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    entries.sort(key=_mtime, reverse=True)
     for stale in entries[keep:]:
         shutil.rmtree(stale, ignore_errors=True)
 

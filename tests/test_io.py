@@ -84,6 +84,31 @@ def test_rotate_scratch_runs_keeps_newest_and_ignores_other_prefixes(tmp_path):
     assert left == ["run_2", "run_3", "run_4", "run_5", "src_shared"], left
 
 
+def test_rotate_scratch_runs_tolerates_concurrent_deletion(tmp_path, monkeypatch):
+    """A sibling rotation deleting an entry between the glob and the
+    mtime stat must not raise (ADVICE r8): the vanished entry sorts as
+    oldest and its rmtree is an idempotent no-op."""
+    base = str(tmp_path)
+    for i in range(6):
+        d = os.path.join(base, f"run_{i}")
+        os.makedirs(d)
+        t = time.time() - (100 - i)
+        os.utime(d, (t, t))
+    real_getmtime = os.path.getmtime
+    import shutil
+
+    def racy_getmtime(p):
+        if p.endswith("run_0"):  # vanishes mid-scan
+            shutil.rmtree(p, ignore_errors=True)
+            raise FileNotFoundError(p)
+        return real_getmtime(p)
+
+    monkeypatch.setattr(src_io.os.path, "getmtime", racy_getmtime)
+    src_io.rotate_scratch_runs(base, keep=4)
+    left = sorted(os.listdir(base))
+    assert left == ["run_2", "run_3", "run_4", "run_5"], left
+
+
 def test_day_epoch_write_multi_batch_and_replay(spark, tmp_path):
     """The i_foreach_batch_sink landing mechanism, exercised directly:
     two micro-batches carrying rows for the SAME day must both survive
