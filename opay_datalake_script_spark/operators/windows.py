@@ -1151,6 +1151,62 @@ def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e_window_distinct_hll")  # rows-only by design: HLL estimates
+# are DataSketches-binary-specific; no DuckDB equivalent can hash-match.
+# Engine-side accuracy is pinned against the exact form instead
+# (test_properties: exact equality at the fixture's 5-value domain,
+# where lgK=12 HLL is collision-free in practice).
+def e_window_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running APPROXIMATE distinct count over a window — the 100 TB
+    replacement for `e_window_distinct` that SCALE_DESIGN §6 promises:
+    the exact form's per-row state is the distinct SET (bounded by the
+    column's domain — fine for 5 priorities, fatal for high-cardinality
+    columns), while this one's is a fixed ~2^lgK-register HLL sketch,
+    independent of cardinality. Same chunked celebrity-immune shape
+    (sketch UNION is associative exactly like set union): a within-chunk
+    running `hll_sketch_agg` window, per-chunk sketches, a chunk-grain
+    `hll_union_agg` window building the exclusive prefix sketch, and the
+    row value estimates union(prefix, local). Accepted-error contract:
+    DataSketches HLL standard error ~1.04/sqrt(2^lgK) (~1.6 % at the
+    default lgK=12); at the fixture's tiny domain the estimate is exact,
+    asserted against `e_window_distinct`."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ch = o.withColumn("_chunk", _chunk_id("o_orderdate", 2_592_000_000_000))
+    wloc = (
+        W.partitionBy("o_custkey", "_chunk")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = ch.select(
+        "o_custkey",
+        "o_orderkey",
+        "_chunk",
+        F.hll_sketch_agg("o_orderpriority").over(wloc).alias("_lsk"),
+    )
+    chunk_sk = ch.groupBy("o_custkey", "_chunk").agg(
+        F.hll_sketch_agg("o_orderpriority").alias("_csk")
+    )
+    wc = (
+        W.partitionBy("o_custkey")
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = chunk_sk.select(
+        "o_custkey",
+        "_chunk",
+        F.hll_union_agg("_csk").over(wc).alias("_psk"),
+    )
+    est = F.when(
+        F.col("_psk").isNull(), F.hll_sketch_estimate("_lsk")
+    ).otherwise(F.hll_sketch_estimate(F.hll_union("_psk", "_lsk")))
+    return (
+        loc.join(pre, ["o_custkey", "_chunk"])
+        .select("o_custkey", "o_orderkey", est.alias("distinct_prios"))
+    )
+
+
 @register(
     "e_window_funnel",
     oracle="""

@@ -1962,3 +1962,29 @@ def test_chunk_helper_name_guard(spark):
         with_chunked_shifts(
             ev, "user_id", "ts", "event_id", lags={"_chunk": "event_id"}
         )
+
+
+def test_window_distinct_hll_matches_exact_at_fixture_domain(spark):
+    """`e_window_distinct_hll` (the bounded-state scale variant of the
+    running distinct count — VERDICT r8 item 7) must agree with the
+    exact form at the fixture's 5-value priority domain, where lgK=12
+    HLL is collision-free: per (custkey, orderkey) the estimate equals
+    the exact count. This pins the accepted-error contract's easy end;
+    the sketch's general error bound is DataSketches' published
+    1.04/sqrt(2^lgK)."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    exact = {
+        (r[0], r[1]): r[2]
+        for r in QUERIES["e_window_distinct"](spark, SF_DIR).collect()
+    }
+    approx = QUERIES["e_window_distinct_hll"](spark, SF_DIR).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        assert r[2] == exact[(r[0], r[1])], (
+            f"HLL estimate {r[2]} != exact {exact[(r[0], r[1])]} "
+            f"for cust={r[0]} order={r[1]}"
+        )
