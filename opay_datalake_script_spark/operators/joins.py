@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import sql_sum_e4_2dp, sum_e4_2dp
+from ..plans.hints import maybe_broadcast
 from ..registry import register
 from ..sources.io import load
 
@@ -52,7 +53,7 @@ def c_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of the fact table at any scale."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    return li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey).select(
         "l_orderkey", "l_linenumber", "p_brand", "p_type"
     )
 
@@ -183,7 +184,7 @@ def c_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
     cond = c.c_acctbal.between(s.s_acctbal - 1.0, s.s_acctbal + 1.0)
-    return c.join(F.broadcast(s), cond).select(
+    return c.join(maybe_broadcast(s), cond).select(
         "s_suppkey",
         "c_custkey",
         F.round("s_acctbal", 2).alias("s_bal"),
@@ -297,7 +298,7 @@ def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
