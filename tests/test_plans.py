@@ -1056,3 +1056,48 @@ def test_size_gated_broadcast_hint(spark, monkeypatch):
     a = sorted(map(tuple, under.collect()))
     b = sorted(map(tuple, over.collect()))
     assert a == b, "gated fallback must be semantics-preserving"
+
+
+def test_gated_hints_attach_at_fixture_scale(spark, monkeypatch):
+    """Round 9 converted the SF-scaling / vocabulary-linear broadcast
+    sides (filtered TPC-H dims, CDC touched keys, textstats LM tables)
+    from hard ``F.broadcast`` to the size-gated ``maybe_broadcast``.
+    The conversion must be plan-IDENTICAL at fixture scale — the hint
+    still attaches, so no local perf is given up — and every gated hint
+    must vanish above the gate while the unconditional hints on
+    genuinely bounded sides (region/nation, scalar totals) remain.
+
+    Expected counts are probed facts, not aspirations: aggregate-derived
+    sides (e.g. the bigram LM's word-count table) carry no scan stats,
+    estimate near Long.MaxValue, and correctly refuse the hint even at
+    fixture scale (AQE runtime-promotes those from actual sizes), which
+    is why e.g. k_bigram_logprob pins 1 gated hint, not 2."""
+    from opay_datalake_script_spark.plans import hints
+
+    def nhints(df):
+        return str(df._jdf.queryExecution().optimizedPlan().toString()).count(
+            "strategy=broadcast"
+        )
+
+    # qid -> (hints at fixture scale, hints with the gate forced to 0)
+    expected = {
+        "c_join_broadcast": (1, 0),
+        "c_join_range": (1, 0),
+        "c_join_multiway": (3, 2),
+        "t_q09_product_profit": (2, 1),
+        "t_q14_promo_effect": (1, 0),
+        "r_ads_daily_report": (2, 1),
+        "a_cdc_upsert": (1, 0),
+        "k_tfidf_topterms": (1, 0),
+        "k_bigram_logprob": (1, 0),
+        "k_bpe_encode": (1, 0),
+    }
+    base = {q: nhints(QUERIES[q](spark, SF_DIR)) for q in expected}
+    monkeypatch.setattr(hints, "VERIFY_FETCH_BROADCAST_MAX_BYTES", 0)
+    gate0 = {q: nhints(QUERIES[q](spark, SF_DIR)) for q in expected}
+    got = {q: (base[q], gate0[q]) for q in expected}
+    assert got == expected, (
+        "size-gated hint counts moved: either a gated side stopped "
+        "hinting at fixture scale (local perf regression) or an "
+        "unconditional hint became gated/ungated unintentionally"
+    )
