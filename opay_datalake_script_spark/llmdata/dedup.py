@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.hints import maybe_broadcast
+from ..plans.hints import fits_broadcast_gate, maybe_broadcast
 from ..registry import register
 from ..sources.io import load
 
@@ -188,14 +188,15 @@ def exact_jaccard_scores(toks: DataFrame, cand: DataFrame, set_col: str) -> Data
     join plans as the doc_id-keyed shuffled equi-join automatically —
     same semantics, same uniform keys — with no human edit (VERDICT r8
     retired the hard-coded hint as the last `weak` scale item)."""
-    a = maybe_broadcast(
+    hint = F.broadcast if fits_broadcast_gate(toks) else (lambda f: f)
+    a = hint(
         toks.select(
             F.col("doc_id").alias("doc_a"),
             F.col("lang").alias("lang_a"),
             F.col(set_col).alias("_sa"),
         )
     )
-    b = maybe_broadcast(
+    b = hint(
         toks.select(
             F.col("doc_id").alias("doc_b"),
             F.col("lang").alias("lang_b"),
@@ -925,10 +926,11 @@ def k_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and re-spread the AQE-coalesced candidate output before the
     # scoring stage (pinned count — see exact_jaccard_scores).
     cand = cand.repartition(64, F.col("doc_a"))
-    a = maybe_broadcast(
+    hint = F.broadcast if fits_broadcast_gate(toks) else (lambda f: f)
+    a = hint(
         toks.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("_sa"))
     )
-    b = maybe_broadcast(
+    b = hint(
         toks.select(F.col("doc_id").alias("doc_b"), F.col("tset").alias("_sb"))
     )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
@@ -1050,10 +1052,11 @@ def k_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sig = minhash_signatures(d)
     cand = band_candidate_pairs(d)
-    a = maybe_broadcast(sig.select(F.col("doc_id").alias("doc_a"),
-                               *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)]))
-    b = maybe_broadcast(sig.select(F.col("doc_id").alias("doc_b"),
-                               *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)]))
+    hint = F.broadcast if fits_broadcast_gate(sig) else (lambda f: f)
+    a = hint(sig.select(F.col("doc_id").alias("doc_a"),
+                        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)]))
+    b = hint(sig.select(F.col("doc_id").alias("doc_b"),
+                        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)]))
     toks = d.select(
         "doc_id", F.lit("x").alias("lang"),
         F.array_distinct(F.split(normalized_text(), " ")).alias("tset"),

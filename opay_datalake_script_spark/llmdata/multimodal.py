@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.hints import maybe_broadcast
+from ..plans.hints import fits_broadcast_gate
 from ..registry import register
 from ..sources.io import load
 
@@ -576,10 +576,11 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test scale, but image-count-linear, so the hint detaches itself
     # past the gate and the join falls back to the same doc_id-keyed
     # shuffled equi-join with no human edit.
-    ha = maybe_broadcast(hashes.select(F.col("doc_id").alias("doc_a"),
-                                   F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")))
-    hb = maybe_broadcast(hashes.select(F.col("doc_id").alias("doc_b"),
-                                   F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")))
+    hint = F.broadcast if fits_broadcast_gate(hashes) else (lambda f: f)
+    ha = hint(hashes.select(F.col("doc_id").alias("doc_a"),
+                            F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")))
+    hb = hint(hashes.select(F.col("doc_id").alias("doc_b"),
+                            F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")))
     hamming = (
         F.bit_count(F.expr("lo_a ^ lo_b")).cast("long")
         + F.bit_count(F.expr("hi_a ^ hi_b")).cast("long")

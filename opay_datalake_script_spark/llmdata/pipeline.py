@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.hints import maybe_broadcast
+from ..plans.hints import fits_broadcast_gate, maybe_broadcast
 from ..registry import register
 from ..sources.io import load
 
@@ -332,12 +332,13 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .repartition(64, F.col("doc_a"))
     )
-    a = maybe_broadcast(toks.select(
+    hint = F.broadcast if fits_broadcast_gate(toks) else (lambda f: f)
+    a = hint(toks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("tset").alias("ta"),
     ))
-    b = maybe_broadcast(toks.select(
+    b = hint(toks.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("tset").alias("tb"),
@@ -945,8 +946,9 @@ def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = d.select(
         "doc_id", F.array_distinct(F.split(normalized_text(), " ")).alias("t")
     )
-    a = maybe_broadcast(tsets.select(F.col("doc_id").alias("new_id"), F.col("t").alias("ta")))
-    b = maybe_broadcast(tsets.select(F.col("doc_id").alias("old_id"), F.col("t").alias("tb")))
+    hint = F.broadcast if fits_broadcast_gate(tsets) else (lambda f: f)
+    a = hint(tsets.select(F.col("doc_id").alias("new_id"), F.col("t").alias("ta")))
+    b = hint(tsets.select(F.col("doc_id").alias("old_id"), F.col("t").alias("tb")))
     jac = (
         F.size(F.array_intersect("ta", "tb")).cast("double")
         / F.size(F.array_union("ta", "tb"))
@@ -1158,12 +1160,13 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = surv.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
-    a = maybe_broadcast(tsets.select(F.col("doc_id").alias("doc_a"),
-                                 F.col("lang").alias("lang_a"),
-                                 F.col("tset").alias("ta")))
-    b = maybe_broadcast(tsets.select(F.col("doc_id").alias("doc_b"),
-                                 F.col("lang").alias("lang_b"),
-                                 F.col("tset").alias("tb")))
+    hint = F.broadcast if fits_broadcast_gate(tsets) else (lambda f: f)
+    a = hint(tsets.select(F.col("doc_id").alias("doc_a"),
+                          F.col("lang").alias("lang_a"),
+                          F.col("tset").alias("ta")))
+    b = hint(tsets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("lang").alias("lang_b"),
+                          F.col("tset").alias("tb")))
     jac = (
         F.size(F.array_intersect("ta", "tb")).cast("double")
         / F.size(F.array_union("ta", "tb"))

@@ -432,10 +432,19 @@ def _guard_chunk_names(ev: DataFrame, outs, internals=()) -> None:
     and distinct from this call's internal names (internal compositions
     legitimately pick `_`-prefixed outputs, so only EXACT collisions
     are rejected, not the whole underscore namespace)."""
-    clash = sorted(set(ev.columns) & ({*internals, *_CHUNK_RESERVED} if internals else set(_CHUNK_RESERVED)))
-    if internals and clash:
+    if internals:
+        clash = sorted(set(ev.columns) & {*internals, *_CHUNK_RESERVED})
+        if clash:
+            raise ValueError(
+                f"column(s) {clash!r} collide with chunk-helper internals"
+            )
+    outs = list(outs)
+    dup = sorted({o for o in outs if outs.count(o) > 1})
+    if dup:
         raise ValueError(
-            f"column(s) {clash!r} collide with chunk-helper internals"
+            f"output name(s) {dup!r} requested more than once in a single "
+            "call — the result would carry duplicate columns and any "
+            "downstream reference would be ambiguous"
         )
     bad = sorted(set(outs) & set(ev.columns))
     if bad:

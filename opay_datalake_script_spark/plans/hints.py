@@ -40,13 +40,24 @@ def plan_size_bytes(df: DataFrame) -> int:
     return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
 
-def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
-    """Broadcast-hint ``df`` iff its estimated plan size is under
-    ``max_bytes`` (default ``VERIFY_FETCH_BROADCAST_MAX_BYTES``,
-    re-read at call time so tests can pin the gate); otherwise return
-    it unchanged, leaving join strategy to Catalyst/AQE."""
+def fits_broadcast_gate(df: DataFrame, max_bytes: int | None = None) -> bool:
+    """True iff ``df``'s estimated plan size is under the gate (default
+    ``VERIFY_FETCH_BROADCAST_MAX_BYTES``, re-read at call time so tests
+    can pin it). ``plan_size_bytes`` runs a full driver-side
+    analyze+optimize of the frame's lineage, so when SEVERAL projections
+    of one parent feed the same join (the verify stages' doc_a/doc_b
+    sides), estimate the shared parent ONCE with this predicate and wrap
+    each side with ``F.broadcast`` on the shared verdict, instead of
+    paying the optimizer pass per side via ``maybe_broadcast``."""
     if max_bytes is None:
         max_bytes = VERIFY_FETCH_BROADCAST_MAX_BYTES
-    if plan_size_bytes(df) <= max_bytes:
+    return plan_size_bytes(df) <= max_bytes
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Broadcast-hint ``df`` iff its estimated plan size is under the
+    gate (see ``fits_broadcast_gate``); otherwise return it unchanged,
+    leaving join strategy to Catalyst/AQE."""
+    if fits_broadcast_gate(df, max_bytes):
         return F.broadcast(df)
     return df

@@ -1067,11 +1067,12 @@ def test_gated_hints_attach_at_fixture_scale(spark, monkeypatch):
     must vanish above the gate while the unconditional hints on
     genuinely bounded sides (region/nation, scalar totals) remain.
 
-    Expected counts are probed facts, not aspirations: aggregate-derived
-    sides (e.g. the bigram LM's word-count table) carry no scan stats,
-    estimate near Long.MaxValue, and correctly refuse the hint even at
-    fixture scale (AQE runtime-promotes those from actual sizes), which
-    is why e.g. k_bigram_logprob pins 1 gated hint, not 2."""
+    Expected counts are probed facts: every converted side attaches at
+    fixture scale, including aggregate-derived ones (Catalyst shrinks
+    the size estimate through aggregates — a word-count table over the
+    sf0.01 documents scan estimates ~28 KB vs the scan's ~65 KB), so
+    each query pins exactly its number of maybe_broadcast call sites
+    (k_bigram_logprob has 1, k_perplexity_buckets 2, ...)."""
     from opay_datalake_script_spark.plans import hints
 
     def nhints(df):
@@ -1090,6 +1091,7 @@ def test_gated_hints_attach_at_fixture_scale(spark, monkeypatch):
         "a_cdc_upsert": (1, 0),
         "k_tfidf_topterms": (1, 0),
         "k_bigram_logprob": (1, 0),
+        "k_perplexity_buckets": (2, 0),
         "k_bpe_encode": (1, 0),
     }
     base = {q: nhints(QUERIES[q](spark, SF_DIR)) for q in expected}

@@ -1962,6 +1962,20 @@ def test_chunk_helper_name_guard(spark):
         with_chunked_shifts(
             ev, "user_id", "ts", "event_id", lags={"_chunk": "event_id"}
         )
+    # the same output name requested twice in ONE call (lags and leads
+    # share a key) — previously passed the guard and produced a frame
+    # with duplicate columns, failing only on the first downstream
+    # reference with AMBIGUOUS_REFERENCE (r9 review finding)
+    with pytest.raises(ValueError, match="more than once"):
+        with_chunked_shifts(
+            ev, "user_id", "ts", "event_id",
+            lags={"x": "event_id"}, leads={"x": "event_id"},
+        )
+    with pytest.raises(ValueError, match="more than once"):
+        with_chunked_shifts(
+            ev, "user_id", "ts", "event_id",
+            lags={"x": "event_id"}, leads={"x": "event_id"}, chunk_days=None,
+        )
 
 
 def test_window_distinct_hll_matches_exact_at_fixture_domain(spark):
