@@ -176,19 +176,41 @@ def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta/band join (non-equi): physical plan is broadcast-nested-loop
-    with the small (supplier) side broadcast, so cost is |customer| x
-    |broadcast| per executor — the side to broadcast is chosen explicitly.
-    At 100 TB the scale path is bucketizing the band key into an equi-join
-    prefilter; here the small side keeps BNL bounded."""
+    """Theta/band join, distributed as a BANDED EQUI-JOIN: each customer
+    belongs to exactly ONE unit-width balance bucket (floor(c_acctbal)),
+    each supplier replicates to the <=3 buckets its +/-1.0 band can
+    touch, candidates meet in a bucket-keyed equi-join, and the exact
+    BETWEEN predicate runs as a residual filter. No pair matches twice
+    (the customer's bucket is unique), so no dedup is needed.
+
+    This is the shape that survives any scale: both sides shuffle on a
+    bounded-fan-out integer key instead of nesting loops. The size-gated
+    broadcast hint on the (3x-replicated) supplier side keeps the local
+    broadcast-hash plan at fixture scale; past the gate the SAME
+    equi-join simply shuffles — the graceful fallback a pure non-equi
+    condition cannot offer (r9 review: with no equi-key, detaching the
+    hint would have left CartesianProduct as the only plan)."""
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
-    cond = c.c_acctbal.between(s.s_acctbal - 1.0, s.s_acctbal + 1.0)
-    return c.join(maybe_broadcast(s), cond).select(
-        "s_suppkey",
-        "c_custkey",
-        F.round("s_acctbal", 2).alias("s_bal"),
-        F.round("c_acctbal", 2).alias("c_bal"),
+    sb = s.select(
+        "s_suppkey", "s_acctbal",
+        F.explode(
+            F.sequence(
+                F.floor(s.s_acctbal - 1.0), F.floor(s.s_acctbal + 1.0)
+            )
+        ).alias("_bkt"),
+    )
+    cb = c.select("c_custkey", "c_acctbal", F.floor(c.c_acctbal).alias("_bkt"))
+    cond = cb.c_acctbal.between(sb.s_acctbal - 1.0, sb.s_acctbal + 1.0)
+    return (
+        cb.join(maybe_broadcast(sb), "_bkt")
+        .where(cond)
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.round("s_acctbal", 2).alias("s_bal"),
+            F.round("c_acctbal", 2).alias("c_bal"),
+        )
     )
 
 

@@ -76,6 +76,12 @@ _RECHECK = (
     # salted LSH chains + the deferred exactness re-proofs — all landed
     # green in CORRECTNESS_r08 and is cleared.) New registrations this
     # round go through _DEFER_FIRST_ROW so they cannot displace these.
+    # ... plus the one late-r9 plan rewrite: c_join_range went from
+    # broadcast-nested-loop to the banded equi-join (bounded 3-bucket
+    # supplier fan-out + residual BETWEEN) so the size-gate's automatic
+    # fallback is a real shuffled equi-join instead of a cartesian.
+    # Hash-verified vs DuckDB at sf0.01+sf0.001 pre-registration.
+    "c_join_range",
     "e_dedupe_latest",
     "e_sessionize_batch",
     "e_lag_lead",
