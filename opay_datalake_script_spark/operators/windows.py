@@ -1089,6 +1089,60 @@ def e_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunked_prefix_union(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    local_agg,
+    chunk_agg,
+    prefix_agg,
+    combine,
+    out: str = "distinct_prios",
+) -> DataFrame:
+    """ONE copy of the celebrity-immune running-associative-union shape
+    shared by the exact and HLL running distinct counts (r9 review: the
+    two variants previously hand-maintained identical scaffolding, so a
+    future chunk-width/ordering/join fix had to be applied twice). The
+    within-chunk running aggregate rides a (custkey, 30-day chunk)
+    window, each chunk publishes its full aggregate as `_c`, a
+    chunk-grain window folds the preceding chunks into an exclusive
+    prefix, and the row value combines prefix with local — exact for
+    any ASSOCIATIVE union (set union, sketch union).
+
+    ``local_agg(window)`` -> within-chunk running aggregate column;
+    ``chunk_agg()`` -> per-chunk full aggregate (exposed as `_c` to
+    ``prefix_agg(window)``, the exclusive chunk-prefix fold);
+    ``combine(prefix, local)`` -> output value. The prefix is NULL in
+    each key's first chunk unless ``prefix_agg`` coalesces it away."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ch = o.withColumn("_chunk", _chunk_id("o_orderdate", 2_592_000_000_000))
+    wloc = (
+        W.partitionBy("o_custkey", "_chunk")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    loc = ch.select(
+        "o_custkey", "o_orderkey", "_chunk", local_agg(wloc).alias("_l")
+    )
+    chunks = ch.groupBy("o_custkey", "_chunk").agg(chunk_agg().alias("_c"))
+    wc = (
+        W.partitionBy("o_custkey")
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    pre = chunks.select("o_custkey", "_chunk", prefix_agg(wc).alias("_p"))
+    return (
+        loc.join(pre, ["o_custkey", "_chunk"])
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            combine(F.col("_p"), F.col("_l")).alias(out),
+        )
+    )
+
+
 @register(
     "e_window_distinct",
     oracle="""
@@ -1104,59 +1158,24 @@ def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct count over a window. Spark (like Hive) rejects
     DISTINCT inside window aggregates, so the reference-family idiom is
     `size(collect_set(x) OVER w)` — here in the celebrity-immune chunked
-    form (set UNION is associative like sum/max): the within-chunk
-    running set rides a (key, chunk) window, each chunk publishes its
-    full distinct set, a chunk-grain window unions the preceding chunks'
-    sets into an exclusive prefix set (bounded by the column's distinct
-    DOMAIN, not by rows — 5 priorities here), and the row value is
-    |prefix ∪ local| — hash-identical to the classic single user-keyed
-    sort. State per row is still the distinct set (same as classic); at
-    100 TB cardinalities this becomes the HLL sketch
-    (`d_approx_count_distinct`) accepted-error variant instead."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    ch = o.withColumn("_chunk", _chunk_id("o_orderdate", 2_592_000_000_000))
-    wloc = (
-        W.partitionBy("o_custkey", "_chunk")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    loc = ch.select(
-        "o_custkey",
-        "o_orderkey",
-        "_chunk",
-        F.collect_set("o_orderpriority").over(wloc).alias("_lset"),
-    )
-    chunk_sets = ch.groupBy("o_custkey", "_chunk").agg(
-        F.collect_set("o_orderpriority").alias("_cset")
-    )
-    wc = (
-        W.partitionBy("o_custkey")
-        .orderBy("_chunk")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    pre = chunk_sets.select(
-        "o_custkey",
-        "_chunk",
-        F.array_distinct(
+    form via `_chunked_prefix_union` (set UNION is associative like
+    sum/max). Per-row state is the distinct SET, bounded by the column's
+    distinct DOMAIN (5 priorities here), not by rows; at 100 TB
+    cardinalities `e_window_distinct_hll` replaces it with a fixed-size
+    sketch — hash-identical to the classic single user-keyed sort."""
+    return _chunked_prefix_union(
+        spark, sf_dir,
+        local_agg=lambda w: F.collect_set("o_orderpriority").over(w),
+        chunk_agg=lambda: F.collect_set("o_orderpriority"),
+        prefix_agg=lambda w: F.array_distinct(
             F.flatten(
                 F.coalesce(
-                    F.collect_list("_cset").over(wc),
+                    F.collect_list("_c").over(w),
                     F.array().cast("array<array<string>>"),
                 )
             )
-        ).alias("_pset"),
-    )
-    return (
-        loc.join(pre, ["o_custkey", "_chunk"])
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.size(F.array_union("_pset", "_lset")).cast("long").alias(
-                "distinct_prios"
-            ),
-        )
+        ),
+        combine=lambda p, l: F.size(F.array_union(p, l)).cast("long"),
     )
 
 
@@ -1179,40 +1198,14 @@ def e_window_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSketches HLL standard error ~1.04/sqrt(2^lgK) (~1.6 % at the
     default lgK=12); at the fixture's tiny domain the estimate is exact,
     asserted against `e_window_distinct`."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    ch = o.withColumn("_chunk", _chunk_id("o_orderdate", 2_592_000_000_000))
-    wloc = (
-        W.partitionBy("o_custkey", "_chunk")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    loc = ch.select(
-        "o_custkey",
-        "o_orderkey",
-        "_chunk",
-        F.hll_sketch_agg("o_orderpriority").over(wloc).alias("_lsk"),
-    )
-    chunk_sk = ch.groupBy("o_custkey", "_chunk").agg(
-        F.hll_sketch_agg("o_orderpriority").alias("_csk")
-    )
-    wc = (
-        W.partitionBy("o_custkey")
-        .orderBy("_chunk")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    pre = chunk_sk.select(
-        "o_custkey",
-        "_chunk",
-        F.hll_union_agg("_csk").over(wc).alias("_psk"),
-    )
-    est = F.when(
-        F.col("_psk").isNull(), F.hll_sketch_estimate("_lsk")
-    ).otherwise(F.hll_sketch_estimate(F.hll_union("_psk", "_lsk")))
-    return (
-        loc.join(pre, ["o_custkey", "_chunk"])
-        .select("o_custkey", "o_orderkey", est.alias("distinct_prios"))
+    return _chunked_prefix_union(
+        spark, sf_dir,
+        local_agg=lambda w: F.hll_sketch_agg("o_orderpriority").over(w),
+        chunk_agg=lambda: F.hll_sketch_agg("o_orderpriority"),
+        prefix_agg=lambda w: F.hll_union_agg("_c").over(w),
+        combine=lambda p, l: F.when(
+            p.isNull(), F.hll_sketch_estimate(l)
+        ).otherwise(F.hll_sketch_estimate(F.hll_union(p, l))),
     )
 
 
