@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.hints import fits_broadcast_gate, maybe_broadcast
+from ..plans.hints import gated_hint, maybe_broadcast
 from ..registry import register
 from ..sources.io import load
 
@@ -188,7 +188,7 @@ def exact_jaccard_scores(toks: DataFrame, cand: DataFrame, set_col: str) -> Data
     join plans as the doc_id-keyed shuffled equi-join automatically —
     same semantics, same uniform keys — with no human edit (VERDICT r8
     retired the hard-coded hint as the last `weak` scale item)."""
-    hint = F.broadcast if fits_broadcast_gate(toks) else (lambda f: f)
+    hint = gated_hint(toks)
     a = hint(
         toks.select(
             F.col("doc_id").alias("doc_a"),
@@ -926,7 +926,7 @@ def k_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and re-spread the AQE-coalesced candidate output before the
     # scoring stage (pinned count — see exact_jaccard_scores).
     cand = cand.repartition(64, F.col("doc_a"))
-    hint = F.broadcast if fits_broadcast_gate(toks) else (lambda f: f)
+    hint = gated_hint(toks)
     a = hint(
         toks.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("_sa"))
     )
@@ -1052,7 +1052,7 @@ def k_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sig = minhash_signatures(d)
     cand = band_candidate_pairs(d)
-    hint = F.broadcast if fits_broadcast_gate(sig) else (lambda f: f)
+    hint = gated_hint(sig)
     a = hint(sig.select(F.col("doc_id").alias("doc_a"),
                         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)]))
     b = hint(sig.select(F.col("doc_id").alias("doc_b"),

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.hints import fits_broadcast_gate
+from ..plans.hints import gated_hint
 from ..registry import register
 from ..sources.io import load
 
@@ -576,7 +576,7 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test scale, but image-count-linear, so the hint detaches itself
     # past the gate and the join falls back to the same doc_id-keyed
     # shuffled equi-join with no human edit.
-    hint = F.broadcast if fits_broadcast_gate(hashes) else (lambda f: f)
+    hint = gated_hint(hashes)
     ha = hint(hashes.select(F.col("doc_id").alias("doc_a"),
                             F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")))
     hb = hint(hashes.select(F.col("doc_id").alias("doc_b"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.hints import fits_broadcast_gate, maybe_broadcast
+from ..plans.hints import gated_hint, maybe_broadcast
 from ..registry import register
 from ..sources.io import load
 
@@ -332,7 +332,7 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .repartition(64, F.col("doc_a"))
     )
-    hint = F.broadcast if fits_broadcast_gate(toks) else (lambda f: f)
+    hint = gated_hint(toks)
     a = hint(toks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
@@ -946,7 +946,7 @@ def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = d.select(
         "doc_id", F.array_distinct(F.split(normalized_text(), " ")).alias("t")
     )
-    hint = F.broadcast if fits_broadcast_gate(tsets) else (lambda f: f)
+    hint = gated_hint(tsets)
     a = hint(tsets.select(F.col("doc_id").alias("new_id"), F.col("t").alias("ta")))
     b = hint(tsets.select(F.col("doc_id").alias("old_id"), F.col("t").alias("tb")))
     jac = (
@@ -1160,7 +1160,7 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = surv.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
-    hint = F.broadcast if fits_broadcast_gate(tsets) else (lambda f: f)
+    hint = gated_hint(tsets)
     a = hint(tsets.select(F.col("doc_id").alias("doc_a"),
                           F.col("lang").alias("lang_a"),
                           F.col("tset").alias("ta")))

@@ -1110,8 +1110,9 @@ def _chunked_prefix_union(
     any ASSOCIATIVE union (set union, sketch union).
 
     ``local_agg(window)`` -> within-chunk running aggregate column;
-    ``chunk_agg()`` -> per-chunk full aggregate (exposed as `_c` to
-    ``prefix_agg(window)``, the exclusive chunk-prefix fold);
+    ``chunk_agg()`` -> per-chunk full aggregate;
+    ``prefix_agg(window, c)`` -> exclusive chunk-prefix fold over the
+    per-chunk aggregate column ``c``;
     ``combine(prefix, local)`` -> output value. The prefix is NULL in
     each key's first chunk unless ``prefix_agg`` coalesces it away."""
     o = load(spark, sf_dir, "orders").select(
@@ -1132,7 +1133,9 @@ def _chunked_prefix_union(
         .orderBy("_chunk")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    pre = chunks.select("o_custkey", "_chunk", prefix_agg(wc).alias("_p"))
+    pre = chunks.select(
+        "o_custkey", "_chunk", prefix_agg(wc, F.col("_c")).alias("_p")
+    )
     return (
         loc.join(pre, ["o_custkey", "_chunk"])
         .select(
@@ -1167,10 +1170,10 @@ def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         local_agg=lambda w: F.collect_set("o_orderpriority").over(w),
         chunk_agg=lambda: F.collect_set("o_orderpriority"),
-        prefix_agg=lambda w: F.array_distinct(
+        prefix_agg=lambda w, c: F.array_distinct(
             F.flatten(
                 F.coalesce(
-                    F.collect_list("_c").over(w),
+                    F.collect_list(c).over(w),
                     F.array().cast("array<array<string>>"),
                 )
             )
@@ -1202,7 +1205,7 @@ def e_window_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         local_agg=lambda w: F.hll_sketch_agg("o_orderpriority").over(w),
         chunk_agg=lambda: F.hll_sketch_agg("o_orderpriority"),
-        prefix_agg=lambda w: F.hll_union_agg("_c").over(w),
+        prefix_agg=lambda w, c: F.hll_union_agg(c).over(w),
         combine=lambda p, l: F.when(
             p.isNull(), F.hll_sketch_estimate(l)
         ).otherwise(F.hll_sketch_estimate(F.hll_union(p, l))),

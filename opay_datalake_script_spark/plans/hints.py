@@ -54,6 +54,19 @@ def fits_broadcast_gate(df: DataFrame, max_bytes: int | None = None) -> bool:
     return plan_size_bytes(df) <= max_bytes
 
 
+def gated_hint(parent: DataFrame, max_bytes: int | None = None):
+    """The shared-parent gating idiom as a helper: estimate ``parent``
+    once, return the wrapper to apply to each projection of it that
+    feeds the join — ``F.broadcast`` under the gate, identity above it.
+
+    >>> hint = gated_hint(toks)
+    >>> a, b = hint(toks.select(...)), hint(toks.select(...))
+    """
+    if fits_broadcast_gate(parent, max_bytes):
+        return F.broadcast
+    return lambda df: df
+
+
 def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Broadcast-hint ``df`` iff its estimated plan size is under the
     gate (see ``fits_broadcast_gate``); otherwise return it unchanged,
