@@ -192,26 +192,50 @@ def c_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint would have left CartesianProduct as the only plan)."""
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
-    sb = s.select(
-        "s_suppkey", "s_acctbal",
+    return banded_point_join(
+        c, "c_acctbal", s, "s_acctbal", half_width=1.0
+    ).select(
+        "s_suppkey",
+        "c_custkey",
+        F.round("s_acctbal", 2).alias("s_bal"),
+        F.round("c_acctbal", 2).alias("c_bal"),
+    )
+
+
+def banded_point_join(
+    points: DataFrame,
+    point_col: str,
+    bands: DataFrame,
+    center_col: str,
+    half_width: float,
+) -> DataFrame:
+    """Points x bands where ``point BETWEEN center - hw AND center + hw``,
+    as a bucket-keyed equi-join (bucket width == half_width): each point
+    keys on its unique bucket ``floor(point / hw)``, each band replicates
+    to the <=3 buckets its interval can touch, and the exact BETWEEN runs
+    as a residual filter. Floor monotonicity guarantees every matching
+    point's bucket lies in the replicated range; the point bucket being
+    unique guarantees no pair matches twice (no dedup needed). The
+    size-gated hint keeps the broadcast-hash plan while the replicated
+    band side is small; above the gate the same join shuffles on the
+    integer bucket key."""
+    hw = float(half_width)
+    if "_bkt" in points.columns or "_bkt" in bands.columns:
+        raise ValueError("column '_bkt' collides with the band-join internal key")
+    bb = bands.select(
+        "*",
         F.explode(
             F.sequence(
-                F.floor(s.s_acctbal - 1.0), F.floor(s.s_acctbal + 1.0)
+                F.floor((F.col(center_col) - hw) / hw),
+                F.floor((F.col(center_col) + hw) / hw),
             )
         ).alias("_bkt"),
     )
-    cb = c.select("c_custkey", "c_acctbal", F.floor(c.c_acctbal).alias("_bkt"))
-    cond = cb.c_acctbal.between(sb.s_acctbal - 1.0, sb.s_acctbal + 1.0)
-    return (
-        cb.join(maybe_broadcast(sb), "_bkt")
-        .where(cond)
-        .select(
-            "s_suppkey",
-            "c_custkey",
-            F.round("s_acctbal", 2).alias("s_bal"),
-            F.round("c_acctbal", 2).alias("c_bal"),
-        )
+    pb = points.select("*", F.floor(F.col(point_col) / hw).alias("_bkt"))
+    cond = pb[point_col].between(
+        bb[center_col] - hw, bb[center_col] + hw
     )
+    return pb.join(maybe_broadcast(bb), "_bkt").where(cond).drop("_bkt")
 
 
 @register(

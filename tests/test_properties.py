@@ -2002,3 +2002,39 @@ def test_window_distinct_hll_matches_exact_at_fixture_domain(spark):
             f"HLL estimate {r[2]} != exact {exact[(r[0], r[1])]} "
             f"for cust={r[0]} order={r[1]}"
         )
+
+
+def test_banded_point_join_equals_naive_theta(spark):
+    """`banded_point_join` (the c_join_range rewrite) must return exactly
+    the naive crossJoin+BETWEEN result on boundary-adversarial data:
+    values at EXACT band edges (point == center +/- hw, inclusive both
+    ends), negative values (floor, not truncation, places the bucket),
+    points/centers exactly on bucket boundaries, and a non-unit
+    half_width. The bucket replication must neither drop an edge match
+    nor double-count a pair (each point's bucket is unique)."""
+    from opay_datalake_script_spark.operators.joins import banded_point_join
+
+    import pyspark.sql.functions as F
+
+    vals = [-3.0, -2.5, -2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0,
+            -2.75, -0.25, 0.25, 2.75, 1e-12, -1e-12]
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pid long, p double"
+    )
+    bnds = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(vals)], "bid long, c double"
+    )
+    for hw in (1.0, 0.5, 2.0):
+        got = sorted(
+            map(tuple,
+                banded_point_join(pts, "p", bnds, "c", half_width=hw)
+                .select("pid", "bid").collect())
+        )
+        want = sorted(
+            map(tuple,
+                pts.crossJoin(bnds)
+                .where(F.col("p").between(F.col("c") - hw, F.col("c") + hw))
+                .select("pid", "bid").collect())
+        )
+        assert got == want, f"half_width={hw}: banded != naive theta"
+        assert len(got) == len(set(got)), f"half_width={hw}: duplicate pairs"
