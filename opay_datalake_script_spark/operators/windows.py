@@ -1089,25 +1089,28 @@ def e_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chunked_prefix_union(
-    spark: SparkSession,
-    sf_dir: str,
+def chunked_prefix_union(
+    ev: DataFrame,
     *,
+    key: str,
+    row_id: str,
+    ts: str,
     local_agg,
     chunk_agg,
     prefix_agg,
     combine,
-    out: str = "distinct_prios",
+    out: str,
+    chunk_days: int = 30,
 ) -> DataFrame:
     """ONE copy of the celebrity-immune running-associative-union shape
     shared by the exact and HLL running distinct counts (r9 review: the
     two variants previously hand-maintained identical scaffolding, so a
     future chunk-width/ordering/join fix had to be applied twice). The
-    within-chunk running aggregate rides a (custkey, 30-day chunk)
-    window, each chunk publishes its full aggregate as `_c`, a
-    chunk-grain window folds the preceding chunks into an exclusive
-    prefix, and the row value combines prefix with local — exact for
-    any ASSOCIATIVE union (set union, sketch union).
+    within-chunk running aggregate rides a (key, chunk_days chunk)
+    window ordered by (ts, row_id), each chunk publishes its full
+    aggregate, a chunk-grain window folds the preceding chunks into an
+    exclusive prefix, and the row value combines prefix with local —
+    exact for any ASSOCIATIVE union (set union, sketch union).
 
     ``local_agg(window)`` -> within-chunk running aggregate column;
     ``chunk_agg()`` -> per-chunk full aggregate;
@@ -1115,34 +1118,28 @@ def _chunked_prefix_union(
     per-chunk aggregate column ``c``;
     ``combine(prefix, local)`` -> output value. The prefix is NULL in
     each key's first chunk unless ``prefix_agg`` coalesces it away."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    _guard_chunk_names(ev, [out], internals=["_l", "_c", "_p"])
+    ch = ev.withColumn(
+        "_chunk", _chunk_id(ts, 86_400_000_000 * chunk_days)
     )
-    ch = o.withColumn("_chunk", _chunk_id("o_orderdate", 2_592_000_000_000))
     wloc = (
-        W.partitionBy("o_custkey", "_chunk")
-        .orderBy("o_orderdate", "o_orderkey")
+        W.partitionBy(key, "_chunk")
+        .orderBy(ts, row_id)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    loc = ch.select(
-        "o_custkey", "o_orderkey", "_chunk", local_agg(wloc).alias("_l")
-    )
-    chunks = ch.groupBy("o_custkey", "_chunk").agg(chunk_agg().alias("_c"))
+    loc = ch.select(key, row_id, "_chunk", local_agg(wloc).alias("_l"))
+    chunks = ch.groupBy(key, "_chunk").agg(chunk_agg().alias("_c"))
     wc = (
-        W.partitionBy("o_custkey")
+        W.partitionBy(key)
         .orderBy("_chunk")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     pre = chunks.select(
-        "o_custkey", "_chunk", prefix_agg(wc, F.col("_c")).alias("_p")
+        key, "_chunk", prefix_agg(wc, F.col("_c")).alias("_p")
     )
     return (
-        loc.join(pre, ["o_custkey", "_chunk"])
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            combine(F.col("_p"), F.col("_l")).alias(out),
-        )
+        loc.join(pre, [key, "_chunk"])
+        .select(key, row_id, combine(F.col("_p"), F.col("_l")).alias(out))
     )
 
 
@@ -1166,8 +1163,12 @@ def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct DOMAIN (5 priorities here), not by rows; at 100 TB
     cardinalities `e_window_distinct_hll` replaces it with a fixed-size
     sketch — hash-identical to the classic single user-keyed sort."""
-    return _chunked_prefix_union(
-        spark, sf_dir,
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return chunked_prefix_union(
+        o, key="o_custkey", row_id="o_orderkey", ts="o_orderdate",
+        out="distinct_prios",
         local_agg=lambda w: F.collect_set("o_orderpriority").over(w),
         chunk_agg=lambda: F.collect_set("o_orderpriority"),
         prefix_agg=lambda w, c: F.array_distinct(
@@ -1201,8 +1202,12 @@ def e_window_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSketches HLL standard error ~1.04/sqrt(2^lgK) (~1.6 % at the
     default lgK=12); at the fixture's tiny domain the estimate is exact,
     asserted against `e_window_distinct`."""
-    return _chunked_prefix_union(
-        spark, sf_dir,
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return chunked_prefix_union(
+        o, key="o_custkey", row_id="o_orderkey", ts="o_orderdate",
+        out="distinct_prios",
         local_agg=lambda w: F.hll_sketch_agg("o_orderpriority").over(w),
         chunk_agg=lambda: F.hll_sketch_agg("o_orderpriority"),
         prefix_agg=lambda w, c: F.hll_union_agg(c).over(w),

@@ -2038,3 +2038,56 @@ def test_banded_point_join_equals_naive_theta(spark):
         )
         assert got == want, f"half_width={hw}: banded != naive theta"
         assert len(got) == len(set(got)), f"half_width={hw}: duplicate pairs"
+
+
+def test_chunked_prefix_union_hll_error_bound_high_cardinality(spark):
+    """The accepted-error contract's HARD end: at the fixture domain the
+    HLL running distinct is exactly the exact count (pinned above), but
+    the variant exists FOR high cardinality — so pin DataSketches'
+    published bound there too. One celebrity key receives 20,000 events
+    whose value cardinality grows along the timeline (value = i // 2, so
+    the running distinct climbs to 10,000 across 4 chunk boundaries);
+    the chunked HLL estimate at EVERY prefix must stay within 5x the
+    lgK=12 standard error (1.04/sqrt(4096) ~ 1.63%, so +/-8.1%) of the
+    true running count — wide enough to never flake, tight enough that
+    a broken prefix stitch (which under- or over-counts by whole chunks,
+    i.e. ~25%+) fails loudly."""
+    import datetime as dtm
+
+    from opay_datalake_script_spark.operators.windows import (
+        chunked_prefix_union,
+    )
+
+    n = 20_000
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (1, i, t0 + dtm.timedelta(minutes=9 * i), str(i // 2))
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "k long, rid long, ts timestamp, v string"
+    )
+    est = chunked_prefix_union(
+        ev, key="k", row_id="rid", ts="ts", out="est", chunk_days=30,
+        local_agg=lambda w: F.hll_sketch_agg("v").over(w),
+        chunk_agg=lambda: F.hll_sketch_agg("v"),
+        prefix_agg=lambda w, c: F.hll_union_agg(c).over(w),
+        combine=lambda p, l: F.when(
+            p.isNull(), F.hll_sketch_estimate(l)
+        ).otherwise(F.hll_sketch_estimate(F.hll_union(p, l))),
+    )
+    got = {r.rid: r.est for r in est.collect()}
+    assert len(got) == n
+    # true running distinct of i // 2 over the first rid+1 rows
+    worst = 0.0
+    for rid, e in got.items():
+        true = rid // 2 + 1
+        rel = abs(e - true) / true
+        worst = max(worst, rel)
+    assert worst <= 0.081, f"worst relative error {worst:.4f} exceeds 5 sigma"
+    # sanity: the timeline really crossed chunk boundaries (9 min * 20k
+    # = 125 days = 4+ chunks), so the prefix stitch was exercised
+    n_chunks = ev.select(
+        F.countDistinct(F.expr("unix_micros(ts) div 2592000000000"))
+    ).first()[0]
+    assert n_chunks >= 4
