@@ -190,8 +190,8 @@ def c_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join simply shuffles — the graceful fallback a pure non-equi
     condition cannot offer (r9 review: with no equi-key, detaching the
     hint would have left CartesianProduct as the only plan)."""
-    s = load(spark, sf_dir, "supplier")
-    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return banded_point_join(
         c, "c_acctbal", s, "s_acctbal", half_width=1.0
     ).select(
@@ -218,10 +218,25 @@ def banded_point_join(
     unique guarantees no pair matches twice (no dedup needed). The
     size-gated hint keeps the broadcast-hash plan while the replicated
     band side is small; above the gate the same join shuffles on the
-    integer bucket key."""
+    integer bucket key.
+
+    Both sides pass through whole, so project each to the columns the
+    caller needs FIRST: the output would otherwise carry duplicate
+    names (rejected below), and the size gate estimates the ``bands``
+    frame as passed — un-pruned wide columns inflate the estimate and
+    drop the hint long before the realized (pruned) broadcast would
+    stop fitting."""
     hw = float(half_width)
+    if hw <= 0:
+        raise ValueError(f"half_width must be positive, got {half_width}")
     if "_bkt" in points.columns or "_bkt" in bands.columns:
         raise ValueError("column '_bkt' collides with the band-join internal key")
+    overlap = sorted(set(points.columns) & set(bands.columns))
+    if overlap:
+        raise ValueError(
+            f"column(s) {overlap!r} exist on BOTH sides — project/rename "
+            "before the band join or the output is ambiguous"
+        )
     bb = bands.select(
         "*",
         F.explode(

@@ -419,7 +419,7 @@ def _chunk_id(ts: str, div: int):
     `(x - pmod(x, n)) div n` is exact integer floor division for any
     sign (numerator exactly divisible, so truncation == floor — the
     repo-wide idiom, see aggregates.py block split)."""
-    um = f"unix_micros({ts})"
+    um = "unix_micros(`{}`)".format(ts.replace("`", "``"))
     return F.expr(f"({um} - pmod({um}, {div})) div {div}")
 
 
@@ -1119,9 +1119,7 @@ def chunked_prefix_union(
     ``combine(prefix, local)`` -> output value. The prefix is NULL in
     each key's first chunk unless ``prefix_agg`` coalesces it away."""
     _guard_chunk_names(ev, [out], internals=["_l", "_c", "_p"])
-    ch = ev.withColumn(
-        "_chunk", _chunk_id(ts, 86_400_000_000 * chunk_days)
-    )
+    ch = _chunked(ev, ts, chunk_days)
     wloc = (
         W.partitionBy(key, "_chunk")
         .orderBy(ts, row_id)

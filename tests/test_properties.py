@@ -2091,3 +2091,27 @@ def test_chunked_prefix_union_hll_error_bound_high_cardinality(spark):
         F.countDistinct(F.expr("unix_micros(ts) div 2592000000000"))
     ).first()[0]
     assert n_chunks >= 4
+
+
+def test_banded_point_join_input_guards(spark):
+    """The generic band join must fail fast on degenerate inputs instead
+    of silently degrading: non-positive half_width collapses every
+    positive value into one bucket (a sign-partitioned near-cross-join
+    that only explodes at scale), and overlapping column names between
+    the two sides produce ambiguous output columns."""
+    import pytest
+
+    from opay_datalake_script_spark.operators.joins import banded_point_join
+
+    pts = spark.createDataFrame([(1, 0.5)], "pid long, p double")
+    bnds = spark.createDataFrame([(2, 0.6)], "bid long, c double")
+    with pytest.raises(ValueError, match="half_width"):
+        banded_point_join(pts, "p", bnds, "c", half_width=0.0)
+    with pytest.raises(ValueError, match="half_width"):
+        banded_point_join(pts, "p", bnds, "c", half_width=-1.0)
+    shared = spark.createDataFrame([(2, 0.6)], "pid long, c double")
+    with pytest.raises(ValueError, match="BOTH sides"):
+        banded_point_join(pts, "p", shared, "c", half_width=1.0)
+    tainted = pts.withColumn("_bkt", F.lit(1))
+    with pytest.raises(ValueError, match="_bkt"):
+        banded_point_join(tainted, "p", bnds, "c", half_width=1.0)
