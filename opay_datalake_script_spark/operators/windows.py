@@ -1156,7 +1156,7 @@ def e_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct count over a window. Spark (like Hive) rejects
     DISTINCT inside window aggregates, so the reference-family idiom is
     `size(collect_set(x) OVER w)` — here in the celebrity-immune chunked
-    form via `_chunked_prefix_union` (set UNION is associative like
+    form via `chunked_prefix_union` (set UNION is associative like
     sum/max). Per-row state is the distinct SET, bounded by the column's
     distinct DOMAIN (5 priorities here), not by rows; at 100 TB
     cardinalities `e_window_distinct_hll` replaces it with a fixed-size

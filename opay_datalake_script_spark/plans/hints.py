@@ -30,8 +30,30 @@ from pyspark.sql import DataFrame, functions as F
 # compressed estimate, so 256 MB here bounds the realized broadcast at
 # a low single-digit GB — safe for the multi-GB-executor tier this
 # engine targets, and far past the point where the hint stops being a
-# win anyway (build + ship cost scales with the side).
+# win anyway (build + ship cost scales with the side). Deployments on
+# smaller executors override it WITHOUT a code edit via the
+# ``SPARK_GRAFT_BROADCAST_GATE_BYTES`` env var (ADVICE r9), which takes
+# precedence over this module default when set.
 VERIFY_FETCH_BROADCAST_MAX_BYTES = 256 << 20
+
+_GATE_ENV = "SPARK_GRAFT_BROADCAST_GATE_BYTES"
+
+
+def _default_gate_bytes() -> int:
+    """The effective default gate: the env override when set (and
+    parseable), else the module constant (re-read at call time so tests
+    can monkeypatch it)."""
+    import os
+
+    raw = os.environ.get(_GATE_ENV)
+    if raw:
+        try:
+            return int(raw)
+        except ValueError:
+            raise ValueError(
+                f"{_GATE_ENV}={raw!r} is not an integer byte count"
+            ) from None
+    return VERIFY_FETCH_BROADCAST_MAX_BYTES
 
 
 def plan_size_bytes(df: DataFrame) -> int:
@@ -50,7 +72,7 @@ def fits_broadcast_gate(df: DataFrame, max_bytes: int | None = None) -> bool:
     each side with ``F.broadcast`` on the shared verdict, instead of
     paying the optimizer pass per side via ``maybe_broadcast``."""
     if max_bytes is None:
-        max_bytes = VERIFY_FETCH_BROADCAST_MAX_BYTES
+        max_bytes = _default_gate_bytes()
     return plan_size_bytes(df) <= max_bytes
 
 

@@ -64,58 +64,35 @@ _QUERY_MODULES = (
 # lesson: the 13 round-7 re-proofs, all green in CORRECTNESS_r07, were
 # still sorting into tier 1 and would have displaced 7 of the 8 spilled
 # first-rows).
-_RECHECK_PROOF_ROUND = 9
+_RECHECK_PROOF_ROUND = 10
 _RECHECK = (
-    # Round-9 wave (VERDICT r8 item 1): the late-r8 chunked-window
-    # conversions (celebrity-immune (key, 30-day chunk) windows with
-    # chunk-grain stitches) landed AFTER these IDs' latest driver rows
-    # (r1/r2 for most), so their green evidence predates the code they
-    # now run. All are locally hash-verified at sf0.01 AND sf0.1, but
-    # the driver has not re-proved them post-change — front-load ALL 16
-    # so CORRECTNESS_r09 carries post-conversion rows. (The r8 wave —
-    # salted LSH chains + the deferred exactness re-proofs — all landed
-    # green in CORRECTNESS_r08 and is cleared.) New registrations this
-    # round go through _DEFER_FIRST_ROW so they cannot displace these.
-    # ... plus the one late-r9 plan rewrite: c_join_range went from
-    # broadcast-nested-loop to the banded equi-join (bounded 3-bucket
-    # supplier fan-out + residual BETWEEN) so the size-gate's automatic
-    # fallback is a real shuffled equi-join instead of a cartesian.
-    # Hash-verified vs DuckDB at sf0.01+sf0.001 pre-registration.
-    "c_join_range",
-    "e_dedupe_latest",
-    "e_sessionize_batch",
-    "e_lag_lead",
-    "e_first_last",
-    "c_join_asof",
-    "e_window_distinct",
-    "e_merge_intervals",
-    "e_window_funnel",
-    "e_peak_concurrency",
-    "e_value_change_points",
-    "r_velocity_flags",
-    "r_event_transitions",
-    "r_event_order_violations",
-    "r_user_path_topk",
-    "r_cohort_retention",
-    "r_new_vs_returning",
+    # Round-10 wave (VERDICT r9 item 1): k_tokenize_to_ids' vocab
+    # broadcast went from a hard F.broadcast to the size-gated
+    # maybe_broadcast (the one Heaps-law side the r9 size-gate campaign
+    # missed). Hint still attaches at fixture scale (plan-identical
+    # rewrite, pinned in test_plans' gate table), hash re-verified at
+    # sf0.01+sf0.001 — but the change needs a post-change driver row.
+    # (The r9 wave — 16 chunked-window conversions + the banded
+    # c_join_range — all landed green in CORRECTNESS_r09 and is
+    # cleared; remaining window slots fall to the stale-refresh tier,
+    # which now points at the r2 evidence tail per VERDICT r9 item 4.)
+    "k_tokenize_to_ids",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
 # deferred behind higher-priority entries (VERDICT r6 item 7 precedent).
-# Round 9: any ID registered this round goes here so the 16 re-proofs
-# above keep their window slots ("freeze new registrations until these
-# land" — VERDICT r8 item 1). They order after every plain
-# never-checked entry but before the stale-evidence tier.
-_DEFER_FIRST_ROW = frozenset({"e_window_distinct_hll"})
+# They order after every plain never-checked entry but before the
+# stale-evidence tier. Round 10: none yet.
+_DEFER_FIRST_ROW = frozenset()
 
 # Deferred-recheck wave: IDs whose changed code is locally verified but
 # whose driver re-proof waits one round because a higher-priority wave
 # owns the current window. Self-activating once a COMPLETE CORRECTNESS
 # file for round >= _RECHECK_NEXT_AFTER_ROUND exists (see r7/r8 history
-# in git). Empty this round: the r8 wave (36 exactness re-proofs) all
-# landed green in CORRECTNESS_r08.
-_RECHECK_NEXT_AFTER_ROUND = 9
-_RECHECK_NEXT_PROOF_ROUND = 10
+# in git). Empty this round: the r9 wave (16 window conversions + the
+# banded c_join_range) all landed green in CORRECTNESS_r09.
+_RECHECK_NEXT_AFTER_ROUND = 10
+_RECHECK_NEXT_PROOF_ROUND = 11
 _RECHECK_NEXT: tuple[str, ...] = ()
 
 

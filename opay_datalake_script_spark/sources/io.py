@@ -165,10 +165,16 @@ def rotate_scratch_runs(base: str, prefix: str = "run_", keep: int = 4) -> None:
     import shutil
 
     def _mtime(p: str) -> float:
+        # Only a VANISHED entry (concurrent rotation won the race) may
+        # sort oldest-and-deletable; any other stat failure (EACCES,
+        # EIO, ...) could be a LIVE run dir behind a transient error, so
+        # it sorts newest and is never rotated this pass (ADVICE r9).
         try:
             return os.path.getmtime(p)
-        except OSError:
+        except FileNotFoundError:
             return 0.0
+        except OSError:
+            return float("inf")
 
     entries = _glob.glob(os.path.join(base, prefix + "*"))
     entries.sort(key=_mtime, reverse=True)
