@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Print the predicted driver correctness window for the NEXT round.
+
+The driver verifies the first ~50 registry entries each round, and the
+registry order is fully determined by `registry._reorder` (failed rows,
+then active rechecks, then never-checked first-rows, then stalest
+evidence). This script materializes that prediction as an artifact so
+each round's NOTES can STATE what evidence will land instead of
+reasoning it out in prose (VERDICT r9 item 8).
+
+Usage: python scripts/forecast_window.py [window_size]
+Prints one line per predicted slot: rank, tier label, query ID, and the
+round of its latest driver row (- if never checked).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opay_datalake_script_spark import registry  # noqa: E402
+
+
+def main() -> None:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    ordered = registry.load_all_queries()
+    history, max_complete = registry._driver_history()
+    print(f"# registry size: {len(ordered)}  window: {window}  "
+          f"max complete round: {max_complete}")
+    for rank, name in enumerate(list(ordered)[:window], 1):
+        hit = history.get(name)
+        rnd = hit[0] if hit else None
+        if hit is None:
+            tier = "first-row"
+        elif name in registry._RECHECK and rnd < registry._RECHECK_PROOF_ROUND:
+            tier = "recheck"
+        elif name in registry._RECHECK_NEXT and rnd < registry._RECHECK_NEXT_PROOF_ROUND:
+            tier = "recheck-next"
+        else:
+            row = hit[1]
+            failed = (
+                row.get("rows_match") is False
+                or row.get("hash_match") is False
+                or (
+                    bool(row.get("err"))
+                    and row.get("err") != "no_oracle"
+                    and row.get("hash_match") is not True
+                )
+            )
+            tier = "FAILED-reproof" if failed else "stale-refresh"
+        print(f"{rank:3d}  {tier:14s}  {name:32s}  r{rnd if rnd else '-'}")
+
+
+if __name__ == "__main__":
+    main()
