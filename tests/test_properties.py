@@ -2115,3 +2115,108 @@ def test_banded_point_join_input_guards(spark):
     tainted = pts.withColumn("_bkt", F.lit(1))
     with pytest.raises(ValueError, match="_bkt"):
         banded_point_join(tainted, "p", bnds, "c", half_width=1.0)
+
+
+def test_banded_point_join_degenerate_skew(spark, monkeypatch, tmp_path):
+    """VERDICT r9 item 7: the band join's pathological distribution —
+    constant / near-constant values that funnel EVERY point into ONE
+    bucket. Three invariants make the shape survivable at scale:
+
+    1. Correctness never degrades: the single-bucket result still
+       equals the naive theta join. (When every point really is inside
+       every band, the output is quadratic by SEMANTICS — the plan's
+       job is only not to make it worse.)
+    2. The band-side replication fan-out is STRUCTURAL, not
+       data-dependent: each band row lands in at most
+       floor((c+hw)/hw) - floor((c-hw)/hw) + 1 <= 3 buckets no matter
+       how the values cluster — a constant column cannot amplify it.
+    3. The plan stays a bucket-keyed EQUI-join in both gate regimes:
+       broadcast-hash under the size gate (the probe/point side is
+       never shuffled, so one hot bucket cannot create a hot reducer),
+       and above the gate — with auto-broadcast disabled to simulate a
+       genuinely large band side — a shuffled SortMergeJoin, never
+       CartesianProduct: the partition-level skew that remains is
+       exactly the shape AQE's OptimizeSkewedJoin subdivides at
+       runtime, which no nested-loop plan offers.
+    """
+    from opay_datalake_script_spark.operators.joins import banded_point_join
+    from opay_datalake_script_spark.plans import hints
+    from opay_datalake_script_spark.plans.inspect import has_broadcast_hint
+
+    hw = 1.0
+    # 120 points all at (or within 1e-9 of) 0.0; 40 bands all at 0.25:
+    # every pair matches, every point hashes to bucket 0 or -1.
+    # Written to parquet and read back so Catalyst has REAL size stats —
+    # a createDataFrame local relation estimates as unknown/huge, which
+    # the gate (correctly) refuses to hint, leaving nothing to test.
+    spark.createDataFrame(
+        [(i, 0.0 if i % 3 else (1e-9 if i % 2 else -1e-9))
+         for i in range(120)],
+        "pid long, p double",
+    ).write.parquet(str(tmp_path / "pts"))
+    spark.createDataFrame(
+        [(1000 + i, 0.25) for i in range(40)], "bid long, c double"
+    ).write.parquet(str(tmp_path / "bnds"))
+    pts = spark.read.parquet(str(tmp_path / "pts"))
+    bnds = spark.read.parquet(str(tmp_path / "bnds"))
+
+    # The scenario must be genuinely degenerate: all points in <=2
+    # adjacent buckets (the -1e-9 jitter rows floor into bucket -1).
+    pt_buckets = {
+        r[0]
+        for r in pts.select(F.floor(F.col("p") / hw)).distinct().collect()
+    }
+    assert pt_buckets <= {-1, 0}, pt_buckets
+
+    # (2) structural fan-out bound on the replicated band side.
+    replicated = bnds.select(
+        F.explode(
+            F.sequence(
+                F.floor((F.col("c") - hw) / hw),
+                F.floor((F.col("c") + hw) / hw),
+            )
+        )
+    ).count()
+    assert replicated <= 3 * bnds.count(), (
+        f"band replication {replicated} exceeds the 3x structural bound"
+    )
+
+    # (1) exact parity with the naive theta join, under the gate.
+    joined = banded_point_join(pts, "p", bnds, "c", half_width=hw)
+    got = sorted(map(tuple, joined.select("pid", "bid").collect()))
+    want = sorted(
+        map(
+            tuple,
+            pts.crossJoin(bnds)
+            .where(F.col("p").between(F.col("c") - hw, F.col("c") + hw))
+            .select("pid", "bid")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == 120 * 40, "degenerate case must be all-pairs"
+
+    # (3a) under the gate: broadcast-hash, point side never shuffled.
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+    # (3b) above the gate AND past auto-broadcast: the fallback is a
+    # shuffled equi-join on the bucket key — AQE-splittable — never a
+    # nested loop. Results identical.
+    monkeypatch.setattr(hints, "VERIFY_FETCH_BROADCAST_MAX_BYTES", 0)
+    auto_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        over = banded_point_join(pts, "p", bnds, "c", half_width=hw)
+        assert not has_broadcast_hint(over)
+        oplan = over._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in oplan
+        assert "BroadcastNestedLoopJoin" not in oplan
+        assert "SortMergeJoin" in oplan or "ShuffledHashJoin" in oplan, oplan
+        got_over = sorted(
+            map(tuple, over.select("pid", "bid").collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_prev)
+    assert got_over == want, "gate fallback must be semantics-preserving"
