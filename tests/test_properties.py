@@ -2220,3 +2220,56 @@ def test_banded_point_join_degenerate_skew(spark, monkeypatch, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_prev)
     assert got_over == want, "gate fallback must be semantics-preserving"
+
+
+# Values spanning sign changes, bucket-boundary exactness (multiples of
+# the widths below), absorption-scale magnitudes (1e15: c +/- hw may
+# round back to c), and sub-width jitter. Floor-division monotonicity —
+# a <= b implies floor(a/hw) <= floor(b/hw) for positive hw, in IEEE
+# floats too — is the property under test: every BETWEEN-matching pair
+# must land in a shared bucket regardless of value placement.
+_band_values = st.lists(
+    st.one_of(
+        st.floats(min_value=-5.0, max_value=5.0, allow_nan=False,
+                  allow_infinity=False),
+        st.integers(min_value=-8, max_value=8).map(lambda i: i * 0.25),
+        st.integers(min_value=-3, max_value=3).map(lambda i: i * 1e15),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pvals=_band_values, cvals=_band_values,
+       hw=st.sampled_from([0.25, 0.3, 1.0, 3.0]))
+def test_banded_point_join_matches_naive_fuzz(spark, pvals, cvals, hw):
+    """Randomized cross-check of `banded_point_join` against the naive
+    crossJoin+BETWEEN theta join — empty sides, duplicate values, mixed
+    magnitudes, and a non-dyadic width (0.3: p/hw is inexact, but floor
+    monotonicity still guarantees bucket agreement between the point's
+    bucket and the band's replicated range)."""
+    from opay_datalake_script_spark.operators.joins import banded_point_join
+
+    schema_p, schema_b = "pid long, p double", "bid long, c double"
+    pts = spark.createDataFrame(list(enumerate(pvals)), schema_p)
+    bnds = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(cvals)], schema_b
+    )
+    got = sorted(
+        map(tuple,
+            banded_point_join(pts, "p", bnds, "c", half_width=hw)
+            .select("pid", "bid").collect())
+    )
+    want = sorted(
+        map(tuple,
+            pts.crossJoin(bnds)
+            .where(F.col("p").between(F.col("c") - hw, F.col("c") + hw))
+            .select("pid", "bid").collect())
+    )
+    assert got == want, f"hw={hw} pvals={pvals} cvals={cvals}"
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
