@@ -145,6 +145,65 @@ def _driver_history() -> tuple[dict[str, tuple[int, dict]], int]:
     return latest, max_complete
 
 
+def _row_failed(row: dict) -> bool:
+    """A driver row counts as FAILED when a comparison explicitly
+    mismatched (an explicit False is a failure no matter what err says
+    — even 'no_oracle' must not mask it), or when a non-benign harness
+    exception (truthy err) prevented the VALUE-hash check from passing
+    — rows_match alone is not enough, since an exception between the
+    row-count check and the hash comparison leaves an unverified value
+    hash. Benign markers ('no_oracle' today; any future marker
+    accompanying a full hash pass) must not promote green queries to
+    tier 0 and crowd the ~50-slot window (ADVICE r6 + r7 review).
+
+    Shared by `_reorder` and scripts/forecast_window.py — the forecast
+    must predict with the SAME failure definition the driver-facing
+    ordering uses, or it silently forecasts a different window."""
+    return (
+        row.get("rows_match") is False
+        or row.get("hash_match") is False
+        or (
+            bool(row.get("err"))
+            and row.get("err") != "no_oracle"
+            and row.get("hash_match") is not True
+        )
+    )
+
+
+def _evidence_tier(
+    name: str, hit: tuple[int, dict] | None, next_wave_active: bool
+) -> tuple[int, int, str]:
+    """The evidence-freshness tier of one registry entry: (major, minor,
+    label). `_reorder` sorts on (major, minor) and the forecast script
+    prints the label, so prediction and ordering cannot drift apart.
+
+    Tier order: FAILED rows re-prove first; then active rechecks (a
+    recheck whose re-proof already LANDED — non-failed row at round >=
+    its proof round — must NOT keep its tier-1 slot: it would crowd the
+    next window and displace the first-rows behind it, observed round 8
+    when 13 green r7 re-proofs left room for only 1 of 8 spilled
+    first-rows); then the deferred recheck wave once its round arrives;
+    then never-checked first-rows (deferred ones last); then stalest
+    evidence, oldest round first."""
+    if hit is not None and _row_failed(hit[1]):
+        return (0, 0, "FAILED-reproof")
+    if name in _RECHECK and (hit is None or hit[0] < _RECHECK_PROOF_ROUND):
+        return (1, 0, "recheck")
+    if name in _RECHECK_NEXT and (
+        hit is None or hit[0] < _RECHECK_NEXT_PROOF_ROUND
+    ):
+        # deferred re-proof wave: behind current rechecks once its
+        # round arrives, behind all first-rows until then
+        if next_wave_active:
+            return (1, 1, "recheck-next")
+        return (2, 2, "recheck-next-deferred")
+    if hit is None:
+        if name in _DEFER_FIRST_ROW:
+            return (2, 1, "first-row-deferred")
+        return (2, 0, "first-row")
+    return (3, hit[0], "stale-refresh")
+
+
 def _reorder(mapping: dict) -> dict:
     """Order the registry so the driver's ~50-entry window lands on the
     queries whose evidence is most in need of (re)freshening."""
@@ -153,49 +212,10 @@ def _reorder(mapping: dict) -> dict:
     next_wave_active = max_complete_round >= _RECHECK_NEXT_AFTER_ROUND
 
     def key(name: str):
-        hit = history.get(name)
-        if hit is not None:
-            rnd, row = hit
-            # A row counts as FAILED when a comparison explicitly
-            # mismatched (an explicit False is a failure no matter what
-            # err says — even 'no_oracle' must not mask it), or when a
-            # non-benign harness exception (truthy err) prevented the
-            # VALUE-hash check from passing — rows_match alone is not
-            # enough, since an exception between the row-count check
-            # and the hash comparison leaves an unverified value hash.
-            # Benign markers ('no_oracle' today; any future marker
-            # accompanying a full hash pass) must not promote green
-            # queries to tier 0 and crowd the ~50-slot window
-            # (ADVICE r6 + r7 review).
-            failed = (
-                row.get("rows_match") is False
-                or row.get("hash_match") is False
-                or (
-                    bool(row.get("err"))
-                    and row.get("err") != "no_oracle"
-                    and row.get("hash_match") is not True
-                )
-            )
-            if failed:
-                return (0, 0, reg_pos[name])
-        # A recheck entry whose re-proof already LANDED (non-failed
-        # driver row at round >= its proof round) must not keep its
-        # tier-1 slot — it would crowd the next window and displace the
-        # first-rows behind it (observed round 8: the 13 green r7
-        # re-proofs left room for only 1 of the 8 spilled first-rows).
-        if name in _RECHECK and (hit is None or hit[0] < _RECHECK_PROOF_ROUND):
-            return (1, 0, reg_pos[name])
-        if name in _RECHECK_NEXT and (
-            hit is None or hit[0] < _RECHECK_NEXT_PROOF_ROUND
-        ):
-            # deferred re-proof wave: behind current rechecks once its
-            # round arrives, behind all first-rows until then
-            if next_wave_active:
-                return (1, 1, reg_pos[name])
-            return (2, 2, reg_pos[name])
-        if hit is None:
-            return (2, 1 if name in _DEFER_FIRST_ROW else 0, reg_pos[name])
-        return (3, hit[0], reg_pos[name])
+        major, minor, _label = _evidence_tier(
+            name, history.get(name), next_wave_active
+        )
+        return (major, minor, reg_pos[name])
 
     return {n: mapping[n] for n in sorted(mapping, key=key)}
 

@@ -164,21 +164,30 @@ def rotate_scratch_runs(base: str, prefix: str = "run_", keep: int = 4) -> None:
     import glob as _glob
     import shutil
 
-    def _mtime(p: str) -> float:
+    def _mtime(p: str) -> float | None:
         # Only a VANISHED entry (concurrent rotation won the race) may
         # sort oldest-and-deletable; any other stat failure (EACCES,
         # EIO, ...) could be a LIVE run dir behind a transient error, so
-        # it sorts newest and is never rotated this pass (ADVICE r9).
+        # it is EXCLUDED from this pass — neither deleted nor counted
+        # against ``keep``. (Sorting error entries newest instead would
+        # let ``keep`` persistently unstat-able leftovers squat the
+        # keep slots and push a genuinely fresh in-flight run dir past
+        # the cutoff — the opposite of the safety claim. ADVICE r9 +
+        # r10 review.)
         try:
             return os.path.getmtime(p)
         except FileNotFoundError:
             return 0.0
         except OSError:
-            return float("inf")
+            return None
 
-    entries = _glob.glob(os.path.join(base, prefix + "*"))
-    entries.sort(key=_mtime, reverse=True)
-    for stale in entries[keep:]:
+    stamped = [
+        (m, p)
+        for p in _glob.glob(os.path.join(base, prefix + "*"))
+        if (m := _mtime(p)) is not None
+    ]
+    stamped.sort(reverse=True)
+    for _m, stale in stamped[keep:]:
         shutil.rmtree(stale, ignore_errors=True)
 
 

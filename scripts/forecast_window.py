@@ -24,30 +24,17 @@ def main() -> None:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     ordered = registry.load_all_queries()
     history, max_complete = registry._driver_history()
+    next_wave_active = max_complete >= registry._RECHECK_NEXT_AFTER_ROUND
     print(f"# registry size: {len(ordered)}  window: {window}  "
           f"max complete round: {max_complete}")
     for rank, name in enumerate(list(ordered)[:window], 1):
         hit = history.get(name)
         rnd = hit[0] if hit else None
-        if hit is None:
-            tier = "first-row"
-        elif name in registry._RECHECK and rnd < registry._RECHECK_PROOF_ROUND:
-            tier = "recheck"
-        elif name in registry._RECHECK_NEXT and rnd < registry._RECHECK_NEXT_PROOF_ROUND:
-            tier = "recheck-next"
-        else:
-            row = hit[1]
-            failed = (
-                row.get("rows_match") is False
-                or row.get("hash_match") is False
-                or (
-                    bool(row.get("err"))
-                    and row.get("err") != "no_oracle"
-                    and row.get("hash_match") is not True
-                )
-            )
-            tier = "FAILED-reproof" if failed else "stale-refresh"
-        print(f"{rank:3d}  {tier:14s}  {name:32s}  r{rnd if rnd else '-'}")
+        # the SAME tiering _reorder sorts on — shared code, no drift
+        _major, _minor, tier = registry._evidence_tier(
+            name, hit, next_wave_active
+        )
+        print(f"{rank:3d}  {tier:21s}  {name:32s}  r{rnd if rnd else '-'}")
 
 
 if __name__ == "__main__":

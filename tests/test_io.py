@@ -109,6 +109,35 @@ def test_rotate_scratch_runs_tolerates_concurrent_deletion(tmp_path, monkeypatch
     assert left == ["run_2", "run_3", "run_4", "run_5"], left
 
 
+def test_rotate_scratch_runs_excludes_unstatable_entries(tmp_path, monkeypatch):
+    """A stat failure OTHER than a vanished entry (EACCES/EIO — possibly
+    a LIVE run dir behind a transient error) excludes the entry from the
+    pass entirely: never deleted, and not counted against ``keep``
+    either — ``keep`` persistently unstat-able leftovers squatting the
+    newest slots would otherwise push a genuinely fresh in-flight run
+    dir past the cutoff (ADVICE r9 + r10 review). Rotation among the
+    statable entries still proceeds normally."""
+    base = str(tmp_path)
+    for i in range(6):
+        d = os.path.join(base, f"run_{i}")
+        os.makedirs(d)
+        t = time.time() - (100 - i)  # run_5 newest
+        os.utime(d, (t, t))
+    real_getmtime = os.path.getmtime
+
+    def flaky_getmtime(p):
+        if p.endswith(("run_0", "run_1")):
+            raise PermissionError(13, "denied", p)
+        return real_getmtime(p)
+
+    monkeypatch.setattr(src_io.os.path, "getmtime", flaky_getmtime)
+    src_io.rotate_scratch_runs(base, keep=2)
+    left = sorted(os.listdir(base))
+    # run_0/run_1: excluded, untouched. Statable run_2..run_5: the two
+    # newest (run_4, run_5) fill keep=2; run_2/run_3 rotate away.
+    assert left == ["run_0", "run_1", "run_4", "run_5"], left
+
+
 def test_day_epoch_write_multi_batch_and_replay(spark, tmp_path):
     """The i_foreach_batch_sink landing mechanism, exercised directly:
     two micro-batches carrying rows for the SAME day must both survive

@@ -1124,6 +1124,28 @@ def test_gated_hints_attach_at_fixture_scale(spark, monkeypatch):
     )
 
 
+def test_broadcast_gate_env_override(monkeypatch):
+    """``SPARK_GRAFT_BROADCAST_GATE_BYTES`` (ADVICE r9) takes precedence
+    over the 256 MB module default so smaller executor tiers tune the
+    gate without a code edit; an unparseable value raises loudly instead
+    of silently running with a gate the operator did not choose; empty
+    means unset. (The autouse conftest fixture clears the var for every
+    OTHER test so a host-level export cannot flip the gate-0/
+    gate-default assertions above.)"""
+    import pytest
+
+    from opay_datalake_script_spark.plans import hints
+
+    assert hints._default_gate_bytes() == hints.VERIFY_FETCH_BROADCAST_MAX_BYTES
+    monkeypatch.setenv(hints._GATE_ENV, "1024")
+    assert hints._default_gate_bytes() == 1024
+    monkeypatch.setenv(hints._GATE_ENV, "256mb")
+    with pytest.raises(ValueError, match="integer byte count"):
+        hints._default_gate_bytes()
+    monkeypatch.setenv(hints._GATE_ENV, "")
+    assert hints._default_gate_bytes() == hints.VERIFY_FETCH_BROADCAST_MAX_BYTES
+
+
 # ---------------------------------------------------------------------------
 # Hard-broadcast site inventory (VERDICT r9 item 2)
 # ---------------------------------------------------------------------------
@@ -1225,11 +1247,19 @@ _HARD_BROADCAST_SITES = {
 
 
 def _hard_broadcast_sites():
-    """AST-walk the package for every ``F.broadcast(<arg>)`` call site
+    """AST-walk the package for every hard broadcast call site
     (excluding plans/hints.py, which DEFINES the gated wrapper) keyed by
     (module relpath, enclosing function qualname, unparsed first arg).
     Line numbers are deliberately NOT part of the key — the inventory
-    must not rot under unrelated edits."""
+    must not rot under unrelated edits.
+
+    Matched spellings (r10 review: the literal ``F.broadcast`` filter
+    alone would let a renamed import bypass the gate): any
+    ``*.broadcast(...)`` attribute call (F./functions./sc. — a
+    SparkContext broadcast VARIABLE is memory-bounded by the same
+    argument, so it needs a class too), a bare ``broadcast(...)`` from
+    ``from pyspark.sql.functions import broadcast``, and
+    ``df.hint("broadcast")`` (keyed by the unparsed receiver)."""
     import ast
     import collections
     import os
@@ -1255,13 +1285,21 @@ def _hard_broadcast_sites():
                     stack = stack + [node.name]
                 if isinstance(node, ast.Call):
                     f = node.func
-                    if (
+                    is_broadcast_fn = (
+                        isinstance(f, ast.Attribute) and f.attr == "broadcast"
+                    ) or (isinstance(f, ast.Name) and f.id == "broadcast")
+                    is_broadcast_hint = (
                         isinstance(f, ast.Attribute)
-                        and f.attr == "broadcast"
-                        and isinstance(f.value, ast.Name)
-                        and f.value.id == "F"
-                    ):
+                        and f.attr == "hint"
+                        and node.args
+                        and isinstance(node.args[0], ast.Constant)
+                        and str(node.args[0].value).lower() == "broadcast"
+                    )
+                    if is_broadcast_fn:
                         arg = ast.unparse(node.args[0]) if node.args else "?"
+                        sites[(rel, ".".join(stack) or "<module>", arg)] += 1
+                    elif is_broadcast_hint:
+                        arg = ast.unparse(f.value)
                         sites[(rel, ".".join(stack) or "<module>", arg)] += 1
                 for ch in ast.iter_child_nodes(node):
                     walk(ch, stack)
