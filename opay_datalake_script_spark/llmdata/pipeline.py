@@ -746,6 +746,101 @@ def k_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Top-N cap for the production-vocab tokenizer below. 16 < the 31
+# distinct fixture tokens, so the OOV path is exercised at every SF.
+VOCAB_TOP_N = 16
+
+
+@register(
+    "k_tokenize_capped_vocab",
+    oracle=f"""
+    WITH tc AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok, id FROM (
+            SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS id
+            FROM tc
+        ) WHERE id <= {VOCAB_TOP_N}
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           array_to_string(list(coalesce(v.id, 0) ORDER BY p.i), ',') AS ids
+    FROM pos p LEFT JOIN vocab v ON v.tok = p.tok
+    GROUP BY p.doc_id
+    """,
+)
+def k_tokenize_capped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-to-id encoding with a CAPPED top-N vocabulary and an OOV
+    bucket — the production counterpart of `k_tokenize_to_ids`: real
+    tokenizers never ship the full Heaps-law distinct-token table; they
+    cap the vocab at a fixed budget (top `VOCAB_TOP_N` by frequency,
+    ties broken by token) and map everything else to a reserved OOV id
+    (0 here). Emits the per-doc id sequence plus the OOV count — the
+    signal a vocab-budget sweep reads (cf. k_vocab_coverage).
+
+    Scale shape: the cap makes the broadcast side bounded BY
+    CONSTRUCTION — ≤ VOCAB_TOP_N rows regardless of corpus size — so
+    (unlike the uncapped sibling, whose vocab side must be size-gated)
+    the hard `F.broadcast` hint is correct at any scale: class `cap` in
+    the broadcast-site inventory. The top-N itself is selected with the
+    distributed global_row_number + rank filter, never a single-task
+    window over the distinct-token table. OOV rows survive via the LEFT
+    join + coalesce(id, 0); reassembly is the same deterministic
+    array_sort-on-(pos, id) collect as the sibling.
+    """
+    from ..operators.relational import global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        global_row_number(tc, F.col("cnt").desc(), "tok", parts=8)
+        .where(F.col("rn") <= VOCAB_TOP_N)
+        .select("tok", F.col("rn").alias("id"))
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    return (
+        pos.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "i",
+                                F.coalesce("id", F.lit(0)).alias("id"),
+                            )
+                        )
+                    ),
+                    lambda s: s["id"].cast("string"),
+                ),
+            ).alias("ids"),
+        )
+    )
+
+
 @register(
     "k_dedup_keep_best",
     oracle="""

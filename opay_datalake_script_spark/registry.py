@@ -82,8 +82,11 @@ _RECHECK = (
 # New IDs registered THIS round whose first driver row is deliberately
 # deferred behind higher-priority entries (VERDICT r6 item 7 precedent).
 # They order after every plain never-checked entry but before the
-# stale-evidence tier. Round 10: none yet.
-_DEFER_FIRST_ROW = frozenset()
+# stale-evidence tier. Round 10: the capped-vocab tokenizer (the
+# bounded-by-construction counterpart of the newly gated
+# k_tokenize_to_ids) defers so the r2-tail stale refresh keeps its
+# window slots.
+_DEFER_FIRST_ROW = frozenset({"k_tokenize_capped_vocab"})
 
 # Deferred-recheck wave: IDs whose changed code is locally verified but
 # whose driver re-proof waits one round because a higher-priority wave

@@ -1183,6 +1183,7 @@ _HARD_BROADCAST_SITES = {
     ("llmdata/pipeline.py", "k_corpus_build_pipeline", "tot"): "scalar",
     ("llmdata/pipeline.py", "k_corpus_build_pipeline", "tw"): "scalar",
     ("llmdata/pipeline.py", "k_pack_sequences", "offsets"): "partition",
+    ("llmdata/pipeline.py", "k_tokenize_capped_vocab", "vocab"): "cap",
     ("llmdata/sampling.py", "k_domain_mixture", "quota"): "domain",
     ("llmdata/sampling.py", "k_dsir_importance_weights", "terms"): "cap",
     ("llmdata/sampling.py", "k_dsir_importance_weights", "totals"): "scalar",
