@@ -2273,3 +2273,33 @@ def test_banded_point_join_matches_naive_fuzz(spark, pvals, cvals, hw):
     )
     assert got == want, f"hw={hw} pvals={pvals} cvals={cvals}"
     assert len(got) == len(set(got)), "duplicate pairs emitted"
+
+
+def test_capped_vocab_is_projection_of_full_tokenizer(spark):
+    """Semantic cross-check beyond the oracle: `k_tokenize_capped_vocab`
+    must be EXACTLY the full tokenizer's output passed through the cap —
+    per position, id' = id if id <= VOCAB_TOP_N else 0 — because both
+    rank the vocabulary by the same (cnt DESC, tok) order and the cap
+    only truncates that ranking. n_oov must equal the number of capped
+    positions. Catches a divergence in ranking/tie-break/ordering
+    between the two implementations that both oracles would individually
+    miss (each oracle mirrors its own op's rule)."""
+    from opay_datalake_script_spark.llmdata.pipeline import VOCAB_TOP_N
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    full = {
+        r["doc_id"]: r["ids"]
+        for r in QUERIES["k_tokenize_to_ids"](spark, SF_DIR).collect()
+    }
+    capped = QUERIES["k_tokenize_capped_vocab"](spark, SF_DIR).collect()
+    assert len(capped) == len(full)
+    for r in capped:
+        fids = [int(x) for x in full[r["doc_id"]].split(",")]
+        want = [i if i <= VOCAB_TOP_N else 0 for i in fids]
+        got = [int(x) for x in r["ids"].split(",")]
+        assert got == want, f"doc {r['doc_id']}: capped != projected full"
+        assert r["n_oov"] == sum(1 for i in fids if i > VOCAB_TOP_N)
+        assert r["n_tokens"] == len(fids)
