@@ -668,6 +668,55 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- shared tokenizer plumbing (k_tokenize_to_ids / k_tokenize_capped_vocab)
+# The two tokenizers MUST share one vocabulary ranking and one
+# reassembly expression — the capped op is pinned as an exact projection
+# of the full one (tests/test_properties.py), so the common pieces live
+# here once instead of being maintained by hand in both bodies.
+
+
+def _token_counts(d: DataFrame) -> DataFrame:
+    """Per-token corpus frequency over whitespace-split text."""
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _ranked_vocab(tc: DataFrame) -> DataFrame:
+    """Frequency-ranked vocabulary (id 1 = most frequent, ties broken by
+    token — the k_vocab_coverage order) via the distributed
+    global_row_number: corpus-sublinear table, never a single-task
+    window."""
+    from ..operators.relational import global_row_number
+
+    return global_row_number(tc, F.col("cnt").desc(), "tok", parts=8).select(
+        "tok", F.col("rn").alias("id")
+    )
+
+
+def _doc_token_positions(d: DataFrame) -> DataFrame:
+    """(doc_id, position, token) rows for every document."""
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+
+
+def _ids_concat(id_col):
+    """Deterministic per-doc id-sequence reassembly: one doc_id-keyed
+    collect_list wrapped in array_sort on (pos, id) — order by
+    construction, not by shuffle luck — then comma-joined (array cells
+    crash the driver canonicalizer)."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", id_col.alias("id")))),
+            lambda s: s["id"].cast("string"),
+        ),
+    )
+
+
 @register(
     "k_tokenize_to_ids",
     oracle="""
@@ -715,33 +764,17 @@ def k_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed collect_list wrapped in array_sort on (pos, id) —
     deterministic order by construction, not by shuffle luck.
     """
-    from ..operators.relational import global_row_number
     from ..plans.hints import maybe_broadcast
 
     d = load(spark, sf_dir, "documents")
-    tc = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-    vocab = global_row_number(
-        tc, F.col("cnt").desc(), "tok", parts=8
-    ).select("tok", F.col("rn").alias("id"))
-    pos = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
-    )
+    vocab = _ranked_vocab(_token_counts(d))
+    pos = _doc_token_positions(d)
     return (
         pos.join(maybe_broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "id"))),
-                    lambda s: s["id"].cast("string"),
-                ),
-            ).alias("ids"),
+            _ids_concat(F.col("id")).alias("ids"),
         )
     )
 
@@ -799,22 +832,9 @@ def k_tokenize_capped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + coalesce(id, 0); reassembly is the same deterministic
     array_sort-on-(pos, id) collect as the sibling.
     """
-    from ..operators.relational import global_row_number
-
     d = load(spark, sf_dir, "documents")
-    tc = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-    vocab = (
-        global_row_number(tc, F.col("cnt").desc(), "tok", parts=8)
-        .where(F.col("rn") <= VOCAB_TOP_N)
-        .select("tok", F.col("rn").alias("id"))
-    )
-    pos = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
-    )
+    vocab = _ranked_vocab(_token_counts(d)).where(F.col("id") <= VOCAB_TOP_N)
+    pos = _doc_token_positions(d)
     return (
         pos.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
@@ -823,20 +843,7 @@ def k_tokenize_capped_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_oov"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                "i",
-                                F.coalesce("id", F.lit(0)).alias("id"),
-                            )
-                        )
-                    ),
-                    lambda s: s["id"].cast("string"),
-                ),
-            ).alias("ids"),
+            _ids_concat(F.coalesce("id", F.lit(0))).alias("ids"),
         )
     )
 

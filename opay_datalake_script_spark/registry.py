@@ -82,10 +82,13 @@ _RECHECK = (
 # New IDs registered THIS round whose first driver row is deliberately
 # deferred behind higher-priority entries (VERDICT r6 item 7 precedent).
 # They order after every plain never-checked entry but before the
-# stale-evidence tier. Round 10: the capped-vocab tokenizer (the
+# stale-evidence tier — deferral yields slots to OTHER first-rows and
+# to active rechecks, NOT to stale-refresh entries (tier (2,1) still
+# sorts before (3,*)). Round 10: the capped-vocab tokenizer (the
 # bounded-by-construction counterpart of the newly gated
-# k_tokenize_to_ids) defers so the r2-tail stale refresh keeps its
-# window slots.
+# k_tokenize_to_ids). With no other first-rows this round the defer is
+# ordering-neutral: the new ID takes window slot 2 and displaces the
+# 50th (r3) stale slot, leaving the whole r2 tail in slots 3-29.
 _DEFER_FIRST_ROW = frozenset({"k_tokenize_capped_vocab"})
 
 # Deferred-recheck wave: IDs whose changed code is locally verified but
