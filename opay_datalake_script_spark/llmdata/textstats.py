@@ -244,6 +244,95 @@ def k_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(text_col, k: int = 5, w: int = 4):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003) as a pure column expression: k-token shingle md5
+    hashes, then the MINIMUM hash of every sliding window of ``w``
+    consecutive shingle hashes, distinct + sorted. The selection
+    guarantee: any two documents sharing a token run of at least
+    ``w + k - 1`` tokens share at least one fingerprint (every length-w
+    hash window inside the shared run selects the same minimum), while
+    only ~2/(w+1) of all shingle hashes are kept. Hash values order
+    lexicographically on the hex digest — identical in Spark and DuckDB,
+    so ties (min selection) agree across engines.
+
+    Short docs degrade exactly like k_fingerprint's shingle loop:
+    fewer than ``k + w - 1`` tokens -> one window over however many
+    shingles exist (fewer than ``k`` tokens -> one whole-doc shingle),
+    i.e. the singleton global-min fingerprint.
+
+    Returns the sorted-distinct fingerprint ARRAY column; callers
+    reduce it to scalars (array cells crash the driver canonicalizer).
+    """
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary"))
+    )
+    widx = F.sequence(F.lit(1), n - (k + w - 2))
+    mins = F.transform(widx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    return F.array_sort(
+        F.array_distinct(
+            F.when(n >= k + w - 1, mins).otherwise(
+                F.array(F.array_min(hashes))
+            )
+        )
+    )
+
+
+@register(
+    "k_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, n,
+               list_transform(range(1, greatest(n - 4, 1) + 1),
+                              i -> md5(array_to_string(toks[i:i+4], ' ')))
+                   AS hashes
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   CASE WHEN n >= 8 THEN
+                       list_transform(range(1, len(hashes) - 3 + 1),
+                                      j -> list_min(hashes[j:j+3]))
+                   ELSE [list_min(hashes)] END
+               )) AS fps
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS fp_md5,
+           fps[1] AS min_fp
+    FROM f
+    """,
+)
+def k_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints — the MOSS selection step on top
+    of k_fingerprint's shingle hashes: per doc, the distinct minima of
+    every 4-window of 5-token-shingle md5 hashes (see
+    `winnow_fingerprints` for the locality guarantee). Emits the
+    fingerprint-set size, the md5 of the sorted set (the value a 100 TB
+    near-dup pass would band on after an explode), and the smallest
+    fingerprint (always the doc's global min-hash — the k_fingerprint
+    cross-check). Map-only like its sibling: the shingle and window
+    arrays never leave the row, no exchange in the plan at all."""
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=5, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", fps).cast("binary")).alias("fp_md5"),
+        F.element_at(fps, 1).alias("min_fp"),
+    )
+
+
 @register(
     "k_unigram_logprob",
     oracle="""

@@ -89,7 +89,9 @@ _RECHECK = (
 # k_tokenize_to_ids). With no other first-rows this round the defer is
 # ordering-neutral: the new ID takes window slot 2 and displaces the
 # 50th (r3) stale slot, leaving the whole r2 tail in slots 3-29.
-_DEFER_FIRST_ROW = frozenset({"k_tokenize_capped_vocab"})
+_DEFER_FIRST_ROW = frozenset(
+    {"k_tokenize_capped_vocab", "k_winnow_fingerprints"}
+)
 
 # Deferred-recheck wave: IDs whose changed code is locally verified but
 # whose driver re-proof waits one round because a higher-priority wave

@@ -2303,3 +2303,57 @@ def test_capped_vocab_is_projection_of_full_tokenizer(spark):
         assert got == want, f"doc {r['doc_id']}: capped != projected full"
         assert r["n_oov"] == sum(1 for i in fids if i > VOCAB_TOP_N)
         assert r["n_tokens"] == len(fids)
+
+
+def test_winnow_fingerprints_reference_and_locality(spark):
+    """`winnow_fingerprints` (the k_winnow_fingerprints expression)
+    against a naive Python reference on constructed docs covering the
+    three length regimes (< k tokens -> whole-doc shingle; k <= n <
+    k+w-1 -> single window; full path), PLUS the algorithm's defining
+    locality guarantee: two documents sharing a token run of at least
+    w + k - 1 (= 8) tokens MUST share at least one fingerprint — the
+    property that makes winnowed fingerprints a sound band key for
+    near-dup detection (Schleimer et al., SIGMOD 2003)."""
+    import hashlib
+
+    from opay_datalake_script_spark.llmdata.textstats import (
+        winnow_fingerprints,
+    )
+
+    K, W = 5, 4
+
+    def ref(text):
+        toks = text.split(" ")
+        n = len(toks)
+        if n >= K:
+            grams = [" ".join(toks[i:i + K]) for i in range(n - K + 1)]
+        else:
+            grams = [" ".join(toks)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if n >= K + W - 1:
+            mins = [min(hs[j:j + W]) for j in range(len(hs) - W + 1)]
+        else:
+            mins = [min(hs)]
+        return sorted(set(mins))
+
+    shared = "q r s t u v w x"  # 8 tokens = w + k - 1: must co-fingerprint
+    docs = [
+        (0, "a"),                                  # n=1 < k
+        (1, "a b c d"),                            # n=4 < k
+        (2, "a b c d e"),                          # n=5 = k, single window
+        (3, "a b c d e f g"),                      # n=7 < k+w-1
+        (4, "a b c d e f g h"),                    # n=8, exactly full path
+        (5, "m n o p " + shared + " y z"),         # shared run, left ctx
+        (6, shared + " aa bb cc dd ee ff gg hh"),  # shared run, right ctx
+        (7, " ".join(f"t{i % 3}" for i in range(40))),  # heavy duplicates
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=K, w=W).alias("fps")
+    )
+    got = {r["doc_id"]: list(r["fps"]) for r in df.collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == ref(text), f"doc {doc_id}: spark != reference"
+    assert set(got[5]) & set(got[6]), (
+        "locality guarantee violated: docs sharing an 8-token run "
+        "selected disjoint fingerprint sets"
+    )
