@@ -2357,3 +2357,58 @@ def test_winnow_fingerprints_reference_and_locality(spark):
         "locality guarantee violated: docs sharing an 8-token run "
         "selected disjoint fingerprint sets"
     )
+
+
+# Tiny token alphabet forces duplicate shingles (hash ties) and repeated
+# runs; lengths straddle both guard boundaries (k=5, k+w-1=8).
+_winnow_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=20)
+    .map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_winnow_docs)
+def test_winnow_fingerprints_fuzz(spark, texts):
+    """Randomized winnowing cross-check: documents built from a 4-token
+    alphabet (maximal shingle-hash ties and repeats) at lengths 1-20
+    tokens, each compared against the naive Python reference. Hash ties
+    inside a window make min selection ambiguous only at the POSITION
+    level; the value-set contract this engine exposes must stay
+    deterministic regardless."""
+    import hashlib
+
+    from opay_datalake_script_spark.llmdata.textstats import (
+        winnow_fingerprints,
+    )
+
+    K, W = 5, 4
+
+    def ref(text):
+        toks = text.split(" ")
+        n = len(toks)
+        grams = (
+            [" ".join(toks[i:i + K]) for i in range(n - K + 1)]
+            if n >= K
+            else [" ".join(toks)]
+        )
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        mins = (
+            [min(hs[j:j + W]) for j in range(len(hs) - W + 1)]
+            if n >= K + W - 1
+            else [min(hs)]
+        )
+        return sorted(set(mins))
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).select("doc_id", winnow_fingerprints(F.col("text"), k=K, w=W).alias("fps"))
+    got = {r["doc_id"]: list(r["fps"]) for r in df.collect()}
+    for i, text in enumerate(texts):
+        assert got[i] == ref(text), f"doc {i} ({text!r}): spark != reference"
