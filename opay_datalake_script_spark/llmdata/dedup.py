@@ -558,7 +558,20 @@ def band_candidate_pairs(
     windows run on the oversized rows only and share the
     (band, bucket) shuffle key. Width stats for tuning/monitoring:
     `band_bucket_stats`."""
-    buckets = _banded_buckets(docs)
+    return capped_bucket_pairs(_banded_buckets(docs), max_bucket_size)
+
+
+def capped_bucket_pairs(
+    buckets: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """The star+salted-chain capped candidate expansion over ANY
+    (doc_id, band, bucket) relation — the skew mechanism of
+    `band_candidate_pairs` (see its docstring for the measured LSH
+    numbers and the design discussion), shared with the winnow
+    fingerprint candidates so a cap/chain change cannot desynchronize
+    the two bucket families. Emits distinct (doc_a < doc_b) pairs:
+    all-pairs inside buckets of <= ``max_bucket_size`` members, star +
+    ``LSH_CHAIN_SALTS`` deterministic chains inside oversized ones."""
     w = W.partitionBy("band", "bucket")
     sized = buckets.withColumn("bsz", F.count("*").over(w)).withColumn(
         "hub", F.min("doc_id").over(w)
@@ -1245,3 +1258,103 @@ def k_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", dist.cast("long").alias("prefix_edit_dist")
         )
     )
+
+
+def _winnow_cand_oracle(cap: int) -> str:
+    """DuckDB twin of `k_winnow_candidates`, cap-parameterized so the
+    forced-small-cap mirror test (round-7 LSH lesson: fixture buckets
+    never reach production caps, so the default-path differential only
+    proves the no-op branch) can rebuild the WHOLE oracle at cap=2
+    instead of string-replacing constants."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, n,
+               list_transform(range(1, greatest(n - 4, 1) + 1),
+                              i -> md5(array_to_string(toks[i:i+4], ' ')))
+                   AS hashes
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN n >= 8 THEN
+                       list_transform(range(1, len(hashes) - 3 + 1),
+                                      j -> list_min(hashes[j:j+3]))
+                   ELSE [list_min(hashes)] END
+               ) AS fps
+        FROM h
+    ),
+    b AS (
+        SELECT doc_id, 0 AS band, unnest(fps) AS bucket FROM f
+    ),
+    sized AS (
+        SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bsz,
+               min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+        FROM b
+    ),
+    chain AS (
+        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+        FROM (
+            SELECT doc_id,
+                   lead(doc_id) OVER (
+                       PARTITION BY band, bucket, salt
+                       ORDER BY md5(doc_id::VARCHAR || ':' || salt::VARCHAR),
+                                doc_id
+                   ) AS nxt
+            FROM (SELECT doc_id, band, bucket FROM sized WHERE bsz > {cap})
+            CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in range(LSH_CHAIN_SALTS))}]) AS salt) s
+        ) WHERE nxt IS NOT NULL
+    )
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {cap} OR a.doc_id = a.hub
+        UNION ALL
+        SELECT doc_a, doc_b FROM chain
+    )
+    """
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnow fingerprints: explode
+    each doc's winnowed fingerprint set (textstats.winnow_fingerprints)
+    into (doc_id, bucket) rows and run them through the SAME capped
+    star+chain expansion the MinHash bands use. The winnowing locality
+    guarantee turns into a candidate guarantee: two docs sharing any
+    w + k - 1 = 8-token run land in one bucket and emit a pair (subject
+    to the cap's bounded expansion in degenerate boilerplate buckets)."""
+    from .textstats import winnow_fingerprints
+
+    buckets = docs.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.explode(winnow_fingerprints(F.col("text"))).alias("bucket"),
+    )
+    return capped_bucket_pairs(buckets, max_bucket_size)
+
+
+@register("k_winnow_candidates", oracle=_winnow_cand_oracle(LSH_BUCKET_CAP))
+def k_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-fingerprint candidate pairs (see `winnow_candidate_pairs`)
+    — the second banding family next to MinHash LSH: LSH buckets by
+    SIMILARITY of whole documents, winnowing buckets by shared exact
+    RUNS (>= 8 tokens), which catches partial containment (quoted
+    passages, boilerplate splices) that whole-doc MinHash dilutes away.
+    Shares `capped_bucket_pairs` with the LSH path, so both families
+    carry the identical 100 TB skew guard; fp buckets key on uniform
+    md5 values, and the shuffle carries (fingerprint, doc_id) — never
+    text. Fixture scale: max bucket 3 (sf0.01) / 4 (sf0.1), so the cap
+    is a no-op here — the forced-small-cap mirror test proves the
+    capped branch against a cap=2 oracle rebuild."""
+    d = load(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(d.select("doc_id", "text"))

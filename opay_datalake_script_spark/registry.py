@@ -86,11 +86,13 @@ _RECHECK = (
 # to active rechecks, NOT to stale-refresh entries (tier (2,1) still
 # sorts before (3,*)). Round 10: the capped-vocab tokenizer (the
 # bounded-by-construction counterpart of the newly gated
-# k_tokenize_to_ids). With no other first-rows this round the defer is
-# ordering-neutral: the new ID takes window slot 2 and displaces the
-# 50th (r3) stale slot, leaving the whole r2 tail in slots 3-29.
+# k_tokenize_to_ids) plus the winnowing pair (fingerprint op + capped
+# candidate pairs). With no other first-rows this round the defer is
+# ordering-neutral: the three new IDs take window slots 2-4 and
+# displace the three youngest (r3) stale slots, leaving the whole r2
+# tail in slots 5-31 (see scripts/forecast_window.py).
 _DEFER_FIRST_ROW = frozenset(
-    {"k_tokenize_capped_vocab", "k_winnow_fingerprints"}
+    {"k_tokenize_capped_vocab", "k_winnow_fingerprints", "k_winnow_candidates"}
 )
 
 # Deferred-recheck wave: IDs whose changed code is locally verified but

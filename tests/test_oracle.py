@@ -130,3 +130,51 @@ def test_ahash_cap_oracle_mirror_under_active_cap(spark, monkeypatch):
     monkeypatch.setattr(mm, "_CAP", 1 << 40)
     uncapped = mm.k_image_ahash_dedup(spark, SMOKE_SF_DIR).count()
     assert len(got) <= uncapped
+
+
+def test_winnow_cap_oracle_mirror_under_active_cap(spark):
+    """Winnow-candidate twin of the LSH/ahash cap-mirror tests: fixture
+    fingerprint buckets peak at 3 members, so the default-cap (1024)
+    differential only proves the all-pairs regime. Rebuild the WHOLE
+    oracle at cap=2 via _winnow_cand_oracle(2) (no string surgery — the
+    builder is cap-parameterized) and require the star+chain-expanded
+    pair sets to match exactly."""
+    import duckdb
+
+    from opay_datalake_script_spark.llmdata.dedup import (
+        _winnow_cand_oracle,
+        winnow_candidate_pairs,
+    )
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    docs = _load(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    df = winnow_candidate_pairs(docs, max_bucket_size=2)
+    got = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"
+    )
+    exp = set(map(tuple, con.execute(_winnow_cand_oracle(2)).fetchall()))
+    con.close()
+    assert got == exp
+    # the forced cap was genuinely active: the capped run must differ
+    # from (be no larger than) the effectively-uncapped pair set, and
+    # the fixture must actually contain an oversized (>2) bucket
+    uncapped = winnow_candidate_pairs(docs, max_bucket_size=1 << 40).count()
+    assert len(got) <= uncapped
+    from opay_datalake_script_spark.llmdata.textstats import (
+        winnow_fingerprints,
+    )
+    from pyspark.sql import functions as SF
+
+    widest = (
+        docs.select(
+            SF.explode(winnow_fingerprints(SF.col("text"))).alias("fp")
+        )
+        .groupBy("fp")
+        .count()
+        .agg(SF.max("count"))
+        .collect()[0][0]
+    )
+    assert widest > 2, "fixture no longer exercises the capped branch"
