@@ -1260,17 +1260,23 @@ def k_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_cand_oracle(cap: int) -> str:
-    """DuckDB twin of `k_winnow_candidates`, cap-parameterized so the
-    forced-small-cap mirror test (round-7 LSH lesson: fixture buckets
-    never reach production caps, so the default-path differential only
-    proves the no-op branch) can rebuild the WHOLE oracle at cap=2
-    instead of string-replacing constants."""
-    return f"""
-    WITH t AS (
+# The winnow fingerprint CTEs (t -> h -> f, ending in f(doc_id, fps))
+# shared by the k_winnow_fingerprints oracle (textstats.py imports this
+# constant) and the k_winnow_candidates oracle below — ONE SQL
+# definition of the fingerprint selection, so a k/w/guard change cannot
+# desynchronize the two oracles (r10 review). Lives here rather than in
+# textstats.py because dedup imports FIRST in registry._QUERY_MODULES:
+# a dedup -> textstats module-level import would reorder registration
+# (the stale-refresh tiebreaker), while textstats -> dedup is a cached
+# no-op by the time textstats loads. Null-text docs are excluded to
+# match Spark (concat_ws would hash them to md5(''); DuckDB's md5
+# propagates NULL — the r10 review divergence).
+WINNOW_FPS_SQL_CTES = """
+    t AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n
         FROM documents
+        WHERE text IS NOT NULL
     ),
     h AS (
         SELECT doc_id, n,
@@ -1281,14 +1287,27 @@ def _winnow_cand_oracle(cap: int) -> str:
     ),
     f AS (
         SELECT doc_id,
-               list_distinct(
+               list_sort(list_distinct(
                    CASE WHEN n >= 8 THEN
                        list_transform(range(1, len(hashes) - 3 + 1),
                                       j -> list_min(hashes[j:j+3]))
                    ELSE [list_min(hashes)] END
-               ) AS fps
+               )) AS fps
         FROM h
-    ),
+    )
+"""
+
+
+def _winnow_cand_oracle(cap: int) -> str:
+    """DuckDB twin of `k_winnow_candidates`, cap-parameterized so the
+    forced-small-cap mirror test (round-7 LSH lesson: fixture buckets
+    never reach production caps, so the default-path differential only
+    proves the no-op branch) can rebuild the WHOLE oracle at cap=2
+    instead of string-replacing constants. Builds on the SHARED
+    fingerprint CTEs (the list_sort there is irrelevant to bucketing
+    but keeps the block identical to the fingerprint oracle's)."""
+    return f"""
+    WITH {WINNOW_FPS_SQL_CTES},
     b AS (
         SELECT doc_id, 0 AS band, unnest(fps) AS bucket FROM f
     ),
@@ -1332,10 +1351,16 @@ def winnow_candidate_pairs(
     star+chain expansion the MinHash bands use. The winnowing locality
     guarantee turns into a candidate guarantee: two docs sharing any
     w + k - 1 = 8-token run land in one bucket and emit a pair (subject
-    to the cap's bounded expansion in degenerate boilerplate buckets)."""
+    to the cap's bounded expansion in degenerate boilerplate buckets).
+
+    Null-text docs are EXCLUDED (mirrored by the oracle's
+    `WHERE text IS NOT NULL`): Spark's concat_ws would otherwise hash a
+    null doc to md5('') and pair every null/empty doc through one
+    sentinel bucket, while DuckDB's NULL-propagating md5 would emit
+    nothing — the r10 review's one cross-engine divergence."""
     from .textstats import winnow_fingerprints
 
-    buckets = docs.select(
+    buckets = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.lit(0).alias("band"),
         F.explode(winnow_fingerprints(F.col("text"))).alias("bucket"),

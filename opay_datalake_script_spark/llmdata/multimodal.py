@@ -536,40 +536,17 @@ def k_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          "hi & 65535", "shiftright(hi, 16) & 65535"]
     ):
         part = hashes.select(
-            "doc_id", F.lit(i).alias("band"), F.expr(expr).alias("key")
+            "doc_id", F.lit(i).alias("band"), F.expr(expr).alias("bucket")
         )
         bands = part if bands is None else bands.unionByName(part)
 
-    wb = W.partitionBy("band", "key")
-    sized = bands.withColumn("bsz", F.count("*").over(wb)).withColumn(
-        "hub", F.min("doc_id").over(wb)
-    )
-    a = sized.where(
-        (F.col("bsz") <= _CAP) | (F.col("doc_id") == F.col("hub"))
-    ).select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = sized.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    star = (
-        a.join(b, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    ws = W.partitionBy("band", "key", "salt").orderBy(
-        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("salt"))), "doc_id"
-    )
-    chain = (
-        sized.where(F.col("bsz") > _CAP)
-        .select(
-            "doc_id", "band", "key",
-            F.explode(F.array(*[F.lit(s) for s in range(_SALTS)])).alias("salt"),
-        )
-        .withColumn("nxt", F.lead("doc_id").over(ws))
-        .where(F.col("nxt").isNotNull())
-        .select(
-            F.least("doc_id", "nxt").alias("doc_a"),
-            F.greatest("doc_id", "nxt").alias("doc_b"),
-        )
-    )
-    cand = star.unionByName(chain).distinct()
+    # Third consumer of the shared star+salted-chain expansion (after
+    # the MinHash bands and the winnow fingerprints) — migrated from a
+    # verbatim copy in r10 so a cap/chain scheme change cannot
+    # desynchronize the image family from the text families.
+    from .dedup import capped_bucket_pairs
+
+    cand = capped_bucket_pairs(bands, max_bucket_size=_CAP)
     # Verify-stage fetch through the SIZE-GATED broadcast hint
     # (plans/hints.py, SCALE_DESIGN §2 class (b)): the hash side is one
     # 24-byte row per image — tiny next to the candidate-pair stream at

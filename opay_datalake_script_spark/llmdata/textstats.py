@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.hints import maybe_broadcast
+from .dedup import WINNOW_FPS_SQL_CTES as _WINNOW_CTES
 from ..registry import register
 from ..sources.io import load
 
@@ -283,29 +284,10 @@ def winnow_fingerprints(text_col, k: int = 5, w: int = 4):
 
 @register(
     "k_winnow_fingerprints",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               len(string_split(text, ' ')) AS n
-        FROM documents
-    ),
-    h AS (
-        SELECT doc_id, n,
-               list_transform(range(1, greatest(n - 4, 1) + 1),
-                              i -> md5(array_to_string(toks[i:i+4], ' ')))
-                   AS hashes
-        FROM t
-    ),
-    f AS (
-        SELECT doc_id,
-               list_sort(list_distinct(
-                   CASE WHEN n >= 8 THEN
-                       list_transform(range(1, len(hashes) - 3 + 1),
-                                      j -> list_min(hashes[j:j+3]))
-                   ELSE [list_min(hashes)] END
-               )) AS fps
-        FROM h
-    )
+    # fingerprint CTEs shared with the k_winnow_candidates oracle — one
+    # SQL definition of the selection (see dedup.WINNOW_FPS_SQL_CTES).
+    oracle=f"""
+    WITH {_WINNOW_CTES}
     SELECT doc_id,
            CAST(len(fps) AS BIGINT) AS n_fingerprints,
            md5(array_to_string(fps, ',')) AS fp_md5,
@@ -323,7 +305,7 @@ def k_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (always the doc's global min-hash — the k_fingerprint
     cross-check). Map-only like its sibling: the shingle and window
     arrays never leave the row, no exchange in the plan at all."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     fps = winnow_fingerprints(F.col("text"), k=5, w=4)
     return d.select(
         "doc_id",

@@ -2374,21 +2374,24 @@ _winnow_docs = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(texts=_winnow_docs)
-def test_winnow_fingerprints_fuzz(spark, texts):
+@given(texts=_winnow_docs, kw=st.sampled_from([(5, 4), (4, 3), (3, 2)]))
+def test_winnow_fingerprints_fuzz(spark, texts, kw):
     """Randomized winnowing cross-check: documents built from a 4-token
     alphabet (maximal shingle-hash ties and repeats) at lengths 1-20
     tokens, each compared against the naive Python reference. Hash ties
     inside a window make min selection ambiguous only at the POSITION
     level; the value-set contract this engine exposes must stay
-    deterministic regardless."""
+    deterministic regardless. (k, w) is SAMPLED, not pinned at the
+    production point, so a boundary off-by-one that cancels at (5, 4)
+    — e.g. a guard hardcoding 8 instead of k+w-1 — still fails
+    (r10 review)."""
     import hashlib
 
     from opay_datalake_script_spark.llmdata.textstats import (
         winnow_fingerprints,
     )
 
-    K, W = 5, 4
+    K, W = kw
 
     def ref(text):
         toks = text.split(" ")
@@ -2412,3 +2415,28 @@ def test_winnow_fingerprints_fuzz(spark, texts):
     got = {r["doc_id"]: list(r["fps"]) for r in df.collect()}
     for i, text in enumerate(texts):
         assert got[i] == ref(text), f"doc {i} ({text!r}): spark != reference"
+
+
+def test_winnow_candidates_exclude_null_text(spark):
+    """Null-text docs must be EXCLUDED from winnow banding (r10 review):
+    Spark's concat_ws('') would otherwise fingerprint a null doc as
+    md5('') and pair every null doc with every empty doc through one
+    sentinel bucket, while the DuckDB oracle's NULL-propagating md5
+    emits nothing — a cross-engine divergence invisible at fixture
+    scale (0 null texts). Empty-STRING docs remain legitimate members
+    of the md5('') bucket on both sides."""
+    from opay_datalake_script_spark.llmdata.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_candidate_pairs(docs).collect()
+    }
+    assert pairs == {(3, 4)}, (
+        f"null docs must not band; empty docs must: {pairs}"
+    )
