@@ -73,20 +73,90 @@ _BANDS = [(2 * j, 2 * j + 1) for j in range(_MINHASH_K // 2)]
 LSH_BUCKET_CAP = 1024
 LSH_CHAIN_SALTS = 4
 
-# Reusable CTE block: md5-MinHash signatures -> 8x2 banding -> distinct
-# candidate pairs, as `band_cand(doc_a, doc_b)`. Shared verbatim by the
-# banding oracle itself AND by every oracle that composes "banded
-# candidates -> exact verify" (k_jaccard_pairs, k_ngram_jaccard,
-# k_near_dedup_lsh), so the DuckDB twin reproduces the identical
-# candidate set the Spark side generates — including the bucket-width
-# star cap (`bsz <= cap OR doc_a = hub`; hub = min doc_id, so star
-# pairs always have doc_a = hub under the doc_a < doc_b convention).
-_BAND_CAND_CTES = f"""
+# Sub-bucket chunking for the salted-chain ORDERING (r10 verdict: the
+# cap bounds an oversized bucket's candidate OUTPUT, but the chain's
+# per-(band, bucket, salt) sort window cannot be split by AQE, so a
+# degenerate mega-bucket — tens of millions of boilerplate docs at
+# 100 TB — would pin one sort task per salt). Each oversized bucket's
+# members are split into ceil(bsz / CHAIN_CHUNK_ROWS) deterministic
+# md5-prefix sub-buckets and each sub-chain is ordered independently:
+# no task ever sorts more than ~CHAIN_CHUNK_ROWS rows, the O(B·salts)
+# candidate bound is preserved (a chunked chain emits FEWER links:
+# one lost edge per chunk boundary), and because chunk assignment
+# reuses the chain's own md5(doc_id:salt) key, members land in
+# different chunks under different salts — expected probes per member
+# stay ~2 per salt (exact for every non-endpoint; a 1M bucket has
+# 62 endpoints per salt out of 1M members). Buckets at or below the
+# chunk size plan ONE chunk, so outputs are bit-identical to the
+# unchunked r10 scheme everywhere the fixture (or any bucket narrower
+# than 16384) can reach.
+CHAIN_CHUNK_ROWS = 16384
+
+
+def chain_cte_sql(
+    sized: str,
+    key: str = "bucket",
+    cap: int = LSH_BUCKET_CAP,
+    chunk_rows: int = CHAIN_CHUNK_ROWS,
+) -> str:
+    """DuckDB body (parenthesized SELECT, ready for `name AS ...`) of the
+    salted + CHUNKED chain expansion over an oversized-bucket relation
+    ``sized(doc_id, band, <key>, bsz)`` — the ONE SQL definition of the
+    chain scheme, shared by the MinHash, winnow, and image-ahash oracles
+    (multimodal imports it) so the three banding families cannot
+    desynchronize on the skew guard. Mirrors `capped_bucket_pairs`
+    term-for-term: ordering key md5(doc_id ':' salt), chunk id =
+    32-bit md5 prefix mod ceil(bsz / chunk_rows), chains link
+    consecutive members WITHIN a (band, key, salt, chunk) group."""
+    salts = ", ".join(str(s) for s in range(LSH_CHAIN_SALTS))
+    return f"""(
+        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
+        FROM (
+            SELECT doc_id,
+                   lead(doc_id) OVER (
+                       PARTITION BY band, {key}, salt, chunk
+                       ORDER BY ok, doc_id
+                   ) AS nxt
+            FROM (
+                SELECT doc_id, band, {key}, salt,
+                       md5(doc_id::VARCHAR || ':' || salt::VARCHAR) AS ok,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':' || salt::VARCHAR), 1, 8))::BIGINT
+                           % (((bsz - 1) // {chunk_rows}) + 1) AS chunk
+                FROM (SELECT doc_id, band, {key}, bsz FROM {sized}
+                      WHERE bsz > {cap})
+                CROSS JOIN (SELECT unnest([{salts}]) AS salt) s
+            )
+        ) WHERE nxt IS NOT NULL
+    )"""
+
+
+def _band_cand_ctes(
+    cap: int = LSH_BUCKET_CAP,
+    chunk_rows: int = CHAIN_CHUNK_ROWS,
+    src: str = "documents",
+) -> str:
+    """Reusable CTE block: md5-MinHash signatures -> 8x2 banding ->
+    distinct candidate pairs, as `band_cand(doc_a, doc_b)`. Shared (via
+    the default-parameter `_BAND_CAND_CTES` snapshot) by the banding
+    oracle itself AND by every oracle that composes "banded candidates
+    -> exact verify" (k_jaccard_pairs, k_ngram_jaccard,
+    k_near_dedup_lsh), so the DuckDB twin reproduces the identical
+    candidate set the Spark side generates — including the bucket-width
+    star cap (`bsz <= cap OR doc_a = hub`; hub = min doc_id, so star
+    pairs always have doc_a = hub under the doc_a < doc_b convention)
+    and the chunked salted chains. Cap/chunk-parameterized so the
+    forced-small-cap and forced-small-chunk mirror tests rebuild the
+    WHOLE oracle instead of string-replacing constants; src-
+    parameterized so pipeline oracles that band a SUBSET (e.g. the
+    exact-dedup survivors — bucket widths, and therefore the cap's
+    behavior, differ between banding a subset and banding everything
+    then filtering) reuse the identical block."""
+    return f"""
     mh_toks AS (
         SELECT doc_id,
                unnest(list_distinct(string_split(
                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
-        FROM documents
+        FROM {src}
     ),
     mh_sig AS (
         SELECT doc_id,
@@ -105,32 +175,22 @@ _BAND_CAND_CTES = f"""
                min(doc_id) OVER (PARTITION BY band, bucket) AS hub
         FROM mh_buckets
     ),
-    mh_chain AS (
-        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
-        FROM (
-            SELECT doc_id,
-                   lead(doc_id) OVER (
-                       PARTITION BY band, bucket, salt
-                       ORDER BY md5(doc_id::VARCHAR || ':' || salt::VARCHAR),
-                                doc_id
-                   ) AS nxt
-            FROM (SELECT doc_id, band, bucket FROM mh_sized
-                  WHERE bsz > {LSH_BUCKET_CAP})
-            CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in range(LSH_CHAIN_SALTS))}]) AS salt) s
-        ) WHERE nxt IS NOT NULL
-    ),
+    mh_chain AS {chain_cte_sql("mh_sized", "bucket", cap, chunk_rows)},
     band_cand AS (
         SELECT DISTINCT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM mh_sized a JOIN mh_sized b
               ON a.band = b.band AND a.bucket = b.bucket
                  AND a.doc_id < b.doc_id
-            WHERE a.bsz <= {LSH_BUCKET_CAP} OR a.doc_id = a.hub
+            WHERE a.bsz <= {cap} OR a.doc_id = a.hub
             UNION ALL
             SELECT doc_a, doc_b FROM mh_chain
         )
     )
 """
+
+
+_BAND_CAND_CTES = _band_cand_ctes()
 
 _BAND_ORACLE = f"WITH {_BAND_CAND_CTES} SELECT doc_a, doc_b FROM band_cand"
 
@@ -531,7 +591,9 @@ def _banded_buckets(docs: DataFrame) -> DataFrame:
 
 
 def band_candidate_pairs(
-    docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP
+    docs: DataFrame,
+    max_bucket_size: int = LSH_BUCKET_CAP,
+    chain_chunk_rows: int = CHAIN_CHUNK_ROWS,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b, deterministic) over any
     (doc_id, text) DataFrame — signatures, band expansion, one
@@ -558,43 +620,70 @@ def band_candidate_pairs(
     windows run on the oversized rows only and share the
     (band, bucket) shuffle key. Width stats for tuning/monitoring:
     `band_bucket_stats`."""
-    return capped_bucket_pairs(_banded_buckets(docs), max_bucket_size)
+    return capped_bucket_pairs(_banded_buckets(docs), max_bucket_size, chain_chunk_rows)
 
 
 def capped_bucket_pairs(
-    buckets: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP
+    buckets: DataFrame,
+    max_bucket_size: int = LSH_BUCKET_CAP,
+    chain_chunk_rows: int = CHAIN_CHUNK_ROWS,
 ) -> DataFrame:
     """The star+salted-chain capped candidate expansion over ANY
     (doc_id, band, bucket) relation — the skew mechanism of
     `band_candidate_pairs` (see its docstring for the measured LSH
     numbers and the design discussion), shared with the winnow
-    fingerprint candidates so a cap/chain change cannot desynchronize
-    the two bucket families. Emits distinct (doc_a < doc_b) pairs:
-    all-pairs inside buckets of <= ``max_bucket_size`` members, star +
-    ``LSH_CHAIN_SALTS`` deterministic chains inside oversized ones."""
-    w = W.partitionBy("band", "bucket")
-    sized = buckets.withColumn("bsz", F.count("*").over(w)).withColumn(
-        "hub", F.min("doc_id").over(w)
+    fingerprint and image-ahash candidates so a cap/chain change cannot
+    desynchronize the three bucket families. Emits distinct
+    (doc_a < doc_b) pairs: all-pairs inside buckets of <=
+    ``max_bucket_size`` members, star + ``LSH_CHAIN_SALTS``
+    deterministic chunked chains inside oversized ones.
+
+    Hot-bucket task shape (r10 verdict item 1): NO window runs over a
+    whole (band, bucket) group anywhere in this plan. Bucket sizing is
+    a partial-combining `groupBy(band, bucket).agg(count, min)` joined
+    back — an AQE-splittable aggregate+join, not a window whose
+    partition is pinned to one task — and a mega-bucket contributes
+    exactly ONE a-side star row straight from the aggregate (its hub),
+    so the star join's build side never carries the bucket's members.
+    The chain ordering windows over (band, bucket, salt, chunk) where
+    chunk = md5-prefix mod ceil(bsz / ``chain_chunk_rows``) — see the
+    CHAIN_CHUNK_ROWS note — so the widest sort any single task performs
+    is ~chain_chunk_rows rows no matter how degenerate the bucket.
+    Probed at a synthetic 1,000,000-member bucket
+    (scripts/probe_megabucket.py; numbers in NOTES_r11)."""
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
     )
-    a = sized.where(
-        (F.col("bsz") <= max_bucket_size) | (F.col("doc_id") == F.col("hub"))
-    ).select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = sized.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    small = sizes.where(F.col("bsz") <= max_bucket_size)
+    big = sizes.where(F.col("bsz") > max_bucket_size)
+    # a-side: every member of a small bucket, the hub alone for a big
+    # one (taken from the aggregate, not from a filtered member scan).
+    a = (
+        buckets.join(small, ["band", "bucket"])
+        .select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .unionByName(big.select(F.col("hub").alias("doc_a"), "band", "bucket"))
+    )
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     star = (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    ws = W.partitionBy("band", "bucket", "salt").orderBy(
-        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("salt"))), "doc_id"
-    )
+    ord_key = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("salt")))
+    n_chunks = F.expr(f"(bsz - 1) div {int(chain_chunk_rows)}") + F.lit(1)
+    ws = W.partitionBy("band", "bucket", "salt", "chunk").orderBy("ok", "doc_id")
     chain = (
-        sized.where(F.col("bsz") > max_bucket_size)
+        buckets.join(big.select("band", "bucket", "bsz"), ["band", "bucket"])
         .select(
-            "doc_id", "band", "bucket",
+            "doc_id", "band", "bucket", "bsz",
             F.explode(F.array(*[F.lit(s) for s in range(LSH_CHAIN_SALTS)])).alias(
                 "salt"
             ),
+        )
+        .withColumn("ok", ord_key)
+        .withColumn(
+            "chunk",
+            F.conv(F.substring("ok", 1, 8), 16, 10).cast("long") % n_chunks,
         )
         .withColumn("nxt", F.lead("doc_id").over(ws))
         .where(F.col("nxt").isNotNull())
@@ -1271,11 +1360,16 @@ def k_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no-op by the time textstats loads. Null-text docs are excluded to
 # match Spark (concat_ws would hash them to md5(''); DuckDB's md5
 # propagates NULL — the r10 review divergence).
-WINNOW_FPS_SQL_CTES = """
+def winnow_fps_sql_ctes(src: str = "documents") -> str:
+    """The winnow fingerprint CTE block, src-parameterized (r11: the
+    corpus-dedup-winnow pipeline oracle fingerprints the exact-dedup
+    SURVIVORS, not the whole table). The module constant below stays
+    the default-src snapshot textstats imports."""
+    return f"""
     t AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n
-        FROM documents
+        FROM {src}
         WHERE text IS NOT NULL
     ),
     h AS (
@@ -1298,52 +1392,63 @@ WINNOW_FPS_SQL_CTES = """
 """
 
 
-def _winnow_cand_oracle(cap: int) -> str:
-    """DuckDB twin of `k_winnow_candidates`, cap-parameterized so the
-    forced-small-cap mirror test (round-7 LSH lesson: fixture buckets
-    never reach production caps, so the default-path differential only
-    proves the no-op branch) can rebuild the WHOLE oracle at cap=2
-    instead of string-replacing constants. Builds on the SHARED
+WINNOW_FPS_SQL_CTES = winnow_fps_sql_ctes()
+
+
+def _winnow_cand_ctes(
+    cap: int,
+    chunk_rows: int = CHAIN_CHUNK_ROWS,
+    src: str = "documents",
+) -> str:
+    """CTE chain (fingerprints -> banding -> capped star+chunked-chain
+    pairs) ending in `winnow_cand(doc_a, doc_b)` — the composable form
+    of the winnow-candidate oracle, shared by `_winnow_cand_oracle`
+    and the corpus-dedup-winnow pipeline oracle. Builds on the SHARED
     fingerprint CTEs (the list_sort there is irrelevant to bucketing
-    but keeps the block identical to the fingerprint oracle's)."""
+    but keeps the block identical to the fingerprint oracle's) and the
+    SHARED chain CTE builder."""
     return f"""
-    WITH {WINNOW_FPS_SQL_CTES},
-    b AS (
+    {winnow_fps_sql_ctes(src)},
+    wn_b AS (
         SELECT doc_id, 0 AS band, unnest(fps) AS bucket FROM f
     ),
-    sized AS (
+    wn_sized AS (
         SELECT doc_id, band, bucket,
                count(*) OVER (PARTITION BY band, bucket) AS bsz,
                min(doc_id) OVER (PARTITION BY band, bucket) AS hub
-        FROM b
+        FROM wn_b
     ),
-    chain AS (
-        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
-        FROM (
-            SELECT doc_id,
-                   lead(doc_id) OVER (
-                       PARTITION BY band, bucket, salt
-                       ORDER BY md5(doc_id::VARCHAR || ':' || salt::VARCHAR),
-                                doc_id
-                   ) AS nxt
-            FROM (SELECT doc_id, band, bucket FROM sized WHERE bsz > {cap})
-            CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in range(LSH_CHAIN_SALTS))}]) AS salt) s
-        ) WHERE nxt IS NOT NULL
-    )
-    SELECT DISTINCT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sized a JOIN sized b
-          ON a.band = b.band AND a.bucket = b.bucket
-             AND a.doc_id < b.doc_id
-        WHERE a.bsz <= {cap} OR a.doc_id = a.hub
-        UNION ALL
-        SELECT doc_a, doc_b FROM chain
-    )
+    wn_chain AS {chain_cte_sql("wn_sized", "bucket", cap, chunk_rows)},
+    winnow_cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM wn_sized a JOIN wn_sized b
+              ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            WHERE a.bsz <= {cap} OR a.doc_id = a.hub
+            UNION ALL
+            SELECT doc_a, doc_b FROM wn_chain
+        )
+    )"""
+
+
+def _winnow_cand_oracle(cap: int, chunk_rows: int = CHAIN_CHUNK_ROWS) -> str:
+    """DuckDB twin of `k_winnow_candidates`, cap/chunk-parameterized so
+    the forced-small-cap and forced-small-chunk mirror tests (round-7
+    LSH lesson: fixture buckets never reach production caps, so the
+    default-path differential only proves the no-op branch) can rebuild
+    the WHOLE oracle at cap=2 / chunk=2 instead of string-replacing
+    constants."""
+    return f"""
+    WITH {_winnow_cand_ctes(cap, chunk_rows)}
+    SELECT doc_a, doc_b FROM winnow_cand
     """
 
 
 def winnow_candidate_pairs(
-    docs: DataFrame, max_bucket_size: int = LSH_BUCKET_CAP
+    docs: DataFrame,
+    max_bucket_size: int = LSH_BUCKET_CAP,
+    chain_chunk_rows: int = CHAIN_CHUNK_ROWS,
 ) -> DataFrame:
     """Candidate near-dup pairs from shared winnow fingerprints: explode
     each doc's winnowed fingerprint set (textstats.winnow_fingerprints)
@@ -1365,7 +1470,7 @@ def winnow_candidate_pairs(
         F.lit(0).alias("band"),
         F.explode(winnow_fingerprints(F.col("text"))).alias("bucket"),
     )
-    return capped_bucket_pairs(buckets, max_bucket_size)
+    return capped_bucket_pairs(buckets, max_bucket_size, chain_chunk_rows)
 
 
 @register("k_winnow_candidates", oracle=_winnow_cand_oracle(LSH_BUCKET_CAP))

@@ -375,12 +375,18 @@ def k_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .dedup import CHAIN_CHUNK_ROWS as _CHUNK  # noqa: E402
 from .dedup import LSH_BUCKET_CAP as _CAP  # noqa: E402
-from .dedup import LSH_CHAIN_SALTS as _SALTS  # noqa: E402
+from .dedup import chain_cte_sql as _chain_cte_sql  # noqa: E402
 
-_SALT_LIST = ", ".join(str(s) for s in range(_SALTS))
 
-_AHASH_ORACLE = f"""
+def _ahash_oracle(cap: int = _CAP, chunk_rows: int = _CHUNK) -> str:
+    """DuckDB twin of `k_image_ahash_dedup`, cap/chunk-parameterized so
+    the forced-small-cap/chunk mirror tests rebuild the WHOLE oracle
+    instead of string-replacing constants; the chain CTE comes from the
+    SHARED dedup.chain_cte_sql so the image banding family cannot drift
+    from the text families' skew guard."""
+    return f"""
     WITH px AS (
         SELECT doc_id,
                unicode(substr(text, CAST(i AS INTEGER), 1)) AS v,
@@ -426,25 +432,13 @@ _AHASH_ORACLE = f"""
                min(doc_id) OVER (PARTITION BY band, key) AS hub
         FROM bands
     ),
-    chain AS (
-        SELECT least(doc_id, nxt) AS doc_a, greatest(doc_id, nxt) AS doc_b
-        FROM (
-            SELECT doc_id,
-                   lead(doc_id) OVER (
-                       PARTITION BY band, key, salt
-                       ORDER BY md5(doc_id::VARCHAR || ':' || salt::VARCHAR),
-                                doc_id
-                   ) AS nxt
-            FROM (SELECT doc_id, band, key FROM sized WHERE bsz > {_CAP})
-            CROSS JOIN (SELECT unnest([{_SALT_LIST}]) AS salt) s
-        ) WHERE nxt IS NOT NULL
-    ),
+    chain AS {_chain_cte_sql("sized", "key", cap, chunk_rows)},
     cand AS (
         SELECT DISTINCT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sized a JOIN sized b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-            WHERE a.bsz <= {_CAP} OR a.doc_id = a.hub
+            WHERE a.bsz <= {cap} OR a.doc_id = a.hub
             UNION ALL
             SELECT doc_a, doc_b FROM chain
         )
@@ -458,6 +452,9 @@ _AHASH_ORACLE = f"""
     WHERE CAST(bit_count(xor(ha.lo, hb.lo)) AS BIGINT)
           + CAST(bit_count(xor(ha.hi, hb.hi)) AS BIGINT) <= 3
 """
+
+
+_AHASH_ORACLE = _ahash_oracle()
 
 
 def _ahash_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

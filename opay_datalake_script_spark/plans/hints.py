@@ -48,11 +48,21 @@ def _default_gate_bytes() -> int:
     raw = os.environ.get(_GATE_ENV)
     if raw:
         try:
-            return int(raw)
+            val = int(raw)
         except ValueError:
             raise ValueError(
                 f"{_GATE_ENV}={raw!r} is not an integer byte count"
             ) from None
+        if val < 0:
+            # ADVICE r10: a negative gate disables every gated broadcast
+            # exactly like 0 does, but unlike 0 it is indistinguishable
+            # from a typo ('-256' for '256'); only the documented
+            # explicit 0 may mean "gate off".
+            raise ValueError(
+                f"{_GATE_ENV}={raw!r} is negative — use 0 to disable "
+                "gated broadcasts, or a positive byte count"
+            )
+        return val
     return VERIFY_FETCH_BROADCAST_MAX_BYTES
 
 

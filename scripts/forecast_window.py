@@ -34,7 +34,11 @@ def main() -> None:
         _major, _minor, tier = registry._evidence_tier(
             name, hit, next_wave_active
         )
-        print(f"{rank:3d}  {tier:21s}  {name:32s}  r{rnd if rnd else '-'}")
+        # explicit None check (ADVICE r10): `rnd if rnd else ...` printed
+        # the malformed 'r-' for never-checked entries and would mask a
+        # legitimate round 0 (0 is falsy) as never-checked
+        suffix = f"r{rnd}" if rnd is not None else "-"
+        print(f"{rank:3d}  {tier:21s}  {name:32s}  {suffix}")
 
 
 if __name__ == "__main__":

@@ -62,26 +62,20 @@ def test_all_registered_outputs_are_scalar(spark):
 def test_lsh_cap_oracle_mirror_under_active_cap(spark):
     """The default cap (1024) is never reached by fixture buckets, so the
     plain oracle tests only prove the no-op regime. Force the cap DOWN
-    to 64 on both sides (engine arg; literal substitution in the shared
-    banding CTE) and require the star-expanded candidate sets to match
-    exactly — the proof that the engine's pre-filtered self-join and the
-    oracle's bsz/hub predicate express the same capped semantics."""
+    to 64 on both sides (engine arg; oracle rebuilt by the
+    cap-parameterized _band_cand_ctes builder — no string surgery) and
+    require the star-expanded candidate sets to match exactly — the
+    proof that the engine's aggregate-sized star join and the oracle's
+    bsz/hub predicate express the same capped semantics."""
     from opay_datalake_script_spark.llmdata.dedup import (
-        _BAND_ORACLE,
-        LSH_BUCKET_CAP,
+        _band_cand_ctes,
         band_candidate_pairs,
     )
     from opay_datalake_script_spark.sources.io import load as _load
 
-    capped_sql = _BAND_ORACLE.replace(
-        f"a.bsz <= {LSH_BUCKET_CAP}", "a.bsz <= 64"
-    ).replace(f"WHERE bsz > {LSH_BUCKET_CAP}", "WHERE bsz > 64")
+    capped_sql = f"WITH {_band_cand_ctes(64)} SELECT doc_a, doc_b FROM band_cand"
     import duckdb
 
-    # both cap occurrences (star predicate AND salted-chain CTE) hit
-    assert f"bsz <= {LSH_BUCKET_CAP}" not in capped_sql
-    assert f"bsz > {LSH_BUCKET_CAP}" not in capped_sql
-    assert capped_sql != _BAND_ORACLE
     docs = _load(spark, SMOKE_SF_DIR, "documents")
     df = band_candidate_pairs(docs, max_bucket_size=64)
     con = duckdb.connect()
@@ -98,6 +92,55 @@ def test_lsh_cap_oracle_mirror_under_active_cap(spark):
     assert len(got) < uncapped
 
 
+def test_lsh_chunked_chain_oracle_mirror(spark):
+    """The chain-ordering CHUNKS (r11: no single task may sort a whole
+    mega-bucket) are a no-op below CHAIN_CHUNK_ROWS = 16384 members, so
+    the default-parameter differential only proves the one-chunk regime.
+    Force cap=16 AND chunk=4 on both sides (engine args; oracle rebuilt
+    by the cap/chunk-parameterized builder) so fixture buckets split
+    into multiple chunks per salt, and require exact pair-set equality —
+    the proof that the md5-prefix-mod chunk assignment and the per-chunk
+    lead() ordering agree term-for-term across engines. Also pins that
+    chunking genuinely engaged: the chunked chain must emit no more
+    links than the unchunked one (one lost edge per chunk boundary) and
+    must differ from it somewhere on this fixture."""
+    import duckdb
+
+    from opay_datalake_script_spark.llmdata.dedup import (
+        _band_cand_ctes,
+        band_candidate_pairs,
+    )
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    docs = _load(spark, SMOKE_SF_DIR, "documents")
+    df = band_candidate_pairs(docs, max_bucket_size=16, chain_chunk_rows=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"
+    )
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                f"WITH {_band_cand_ctes(16, 4)} SELECT doc_a, doc_b FROM band_cand"
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == exp
+    # chunking engaged: same cap, unchunked chains -> a different
+    # (superset-ish, strictly larger) candidate set on this fixture
+    unchunked = {
+        (r["doc_a"], r["doc_b"])
+        for r in band_candidate_pairs(
+            docs, max_bucket_size=16, chain_chunk_rows=1 << 40
+        ).collect()
+    }
+    assert got != unchunked, "chunk=4 never split a fixture bucket"
+
+
 def test_ahash_cap_oracle_mirror_under_active_cap(spark, monkeypatch):
     """Image-ahash twin of test_lsh_cap_oracle_mirror_under_active_cap:
     fixture (band, key) buckets never exceed the default cap, so the
@@ -107,12 +150,8 @@ def test_ahash_cap_oracle_mirror_under_active_cap(spark, monkeypatch):
     dedup outputs to match exactly."""
     from opay_datalake_script_spark.llmdata import multimodal as mm
 
-    capped_sql = mm._AHASH_ORACLE.replace(
-        "a.bsz <= 1024", "a.bsz <= 2"
-    ).replace("WHERE bsz > 1024", "WHERE bsz > 2")
-    # both cap occurrences (star predicate AND salted-chain CTE) hit
-    assert "bsz <= 1024" not in capped_sql
-    assert "bsz > 1024" not in capped_sql
+    capped_sql = mm._ahash_oracle(cap=2)
+    assert capped_sql != mm._AHASH_ORACLE
     monkeypatch.setattr(mm, "_CAP", 2)
     import duckdb
 

@@ -1142,6 +1142,14 @@ def test_broadcast_gate_env_override(monkeypatch):
     monkeypatch.setenv(hints._GATE_ENV, "256mb")
     with pytest.raises(ValueError, match="integer byte count"):
         hints._default_gate_bytes()
+    # negative (ADVICE r10): disables every gated broadcast exactly like
+    # 0 but is indistinguishable from a typo — must raise, not run
+    monkeypatch.setenv(hints._GATE_ENV, "-256")
+    with pytest.raises(ValueError, match="negative"):
+        hints._default_gate_bytes()
+    # explicit 0 stays the documented "gate off" setting
+    monkeypatch.setenv(hints._GATE_ENV, "0")
+    assert hints._default_gate_bytes() == 0
     monkeypatch.setenv(hints._GATE_ENV, "")
     assert hints._default_gate_bytes() == hints.VERIFY_FETCH_BROADCAST_MAX_BYTES
 

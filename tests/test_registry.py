@@ -307,7 +307,11 @@ def test_every_banding_oracle_carries_cap_and_chains():
             and "salt" in sql
             and str(LSH_CHAIN_SALTS - 1) in sql
         )
-        if not (has_cap and has_chain):
+        # r11: the chain ordering must also be CHUNKED (window partition
+        # ends in `salt, chunk`) so no oracle regresses to the
+        # whole-bucket sort the engine no longer performs
+        has_chunk = "salt, chunk" in sql
+        if not (has_cap and has_chain and has_chunk):
             offenders.append(name)
     assert not offenders, offenders
 
