@@ -64,19 +64,31 @@ _QUERY_MODULES = (
 # lesson: the 13 round-7 re-proofs, all green in CORRECTNESS_r07, were
 # still sorting into tier 1 and would have displaced 7 of the 8 spilled
 # first-rows).
-_RECHECK_PROOF_ROUND = 10
+_RECHECK_PROOF_ROUND = 11
 _RECHECK = (
-    # Round-10 wave (VERDICT r9 item 1): k_tokenize_to_ids' vocab
-    # broadcast went from a hard F.broadcast to the size-gated
-    # maybe_broadcast (the one Heaps-law side the r9 size-gate campaign
-    # missed). Hint still attaches at fixture scale (plan-identical
-    # rewrite, pinned in test_plans' gate table), hash re-verified at
-    # sf0.01+sf0.001 — but the change needs a post-change driver row.
-    # (The r9 wave — 16 chunked-window conversions + the banded
-    # c_join_range — all landed green in CORRECTNESS_r09 and is
-    # cleared; remaining window slots fall to the stale-refresh tier,
-    # which now points at the r2 evidence tail per VERDICT r9 item 4.)
-    "k_tokenize_to_ids",
+    # Round-11 wave (VERDICT r10 item 1): capped_bucket_pairs — the
+    # star+salted-chain skew guard shared by ALL banding families —
+    # replaced its whole-bucket windows (count/min OVER + per-salt
+    # chain sort) with an AQE-splittable groupBy+join sizing and
+    # md5-prefix-CHUNKED chain ordering, so a degenerate mega-bucket
+    # can no longer pin one sort task (probed at 1M wide: max task
+    # 16.2s -> 1.4s). Outputs are bit-identical below 16384-wide
+    # buckets (fixtures never reach it), verified hash-green at
+    # sf0.01+sf0.001 with determinism double-runs — but every consumer
+    # of the rewritten helper needs a post-change driver row. (The r10
+    # wave — k_tokenize_to_ids — landed green in CORRECTNESS_r10 and
+    # is cleared.)
+    "k_jaccard_pairs",
+    "k_near_dedup_lsh",
+    "k_lsh_band_candidates",
+    "k_ngram_jaccard",
+    "k_containment_dedup",
+    "k_minhash_jaccard_estimate",
+    "k_edit_distance_pairs",
+    "k_winnow_candidates",
+    "k_image_ahash_dedup",
+    "k_incremental_dedup",
+    "k_corpus_build_pipeline",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
@@ -84,25 +96,24 @@ _RECHECK = (
 # They order after every plain never-checked entry but before the
 # stale-evidence tier — deferral yields slots to OTHER first-rows and
 # to active rechecks, NOT to stale-refresh entries (tier (2,1) still
-# sorts before (3,*)). Round 10: the capped-vocab tokenizer (the
-# bounded-by-construction counterpart of the newly gated
-# k_tokenize_to_ids) plus the winnowing pair (fingerprint op + capped
-# candidate pairs). With no other first-rows this round the defer is
-# ordering-neutral: the three new IDs take window slots 2-4 and
-# displace the three youngest (r3) stale slots, leaving the whole r2
-# tail in slots 5-31 (see scripts/forecast_window.py).
-_DEFER_FIRST_ROW = frozenset(
-    {"k_tokenize_capped_vocab", "k_winnow_fingerprints", "k_winnow_candidates"}
-)
+# sorts before (3,*)). Round 11: the two-source corpus dedup pipeline
+# (MinHash bands ∪ winnow fingerprints -> Jaccard-or-containment
+# verify). With no other first-rows this round the defer is
+# ordering-neutral: the new ID takes the slot right after the 11
+# rechecks, leaving ~38 slots for the r3/r4 stale tail (see
+# scripts/forecast_window.py). The r10 defers (capped tokenizer +
+# winnow pair) all landed green first rows in CORRECTNESS_r10;
+# k_winnow_candidates re-enters via _RECHECK this round instead.
+_DEFER_FIRST_ROW = frozenset({"k_corpus_dedup_winnow"})
 
 # Deferred-recheck wave: IDs whose changed code is locally verified but
 # whose driver re-proof waits one round because a higher-priority wave
 # owns the current window. Self-activating once a COMPLETE CORRECTNESS
 # file for round >= _RECHECK_NEXT_AFTER_ROUND exists (see r7/r8 history
-# in git). Empty this round: the r9 wave (16 window conversions + the
-# banded c_join_range) all landed green in CORRECTNESS_r09.
-_RECHECK_NEXT_AFTER_ROUND = 10
-_RECHECK_NEXT_PROOF_ROUND = 11
+# in git). Empty this round: the r11 recheck wave (11 banding
+# consumers) fits the window with room for the stale tail.
+_RECHECK_NEXT_AFTER_ROUND = 11
+_RECHECK_NEXT_PROOF_ROUND = 12
 _RECHECK_NEXT: tuple[str, ...] = ()
 
 

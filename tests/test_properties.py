@@ -2440,3 +2440,50 @@ def test_winnow_candidates_exclude_null_text(spark):
     assert pairs == {(3, 4)}, (
         f"null docs must not band; empty docs must: {pairs}"
     )
+
+
+def test_corpus_dedup_winnow_catches_containment_pair(spark, tmp_path):
+    """The two-source pipeline's reason to exist (VERDICT r10 item 5):
+    a short document quoted VERBATIM inside a much longer one shares a
+    long exact token run (winnow guarantee: any shared >= 8-token run
+    collides a fingerprint bucket) while its whole-document token
+    Jaccard is diluted far below the 0.6 near-dup edge — MinHash-LSH
+    banding + Jaccard verify alone structurally misses it. The shingle
+    containment verify (|S_a ∩ S_b| / min >= 0.5) accepts exactly this
+    shape. Asserts: (1) the pair's token Jaccard really is < 0.6 (the
+    scenario is genuinely out of reach of the Jaccard edge), (2) the
+    pipeline clusters quote and source into one component via
+    near_dup, (3) an unrelated doc keeps its own component."""
+    import uuid
+
+    from opay_datalake_script_spark.llmdata.pipeline import (
+        k_corpus_dedup_winnow,
+    )
+
+    rng_tokens = [f"w{i}" for i in range(400)]
+    quote = " ".join(f"q{i}" for i in range(12))  # 12-token exact run
+    long_doc = " ".join(rng_tokens[:200]) + " " + quote + " " + " ".join(
+        rng_tokens[200:]
+    )
+    docs = [
+        (1, long_doc, "en"),
+        (2, quote, "en"),
+        (3, " ".join(f"z{i}" for i in range(30)), "en"),
+    ]
+    sf_dir = str(tmp_path / f"sf_{uuid.uuid4().hex[:8]}")
+    import os
+
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # (1) the quote's whole-doc Jaccard against its source is diluted
+    ta, tb = set(long_doc.split(" ")), set(quote.split(" "))
+    jac = len(ta & tb) / len(ta | tb)
+    assert jac < 0.6, f"scenario broken: jaccard {jac} reaches the edge"
+
+    rows = {r["doc_id"]: r for r in k_corpus_dedup_winnow(spark, sf_dir).collect()}
+    assert rows[2]["canonical_id"] == 1 and rows[2]["reason"] == "near_dup", rows[2]
+    assert rows[1]["kept"] and rows[1]["reason"] == "kept", rows[1]
+    assert rows[3]["kept"] and rows[3]["canonical_id"] == 3, rows[3]
