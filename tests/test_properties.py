@@ -2487,3 +2487,151 @@ def test_corpus_dedup_winnow_catches_containment_pair(spark, tmp_path):
     assert rows[2]["canonical_id"] == 1 and rows[2]["reason"] == "near_dup", rows[2]
     assert rows[1]["kept"] and rows[1]["reason"] == "kept", rows[1]
     assert rows[3]["kept"] and rows[3]["canonical_id"] == 3, rows[3]
+
+
+def _write_interval_events(path, rows):
+    """events.parquet with the full fixture schema, timestamp[us] (the
+    current driver encoding) — (event_id, ts_us, user_id, event_type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_interval_joins_degenerate_one_cell_skew(spark, tmp_path):
+    """VERDICT r10 item 4 — the banded_point_join degenerate-skew pin,
+    ported to the interval family: EVERY interval funnels into ONE grid
+    cell (all activity inside a single hour of a single day — the
+    flash-sale / bot-burst shape). Invariants, mirroring
+    test_banded_point_join_degenerate_skew:
+
+    1. Replication stays STRUCTURAL: each interval explodes to
+       hour-span buckets; same-hour spans add exactly one bucket row
+       each, so a value collision cannot amplify fan-out.
+    2. Correctness never degrades: the one-bucket result equals the
+       naive theta join (the output is all-pairs by SEMANTICS — every
+       span really overlaps every other).
+    3. The plan stays a bucket-keyed EQUI-join in both broadcast
+       regimes — with auto-broadcast on (default) and forced off — and
+       never CartesianProduct / BroadcastNestedLoopJoin: the hot bucket
+       lands in ONE join partition, which is the shape AQE's skew-join
+       can subdivide, unlike any nested-loop plan.
+
+    Covers c_join_interval_overlap (interval x interval self-join) and
+    c_join_interval_grid (interval x generated promo grid) through the
+    registered ops against a constructed events fixture.
+    """
+    from opay_datalake_script_spark.operators.joins import (
+        c_join_interval_grid,
+        c_join_interval_overlap,
+    )
+
+    base_us = 1_705_312_800_000_000  # 2024-01-15T10:00:00Z (inside the
+    # generated promo grid's 30-day span, so the grid op has matches)
+    rows, eid = [], 0
+    for u in range(40):  # 40 users, spans all inside hour 10, all overlap
+        for off in (u, 1_800_000_000 + u):  # span [10:00:00.0000uu, 10:30:00.0000uu]
+            eid += 1
+            rows.append((eid, base_us + off, u + 1, "purchase"))
+    # controls: a user on another day (no cross-day pairs) and a
+    # single-purchase user (degenerate span filtered by HAVING >= 2)
+    rows.append((9001, base_us + 86_400_000_000, 999, "purchase"))
+    rows.append((9002, base_us + 86_400_000_000 + 60_000_000, 999, "purchase"))
+    rows.append((9003, base_us + 120, 1000, "purchase"))
+    sf = tmp_path / "sf_iv"
+    sf.mkdir()
+    _write_interval_events(str(sf / "events.parquet"), rows)
+    sf_dir = str(sf)
+
+    # (1) structural replication: every span sits inside one hour ->
+    # exactly one (day, hr) bucket row per interval.
+    from opay_datalake_script_spark.sources.io import load as _load
+
+    iv = (
+        _load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+             F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    n_iv = iv.count()
+    n_bkt = iv.select(
+        F.explode(F.sequence(F.hour("s"), F.hour("e")))
+    ).count()
+    assert n_iv == 41 and n_bkt == n_iv, (n_iv, n_bkt)
+
+    def _no_nested_loop(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert any(j in plan for j in
+                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+
+    # (2)+(3) overlap self-join: parity with the naive theta form.
+    ov = c_join_interval_overlap(spark, sf_dir)
+    got = sorted(map(tuple, ov.collect()))
+    a = iv.select("day", F.col("user_id").alias("user_a"),
+                  F.col("s").alias("s_a"), F.col("e").alias("e_a"))
+    b = iv.select(F.col("day").alias("day_b"), F.col("user_id").alias("user_b"),
+                  F.col("s").alias("s_b"), F.col("e").alias("e_b"))
+    theta_ov = F.unix_micros(F.least("e_a", "e_b")) - F.unix_micros(
+        F.greatest("s_a", "s_b"))
+    want = sorted(map(tuple, (
+        a.join(b, (F.col("day") == F.col("day_b"))
+               & (F.col("user_a") < F.col("user_b")))
+        .where(theta_ov > 0)
+        .select("day", "user_a", "user_b", theta_ov.alias("overlap_us"))
+        .collect())))
+    assert got == want
+    assert len(got) == 40 * 39 // 2, "one-cell case must be all-pairs by semantics"
+    _no_nested_loop(ov)
+
+    # grid op: parity with its naive theta twin + plan shape.
+    gr = c_join_interval_grid(spark, sf_dir)
+    got_g = sorted(map(tuple, gr.collect()))
+    u = (
+        _load(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("dt"))
+        .agg(F.min("ts").alias("u_start"), F.max("ts").alias("u_end"))
+    )
+    p = spark.range(180).select(
+        F.col("id").cast("int").alias("promo_id"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.col("id").cast("int") * F.expr("INTERVAL 4 HOURS")).alias("p_start"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.col("id").cast("int") * F.expr("INTERVAL 4 HOURS")
+         + F.expr("INTERVAL 6 HOURS")).alias("p_end"),
+    )
+    want_g = sorted(map(tuple, (
+        u.crossJoin(p)
+        .where((F.col("u_start") <= F.col("p_end"))
+               & (F.col("p_start") <= F.col("u_end")))
+        .select("user_id", "dt", "promo_id").collect())))
+    assert got_g == want_g and len(got_g) > 0
+    _no_nested_loop(gr)
+
+    # (3b) forced past auto-broadcast: still an equi-join, results equal.
+    auto_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ov2 = c_join_interval_overlap(spark, sf_dir)
+        _no_nested_loop(ov2)
+        assert sorted(map(tuple, ov2.collect())) == got
+        gr2 = c_join_interval_grid(spark, sf_dir)
+        _no_nested_loop(gr2)
+        assert sorted(map(tuple, gr2.collect())) == got_g
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_prev)
