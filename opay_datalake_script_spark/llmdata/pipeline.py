@@ -452,8 +452,10 @@ def k_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) every document labeled with its canonical doc, a kept flag, and
     the reason it was dropped ('exact_dup' | 'near_dup' | 'kept').
 
-    At 100 TB each stage keeps its operator's scale shape: the hash
-    window shuffles on uniform 128-bit keys; the near-dup stage runs on
+    At 100 TB each stage keeps its operator's scale shape: the exact
+    keeper is a partial-combining aggregate on uniform 128-bit keys
+    joined back null-safely (window-free since r11 — a mega duplicate
+    family cannot pin one task); the near-dup stage runs on
     the (smaller) survivor set with banded candidates, never all-pairs;
     label propagation is the same driver-steered fixed point as
     k_dedup_components. Exact dups inherit their keeper's component, so
@@ -463,9 +465,19 @@ def k_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    keepmap = d.select("doc_id", "lang", "text", h.alias("h")).withColumn(
-        "exact_keeper", F.min("doc_id").over(W.partitionBy("h"))
-    )
+    # Keeper via groupBy + NULL-SAFE join back, not min() OVER
+    # (PARTITION BY h) (r11, same rationale as capped_bucket_pairs'
+    # window-free sizing): a boilerplate doc duplicated tens of
+    # millions of times is ONE hash partition, which a window pins to
+    # one task while the aggregate partial-combines and the join is
+    # AQE-skew-splittable. eqNullSafe keeps null-hash (null-text) docs
+    # grouped as one family, exactly like the window and the oracle's
+    # PARTITION BY both treat NULL.
+    norm = d.select("doc_id", "lang", "text", h.alias("h"))
+    keepers = norm.groupBy("h").agg(
+        F.min("doc_id").alias("exact_keeper")
+    ).withColumnRenamed("h", "kh")
+    keepmap = norm.join(keepers, F.expr("h <=> kh")).drop("kh")
     surv = keepmap.where(F.col("doc_id") == F.col("exact_keeper"))
 
     # Band only the exact-dedup survivors (docs=surv): at scale the LSH
@@ -1193,7 +1205,9 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     already neutralized stage-by-stage: md5 hash family, e6 weight
     quantization, unique-key rank tiebreaks.
 
-    At 100 TB: stages 1-2 are one scan + one hash window; stage 3 runs
+    At 100 TB: stages 1-2 are one scan + one hash keeper aggregate
+    (window-free: a mega duplicate family partial-combines instead of
+    pinning one window task); stage 3 runs
     on the survivor set with banded equi-join candidates; stage 4's
     tables are source-domain-bounded; stage 5 is the range-partitioned
     global rank. Nothing materializes on the driver but component
@@ -1211,7 +1225,14 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized_text().cast("binary")).alias("h"),
     ).where(n_tok.between(20, 1000) & (ttr > 0.2))
 
-    keepmap = gate.withColumn("keeper", F.min("doc_id").over(W.partitionBy("h")))
+    # window-free keeper (r11): groupBy + null-safe join back — see
+    # k_corpus_dedup_pipeline's keepmap note (h is non-null here since
+    # the quality gate already drops null text, but the form is kept
+    # identical across all three keeper sites).
+    keepers = gate.groupBy("h").agg(
+        F.min("doc_id").alias("keeper")
+    ).withColumnRenamed("h", "kh")
+    keepmap = gate.join(keepers, F.expr("h <=> kh")).drop("kh")
     surv = keepmap.where(F.col("doc_id") == F.col("keeper"))
 
     cand = band_candidate_pairs(surv.select("doc_id", "text"))

@@ -89,6 +89,9 @@ _RECHECK = (
     "k_image_ahash_dedup",
     "k_incremental_dedup",
     "k_corpus_build_pipeline",
+    # + the two exact-keeper windows converted to groupBy + null-safe
+    # join back (same degenerate-family rationale, same round)
+    "k_corpus_dedup_pipeline",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
