@@ -85,8 +85,9 @@ LSH_CHAIN_SALTS = 4
 # one lost edge per chunk boundary), and because chunk assignment
 # reuses the chain's own md5(doc_id:salt) key, members land in
 # different chunks under different salts — expected probes per member
-# stay ~2 per salt (exact for every non-endpoint; a 1M bucket has
-# 62 endpoints per salt out of 1M members). Buckets at or below the
+# stay ~2 per salt (exact for every non-endpoint; a 1M bucket splits
+# into 62 chunks, i.e. ~124 endpoint members and 61 lost links per
+# salt out of 1M members). Buckets at or below the
 # chunk size plan ONE chunk, so outputs are bit-identical to the
 # unchunked r10 scheme everywhere the fixture (or any bucket narrower
 # than 16384) can reach.

@@ -619,7 +619,8 @@ def k_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean duplicate.
 
     At 100 TB: stage 1 is embarrassingly parallel in the scan; stage 2
-    is ONE window shuffle keyed on the uniform 128-bit content hash.
+    is one partial-combining keeper aggregate on the uniform 128-bit
+    content hash, joined back null-safely (window-free since r11).
     Feed the survivors (kept = true) to k_corpus_dedup_pipeline for the
     banded near-dup stage.
     """
@@ -633,10 +634,19 @@ def k_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h"),
         (n_tok.between(20, 1000) & (ttr > 0.2)).alias("q_pass"),
     )
-    keeper = F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(
-        W.partitionBy("h")
+    # window-free keeper (r11): min over the q_pass rows per hash via
+    # groupBy + LEFT null-safe join back — identical to the old
+    # min(when(q_pass, doc_id)) OVER (PARTITION BY h) including its
+    # null cases (a group with no q_pass member, or a null hash, gets
+    # a null keeper), but a mega duplicate family partial-combines
+    # instead of pinning one window task.
+    keepers = (
+        g.where(F.col("q_pass"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+        .withColumnRenamed("h", "kh")
     )
-    k = g.withColumn("keeper", keeper)
+    k = g.join(keepers, F.expr("h <=> kh"), "left").drop("kh")
     return k.select(
         "doc_id",
         (F.col("q_pass") & (F.col("doc_id") == F.col("keeper"))).alias("kept"),

@@ -89,9 +89,10 @@ _RECHECK = (
     "k_image_ahash_dedup",
     "k_incremental_dedup",
     "k_corpus_build_pipeline",
-    # + the two exact-keeper windows converted to groupBy + null-safe
+    # + the three exact-keeper windows converted to groupBy + null-safe
     # join back (same degenerate-family rationale, same round)
     "k_corpus_dedup_pipeline",
+    "k_quality_filter_pipeline",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
