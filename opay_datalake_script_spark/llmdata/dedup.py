@@ -81,13 +81,18 @@ LSH_CHAIN_SALTS = 4
 # members are split into ceil(bsz / CHAIN_CHUNK_ROWS) deterministic
 # md5-prefix sub-buckets and each sub-chain is ordered independently:
 # no task ever sorts more than ~CHAIN_CHUNK_ROWS rows, the O(B·salts)
-# candidate bound is preserved (a chunked chain emits FEWER links:
-# one lost edge per chunk boundary), and because chunk assignment
-# reuses the chain's own md5(doc_id:salt) key, members land in
-# different chunks under different salts — expected probes per member
-# stay ~2 per salt (exact for every non-endpoint; a 1M bucket splits
-# into 62 chunks, i.e. ~124 endpoint members and 61 lost links per
-# salt out of 1M members). Buckets at or below the
+# candidate bound is preserved (a c-chunk group emits L - c raw links
+# vs L - 1 unchunked; note the DISTINCT union across bands can still
+# grow, because per-band bucket sizes give per-band chunk counts and
+# so per-band DIFFERENT chains, where the unchunked band-independent
+# md5(doc_id:salt) order repeated the same chain in every band — the
+# chunked probes are the genuinely independent-per-band ones the
+# design always claimed), and because chunk assignment reuses the
+# chain's own md5(doc_id:salt) key, members land in different chunks
+# under different salts — expected probes per member stay ~2 per salt
+# (exact for every non-endpoint; a 1M bucket splits into 62 chunks,
+# i.e. ~124 endpoint members and 61 lost links per salt out of 1M
+# members). Buckets at or below the
 # chunk size plan ONE chunk, so outputs are bit-identical to the
 # unchunked r10 scheme everywhere the fixture (or any bucket narrower
 # than 16384) can reach.
@@ -673,8 +678,24 @@ def capped_bucket_pairs(
     ord_key = F.md5(F.concat_ws(":", F.col("doc_id"), F.col("salt")))
     n_chunks = F.expr(f"(bsz - 1) div {int(chain_chunk_rows)}") + F.lit(1)
     ws = W.partitionBy("band", "bucket", "salt", "chunk").orderBy("ok", "doc_id")
+    # NULL-SAFE join back for the chain path (review r11): the r10
+    # window grouped a NULL bucket key into one partition and chained
+    # it, and the oracle's PARTITION BY still does — a plain equi-join
+    # would silently drop such rows from the chain (the STAR join is
+    # intentionally plain: null keys never starred on either engine).
+    # Unreachable from the three current callers (md5/int keys), but
+    # the helper's contract is "ANY (doc_id, band, bucket) relation".
+    bigc = big.select(
+        F.col("band").alias("_cband"),
+        F.col("bucket").alias("_cbucket"),
+        "bsz",
+    )
     chain = (
-        buckets.join(big.select("band", "bucket", "bsz"), ["band", "bucket"])
+        buckets.join(
+            bigc,
+            F.col("band").eqNullSafe(F.col("_cband"))
+            & F.col("bucket").eqNullSafe(F.col("_cbucket")),
+        )
         .select(
             "doc_id", "band", "bucket", "bsz",
             F.explode(F.array(*[F.lit(s) for s in range(LSH_CHAIN_SALTS)])).alias(

@@ -1520,7 +1520,7 @@ def _corpus_dedup_winnow_oracle() -> str:
     and resolved to connected components. Reusing the two shared CTE
     builders keeps this oracle bit-synchronized with the primitives'
     own oracles (caps, chunked chains, null handling and all)."""
-    from .dedup import _band_cand_ctes, _winnow_cand_ctes
+    from .dedup import LSH_BUCKET_CAP, _band_cand_ctes, _winnow_cand_ctes
 
     return f"""
     WITH RECURSIVE norm AS (
@@ -1540,7 +1540,7 @@ def _corpus_dedup_winnow_oracle() -> str:
         SELECT doc_id, lang, text FROM keepmap WHERE doc_id = exact_keeper
     ),
     {_band_cand_ctes(src="surv")},
-    {_winnow_cand_ctes(cap=1024, src="surv")},
+    {_winnow_cand_ctes(cap=LSH_BUCKET_CAP, src="surv")},
     cand AS (
         SELECT doc_a, doc_b FROM band_cand
         UNION
@@ -1635,15 +1635,9 @@ def k_corpus_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .repartition(64, F.col("doc_a"))
     )
-    stoks = F.split("text", " ")
-    sn = F.size(stoks)
-    sidx = F.sequence(F.lit(1), F.greatest(sn - 4, F.lit(1)))
-    shingles = F.array_distinct(
-        F.transform(
-            sidx,
-            lambda i: F.md5(F.concat_ws(" ", F.slice(stoks, i, 5)).cast("binary")),
-        )
-    )
+    from .textstats import shingle_hashes
+
+    shingles = F.array_distinct(shingle_hashes(F.col("text")))
     toks = surv.select(
         "doc_id",
         "lang",

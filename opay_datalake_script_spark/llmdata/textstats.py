@@ -232,16 +232,31 @@ def k_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle->min/max-hash structure is the graded part. Map-only: the
     shingle array never leaves the row, output is 3 scalars per doc."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
-    hashes = F.transform(shingles, lambda s: F.md5(s.cast("binary")))
+    hashes = shingle_hashes(F.col("text"))
     return d.select(
         "doc_id",
         F.array_min(hashes).alias("min_shingle_hash"),
         F.array_max(hashes).alias("max_shingle_hash"),
         F.size(hashes).cast("long").alias("n_shingles"),
+    )
+
+
+def shingle_hashes(text_col, k: int = 5):
+    """md5 hashes of the k-token (whitespace) shingles of ``text_col``;
+    fewer than k tokens degrade to one truncated whole-doc shingle
+    (`greatest(n - k + 1, 1)` windows). The ONE engine-side definition
+    of the shingle hash family (r11 review) — shared by k_fingerprint,
+    `winnow_fingerprints`, and k_corpus_dedup_winnow's containment
+    verify, so the verify stage can never hash a different shingle
+    space than the candidate generator it verifies. Mirrors the `h`
+    CTE of dedup.winnow_fps_sql_ctes (md5 of the space-joined tokens;
+    DuckDB's md5(VARCHAR) and Spark's md5(CAST AS BINARY) agree on
+    UTF-8 bytes)."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary"))
     )
 
 
@@ -267,10 +282,7 @@ def winnow_fingerprints(text_col, k: int = 5, w: int = 4):
     """
     toks = F.split(text_col, " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    hashes = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary"))
-    )
+    hashes = shingle_hashes(text_col, k)
     widx = F.sequence(F.lit(1), n - (k + w - 2))
     mins = F.transform(widx, lambda j: F.array_min(F.slice(hashes, j, w)))
     return F.array_sort(

@@ -120,7 +120,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    ui = "http://localhost:4049"
+    # the ACTUALLY-bound UI URL (review r11): Spark silently takes the
+    # next free port when 4049 is busy, and a hardcoded URL would then
+    # query some other app's REST API (404) or — worse — have every
+    # stage lookup swallowed and report max_task_s=0.0 as if measured
+    ui = spark.sparkContext.uiWebUrl
+    assert ui, "Spark UI did not come up; the probe cannot measure tasks"
     app_id = spark.sparkContext.applicationId
 
     # Warmup: pay whole-stage-codegen/JIT once outside the measured

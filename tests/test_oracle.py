@@ -101,9 +101,16 @@ def test_lsh_chunked_chain_oracle_mirror(spark):
     into multiple chunks per salt, and require exact pair-set equality —
     the proof that the md5-prefix-mod chunk assignment and the per-chunk
     lead() ordering agree term-for-term across engines. Also pins that
-    chunking genuinely engaged: the chunked chain must emit no more
-    links than the unchunked one (one lost edge per chunk boundary) and
-    must differ from it somewhere on this fixture."""
+    chunking genuinely engaged (the chunked set differs from the
+    unchunked one) and the per-(band, bucket, salt) link-count bound:
+    a c-chunk group emits L - c raw links vs L - 1 unchunked. NOTE the
+    bound is per group, NOT on the distinct union: the unchunked order
+    md5(doc_id:salt) is band-independent, so a family bucketed together
+    in several bands repeated the SAME chain pairs per band (accidental
+    cross-band dedup), while chunk counts vary with per-band bucket
+    sizes and re-pair members differently — more DISTINCT probes at the
+    same per-bucket bound (measured here: 10505 vs 8426), which is what
+    the '2·salts·bands independent probes' design line always claimed."""
     import duckdb
 
     from opay_datalake_script_spark.llmdata.dedup import (
@@ -130,8 +137,9 @@ def test_lsh_chunked_chain_oracle_mirror(spark):
     )
     con.close()
     assert got == exp
-    # chunking engaged: same cap, unchunked chains -> a different
-    # (superset-ish, strictly larger) candidate set on this fixture
+    # chunking engaged: same cap, unchunked chains -> a DIFFERENT set
+    # (mod-based chunks re-pair members, they are not a subset — see
+    # the docstring for why the DISTINCT union may legitimately grow)
     unchunked = {
         (r["doc_a"], r["doc_b"])
         for r in band_candidate_pairs(
@@ -139,6 +147,32 @@ def test_lsh_chunked_chain_oracle_mirror(spark):
         ).collect()
     }
     assert got != unchunked, "chunk=4 never split a fixture bucket"
+    # the REAL r11 review bound, asserted per (band, bucket, salt)
+    # group via the banding relation itself: raw chain links of a
+    # c-chunk group = L - c <= L - 1; equivalently the total raw link
+    # count across groups is bounded by the unchunked total. Computed
+    # engine-side from the sized banding relation, not from the
+    # distinct pair union (which cross-band dedup skews).
+    from pyspark.sql import functions as SF
+
+    from opay_datalake_script_spark.llmdata.dedup import (
+        CHAIN_CHUNK_ROWS,
+        _banded_buckets,
+    )
+
+    sizes = (
+        _banded_buckets(docs.select("doc_id", "text"))
+        .groupBy("band", "bucket")
+        .agg(SF.count("*").alias("bsz"))
+        .where(SF.col("bsz") > 16)
+        .collect()
+    )
+    assert sizes, "cap=16 must leave oversized buckets on this fixture"
+    raw_chunked = sum(r["bsz"] - ((r["bsz"] - 1) // 4 + 1) for r in sizes)
+    raw_unchunked = sum(r["bsz"] - 1 for r in sizes)
+    assert 0 < raw_chunked < raw_unchunked
+    # and the production chunk width is a no-op below 16384 members
+    assert all((r["bsz"] - 1) // CHAIN_CHUNK_ROWS == 0 for r in sizes)
 
 
 def test_ahash_cap_oracle_mirror_under_active_cap(spark, monkeypatch):

@@ -2635,3 +2635,40 @@ def test_interval_joins_degenerate_one_cell_skew(spark, tmp_path):
         assert sorted(map(tuple, gr2.collect())) == got_g
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto_prev)
+
+
+def test_capped_bucket_pairs_null_bucket_key_still_chains(spark):
+    """r11 review: the helper's contract is 'ANY (doc_id, band, bucket)
+    relation'. The r10 window implementation — and the oracle's
+    PARTITION BY — group a NULL bucket key into ONE group, so an
+    oversized null-keyed group chained (it never starred: the star
+    self-join is an equi-join that drops null keys on both engines).
+    The window-free rewrite must preserve that: sizing + chain join
+    back are null-safe. Expected pairs computed by a pure-Python replay
+    of the chain rule (md5(doc_id:salt) order, consecutive links, all
+    salts, minus nothing — one chunk at this width)."""
+    import hashlib
+
+    from opay_datalake_script_spark.llmdata.dedup import (
+        LSH_CHAIN_SALTS,
+        capped_bucket_pairs,
+    )
+
+    members = [10, 11, 12, 13, 14]
+    buckets = spark.createDataFrame(
+        [(d, 0, None) for d in members],
+        "doc_id long, band int, bucket string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in capped_bucket_pairs(buckets, max_bucket_size=2).collect()
+    }
+    want = set()
+    for s in range(LSH_CHAIN_SALTS):
+        order = sorted(
+            members,
+            key=lambda d: (hashlib.md5(f"{d}:{s}".encode()).hexdigest(), d),
+        )
+        for x, y in zip(order, order[1:]):
+            want.add((min(x, y), max(x, y)))
+    assert got == want and len(got) > 0, (sorted(got), sorted(want))
