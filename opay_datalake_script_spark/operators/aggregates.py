@@ -786,23 +786,28 @@ def d_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the selected row is identical in both engines with no rounding
     anywhere.
 
-    Scale shape: one group-partitioned sort (same class as
-    e_topk_per_group); at 100 TB swap for approx_percentile or the
-    d_weighted_median cumulative-threshold form if the full sort is
-    too hot — the discrete SEMANTICS stay.
+    Scale shape (r11): the naive form — row_number + count(*) OVER
+    (PARTITION BY priority) — pins each priority's ENTIRE order set to
+    one sort task (5 giant window partitions at 100 TB, unsplittable
+    by AQE). Ranks now come from `grouped_row_number`: a global
+    range-repartitioned rank over (priority, price, key) — every
+    priority spread across all partitions, sorting in parallel — with
+    rank-within-group recovered by subtracting the group's first
+    global rank (one 5-row aggregate joined back). The discrete
+    SEMANTICS and the oracle are unchanged.
     """
-    o = load(spark, sf_dir, "orders")
-    wp = W.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(wp.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
-        F.count("*").over(wp).alias("n"),
+    from .relational import grouped_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    ranked = grouped_row_number(
+        o, ["o_orderpriority"], ["o_totalprice", "o_orderkey"]
     )
     return (
-        ranked.where(F.col("rn") == F.expr("(9 * n + 9) div 10"))
+        ranked.where(F.col("grn") == F.expr("(9 * gn + 9) div 10"))
         .groupBy("o_orderpriority")
-        .agg(F.min("n").alias("n"), F.min("o_totalprice").alias("p90_disc"))
+        .agg(F.min("gn").alias("n"), F.min("o_totalprice").alias("p90_disc"))
     )
 
 
@@ -1059,20 +1064,31 @@ def d_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     ).distinct()
+    # nd (distinct-hash count per group) as its own partial-combining
+    # aggregate, NOT count(*) OVER the rank window (r11): a second
+    # whole-partition window function in the same spec DEFEATS the
+    # WindowGroupLimit pushdown the docstring promises — Spark can only
+    # map-side-limit a window whose sole functions are rank-like, so
+    # the old plan sorted every group's full distinct-hash set in one
+    # task. With rn alone + the rn <= k filter the pushdown engages
+    # (plan pinned in test_plans), and nd joins back as one tiny
+    # domain-bounded row per event type.
+    nd = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
     wp = W.partitionBy("event_type")
-    ranked = hashed.select(
+    topk = hashed.select(
         "event_type",
         "h",
         F.row_number().over(wp.orderBy("h")).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("nd"),
-    )
+    ).where(F.col("rn") <= k)
     est = (
-        ranked.where(F.col("rn") <= k)
-        .groupBy("event_type")
-        .agg(
-            F.when(F.min("nd") < k, F.min("nd"))
+        topk.groupBy("event_type")
+        .agg(F.max("h").alias("hk"))
+        .join(F.broadcast(nd), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("nd") < k, F.col("nd"))
             .otherwise(
-                F.round((k - 1.0) / (F.max("h") / float(1 << 60)), 0).cast("long")
+                F.round((k - 1.0) / (F.col("hk") / float(1 << 60)), 0).cast("long")
             )
             .alias("est_distinct"),
         )

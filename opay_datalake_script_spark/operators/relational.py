@@ -73,6 +73,42 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame, group_cols: list, order_cols: list, parts: int = 32
+) -> DataFrame:
+    """Distributed PER-GROUP row_number + group size, without the
+    whole-group sort task that `Window.partitionBy(group).orderBy(...)`
+    pins when groups are corpus-scale (few giant groups — the order-
+    priority / event-type shape: 5 keys x tens of billions of rows
+    means one sort task per key no matter how many executors exist;
+    AQE never splits a window partition).
+
+    Shape: rank GLOBALLY over the group-prefixed total order
+    (global_row_number's range-repartition + per-partition rank — each
+    group spreads across many range partitions, all sorting in
+    parallel), then rank-within-group = global rank − the group's
+    first global rank + 1. Group minima and sizes are ONE partial-
+    combining aggregate joined back through the size-gated broadcast
+    hint (one row per group; gated because group cardinality is the
+    caller's domain, not always bounded).
+
+    ``order_cols`` must make (group_cols + order_cols) a total order
+    (unique tiebreaker) — same contract as global_row_number. Returns
+    ``df`` plus ``grn`` (1-based rank within group, long) and ``gn``
+    (group size, long)."""
+    from ..plans.hints import maybe_broadcast
+
+    ranked = global_row_number(df, *group_cols, *order_cols, parts=parts)
+    stats = ranked.groupBy(*group_cols).agg(
+        F.min("rn").alias("_rn0"), F.count(F.lit(1)).alias("gn")
+    )
+    return (
+        ranked.join(maybe_broadcast(stats), list(group_cols))
+        .withColumn("grn", (F.col("rn") - F.col("_rn0") + 1).cast("long"))
+        .drop("rn", "_rn0")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2-B projection / filter / predicates
 # ---------------------------------------------------------------------------

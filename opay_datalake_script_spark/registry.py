@@ -93,6 +93,12 @@ _RECHECK = (
     # join back (same degenerate-family rationale, same round)
     "k_corpus_dedup_pipeline",
     "k_quality_filter_pipeline",
+    # + the two few-giant-groups rank windows: d_percentile_disc now
+    # rides grouped_row_number (range-partitioned global rank, no
+    # whole-priority sort task); d_kmv_distinct_sketch's nd moved out
+    # of the rank window so WindowGroupLimit engages
+    "d_percentile_disc",
+    "d_kmv_distinct_sketch",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately

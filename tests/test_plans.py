@@ -1099,6 +1099,10 @@ def test_gated_hints_attach_at_fixture_scale(spark, monkeypatch):
     expected = {
         "c_join_broadcast": (1, 0),
         "c_join_range": (1, 0),
+        # r11 grouped rank: global_row_number's unconditional
+        # partition-bounded offsets map(s) stay at gate 0; the gated
+        # per-group stats side vanishes
+        "d_percentile_disc": (3, 2),
         "c_join_multiway": (3, 2),
         "t_q09_product_profit": (2, 1),
         "t_q14_promo_effect": (1, 0),
@@ -1212,6 +1216,7 @@ _HARD_BROADCAST_SITES = {
     ("operators/aggregates.py", "d_count_min_sketch", "cells"): "cap",
     ("operators/aggregates.py", "d_heavy_hitters", "cand"): "cap",
     ("operators/aggregates.py", "d_kmv_distinct_sketch", "exact"): "scalar",
+    ("operators/aggregates.py", "d_kmv_distinct_sketch", "nd"): "domain",
     ("operators/aggregates.py", "d_kmv_sketch_merge", "direct"): "scalar",
     ("operators/aggregates.py", "d_kmv_sketch_merge", "merged"): "scalar",
     ("operators/aggregates.py", "d_mode", "pmode"): "domain",
@@ -1344,3 +1349,34 @@ def test_every_hard_broadcast_site_is_classified_bounded():
         "duplicate (module, function, arg) broadcast sites — key them "
         f"apart (rename the locals): {dupes}"
     )
+
+
+def test_kmv_and_percentile_disc_avoid_whole_group_windows(spark):
+    """r11: two more docstring-claimed scale shapes pinned. (1)
+    d_kmv_distinct_sketch's rank window must ride WindowGroupLimit —
+    the old count(*) OVER in the same spec defeated the pushdown and
+    sorted each event type's full distinct-hash set in one task; nd now
+    joins back from an aggregate. (2) d_percentile_disc must carry NO
+    window partitioned by o_orderpriority at all (the grouped rank
+    rides global_row_number's range repartition; its only windows are
+    the _pid-local rank and the 32-row offsets cumsum)."""
+    kmv = (
+        QUERIES["d_kmv_distinct_sketch"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "WindowGroupLimit" in kmv, kmv
+    pd_plan = (
+        QUERIES["d_percentile_disc"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    import re
+
+    offenders = [
+        ln for ln in pd_plan.splitlines()
+        if re.search(r"\bWindow(GroupLimit)?\b", ln) and "o_orderpriority#" in ln
+        and "partitionBy" not in ln  # plan text lists partition spec inline
+        and "_pid" not in ln
+    ]
+    assert not offenders, offenders
