@@ -913,19 +913,28 @@ def k_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the ORDER BY), which is exactly how a production pass
     parameterizes it.
 
-    One broadcast-sized join of the component labels back to doc
-    metadata plus one comp-partitioned row_number window — both keyed
-    on uniform ids; cluster sizes are dedup-cluster-sized (small), so
-    the per-partition window never sees a skewed giant group unless the
-    corpus is one giant near-dup cluster, in which case the dedup
-    itself is the alarm.
+    Keeper selection is top-1-per-component — an AGGREGATE in
+    disguise, so it rides max_by + join back (r11; the e_dedupe_latest
+    form) instead of a comp-partitioned row_number window: a
+    boilerplate mega-family that survives to one giant component is
+    exactly the degenerate case this repo's dedup stack guards
+    against, and a window would pin that component's whole member set
+    to one sort task while max_by partial-combines and the join is
+    AQE-splittable. Order mirrored exactly: n_chars DESC with doc_id
+    ASC tiebreak == max_by over the (n_chars, -doc_id) struct.
     """
     comps = k_dedup_components(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = W.partitionBy("comp").orderBy(F.col("n_chars").desc(), "doc_id")
+    scored = comps.join(d, "doc_id")
+    best = scored.groupBy("comp").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_nid")),
+        ).alias("_best_id")
+    )
     return (
-        comps.join(d, "doc_id")
-        .withColumn("keep", F.row_number().over(w) == 1)
+        scored.join(best, "comp")
+        .withColumn("keep", F.col("doc_id") == F.col("_best_id"))
         .select("doc_id", "comp", "n_chars", "keep")
     )
 
@@ -1223,7 +1232,7 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank. Nothing materializes on the driver but component
     convergence scalars and the source quota map.
     """
-    from ..operators.relational import global_row_number
+    from ..operators.relational import global_row_number, grouped_row_number
     from .dedup import band_candidate_pairs, normalized_text
 
     d = load(spark, sf_dir, "documents")
@@ -1296,11 +1305,13 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_key = F.md5(
         F.concat(F.lit("build:"), F.col("doc_id").cast("string")).cast("binary")
     )
-    wsrc = W.partitionBy("source").orderBy(order_key, "doc_id")
+    # grouped rank (r11): n_keep is join-derived, so WindowGroupLimit
+    # cannot bound a source-partitioned window — see k_domain_mixture.
     sampled = (
-        kept.join(F.broadcast(quota), "source")
-        .withColumn("rn", F.row_number().over(wsrc))
-        .where(F.col("rn") <= F.col("n_keep"))
+        grouped_row_number(kept.select("doc_id", "source"), ["source"],
+                           [order_key, "doc_id"])
+        .join(F.broadcast(quota), "source")
+        .where(F.col("grn") <= F.col("n_keep"))
         .select("doc_id", "source")
     )
     ranked = global_row_number(

@@ -132,24 +132,30 @@ def k_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     input (rerun-safe, engine-portable, auditable) where a rand() sample
     is not.
 
-    At 100 TB: the quota join is a broadcast (a handful of rows), the
-    window is one shuffle keyed on source. Per-source partitions hold
-    only that source's docs — if one domain dominates the corpus, cap the
-    skew by pre-filtering with an approximate per-source count and a
-    hash-prefix predicate before ranking (keep ~n_keep × safety-factor
-    candidates), which turns the hot partition into a bounded one."""
+    At 100 TB: the quota join is a broadcast (a handful of rows). The
+    per-source rank rides `grouped_row_number` (r11): the quota is a
+    JOIN-DERIVED column, so Spark's WindowGroupLimit cannot map-side
+    limit a `rn <= n_keep` filter (it needs a foldable limit — probed
+    on 4.1), and a plain source-partitioned window would sort each
+    domain's entire slice in ONE task. The grouped rank range-
+    partitions the (source, md5, doc_id) total order across all
+    partitions and recovers rank-within-source by offset subtraction —
+    every sort parallel, no per-domain hot task."""
+    from ..operators.relational import grouped_row_number
+
     d = load(spark, sf_dir, "documents")
     quota = spark.createDataFrame(
         [("src0", 20), ("src1", 20), ("src2", 20), ("src3", 20), ("src4", 5)],
         "source string, n_keep int",
     )
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    ranked = grouped_row_number(
+        d.select("doc_id", "source"),
+        ["source"],
+        [F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"],
     )
     return (
-        d.join(F.broadcast(quota), "source")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("n_keep"))
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("grn") <= F.col("n_keep"))
         .select("doc_id", "source")
     )
 
@@ -223,28 +229,36 @@ def k_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute the same mixture without a config table; a real
     pipeline would broadcast-join its sampling-weights dim instead.
 
-    Per-source ranks come from windows PARTITIONED by source (parallel,
-    one shuffle on source — mixtures have few sources but each partition
-    is only that source's rows, and a heavily-skewed source can be
-    sub-salted by epoch slice); the GLOBAL position uses the distributed
-    global_row_number scheme (range repartition + per-partition rank +
-    broadcast offsets), never a single-partition ORDER BY window. The
-    interleave key is exact: small-int arithmetic in double — identical
-    in both engines — with (source, doc_id) as the total-order tiebreak.
+    Per-source ranks ride `grouped_row_number` (r11): the interleave
+    needs EVERY row's rank — no top-k filter exists to push down, so a
+    source-partitioned window would sort each source's whole slice in
+    one task (mixtures have FEW sources, each corpus-scale). The
+    grouped rank range-partitions the (source, md5, doc_id) total
+    order so every sort is parallel; the GLOBAL position uses the same
+    distributed global_row_number scheme (range repartition +
+    per-partition rank + broadcast offsets), never a single-partition
+    ORDER BY window. The interleave key is exact: small-int arithmetic
+    in double — identical in both engines — with (source, doc_id) as
+    the total-order tiebreak.
     """
-    from ..operators.relational import global_row_number
+    from ..operators.relational import global_row_number, grouped_row_number
 
     d = load(spark, sf_dir, "documents")
     weight = 1 + F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("long") % 3
-    r = F.row_number().over(
-        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = (
+        grouped_row_number(
+            d.select("doc_id", "source"),
+            ["source"],
+            [F.md5(F.col("doc_id").cast("string")), "doc_id"],
+        )
+        .select(
+            "doc_id",
+            "source",
+            weight.alias("weight"),
+            F.col("grn").alias("src_rank"),
+        )
+        .withColumn("_ik", (F.col("src_rank") - 0.5) / F.col("weight"))
     )
-    ranked = d.select(
-        "doc_id",
-        "source",
-        weight.alias("weight"),
-        r.cast("long").alias("src_rank"),
-    ).withColumn("_ik", (F.col("src_rank") - 0.5) / F.col("weight"))
     return global_row_number(ranked, "_ik", "source", "doc_id").select(
         "doc_id",
         "source",
@@ -323,14 +337,21 @@ def k_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(F.lit(250.0) * F.col("w_e6") / F.col("sw")).cast("long").alias("n_keep"),
     )
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")).cast("binary")),
-        "doc_id",
+    # grouped rank (r11): n_keep is join-derived, so WindowGroupLimit
+    # cannot bound a source-partitioned window — see k_domain_mixture.
+    from ..operators.relational import grouped_row_number
+
+    ranked = grouped_row_number(
+        d.select("doc_id", "source"),
+        ["source"],
+        [
+            F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")).cast("binary")),
+            "doc_id",
+        ],
     )
     return (
-        d.join(F.broadcast(quota), "source")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("n_keep"))
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("grn") <= F.col("n_keep"))
         .select("doc_id", "source")
     )
 

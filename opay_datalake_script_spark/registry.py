@@ -93,12 +93,20 @@ _RECHECK = (
     # join back (same degenerate-family rationale, same round)
     "k_corpus_dedup_pipeline",
     "k_quality_filter_pipeline",
-    # + the two few-giant-groups rank windows: d_percentile_disc now
-    # rides grouped_row_number (range-partitioned global rank, no
-    # whole-priority sort task); d_kmv_distinct_sketch's nd moved out
-    # of the rank window so WindowGroupLimit engages
+    # + the few-giant-groups rank windows: d_percentile_disc and the
+    # sampling mixtures now ride grouped_row_number (range-partitioned
+    # global rank, no whole-group sort task — WindowGroupLimit cannot
+    # bound a join-derived n_keep, and the interleave needs every
+    # row's rank); d_kmv_distinct_sketch's nd moved out of the rank
+    # window so WindowGroupLimit engages
     "d_percentile_disc",
     "d_kmv_distinct_sketch",
+    "k_domain_mixture",
+    "k_interleave_sources",
+    "k_temperature_mixture",
+    # + keep-best's top-1-per-component window -> max_by + join back
+    # (a mega dup-family component would pin one sort task)
+    "k_dedup_keep_best",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
