@@ -602,7 +602,10 @@ def test_round5d_new_ops_plan_shapes(spark):
     for name, max_single in [
         ("d_mode", 1),
         ("d_weighted_median", 0),
-        ("k_temperature_mixture", 3),
+        # 5 since r11: the two scalar-total aggregates (tw normalizer)
+        # plus grouped_row_number's 32-row offsets cumsum — all bounded
+        # frames (grand totals / #partitions rows), never data-sized
+        ("k_temperature_mixture", 5),
         ("r_pareto_deciles", 3),
         ("k_incremental_dedup", 0),
         ("c_join_asof_nearest", 0),
