@@ -1308,8 +1308,7 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped rank (r11): n_keep is join-derived, so WindowGroupLimit
     # cannot bound a source-partitioned window — see k_domain_mixture.
     sampled = (
-        grouped_row_number(kept.select("doc_id", "source"), ["source"],
-                           [order_key, "doc_id"])
+        grouped_row_number(kept, ["source"], [order_key, "doc_id"])
         .join(F.broadcast(quota), "source")
         .where(F.col("grn") <= F.col("n_keep"))
         .select("doc_id", "source")

@@ -19,7 +19,7 @@ from ..sources.io import load
 
 
 def global_row_number(
-    df: DataFrame, *order_cols, parts: int = 32, checkpoint: bool = True
+    df: DataFrame, *order_cols, parts: int | None = None, checkpoint: bool = True
 ) -> DataFrame:
     """Distributed global row_number: total order WITHOUT the
     single-partition WindowExec that `Window.orderBy(...)` (no
@@ -47,6 +47,12 @@ def global_row_number(
     """
     from pyspark.sql import Window as W
 
+    if parts is None:
+        # r11 review: a hardcoded 32 caps the sort at 32 tasks on any
+        # cluster (~3 TB per task at 100 TB). Default to the session's
+        # shuffle parallelism — identical plans on the 32-partition
+        # test/bench sessions, cluster-sized everywhere else.
+        parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -74,7 +80,7 @@ def global_row_number(
 
 
 def grouped_row_number(
-    df: DataFrame, group_cols: list, order_cols: list, parts: int = 32
+    df: DataFrame, group_cols: list, order_cols: list, parts: int | None = None
 ) -> DataFrame:
     """Distributed PER-GROUP row_number + group size, without the
     whole-group sort task that `Window.partitionBy(group).orderBy(...)`
@@ -93,19 +99,35 @@ def grouped_row_number(
     caller's domain, not always bounded).
 
     ``order_cols`` must make (group_cols + order_cols) a total order
-    (unique tiebreaker) — same contract as global_row_number. Returns
+    (unique tiebreaker) — same contract as global_row_number. NULL
+    group keys rank as one group, exactly like Window.partitionBy
+    (r11 review: the stats join back is NULL-SAFE — a plain equi-join
+    would silently drop null-group rows). Cost note: the inner
+    global_row_number localCheckpoints the ranged frame once; callers
+    that ALSO need an independent global order afterwards (the
+    interleave) pay a second materialization — the trade for removing
+    the one-task-per-group sort, which dominates at scale. Returns
     ``df`` plus ``grn`` (1-based rank within group, long) and ``gn``
     (group size, long)."""
+    from functools import reduce
+
     from ..plans.hints import maybe_broadcast
 
     ranked = global_row_number(df, *group_cols, *order_cols, parts=parts)
     stats = ranked.groupBy(*group_cols).agg(
         F.min("rn").alias("_rn0"), F.count(F.lit(1)).alias("gn")
     )
+    renamed = stats
+    for c in group_cols:
+        renamed = renamed.withColumnRenamed(c, f"_g_{c}")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_g_{c}")) for c in group_cols],
+    )
     return (
-        ranked.join(maybe_broadcast(stats), list(group_cols))
+        ranked.join(maybe_broadcast(renamed), cond)
         .withColumn("grn", (F.col("rn") - F.col("_rn0") + 1).cast("long"))
-        .drop("rn", "_rn0")
+        .drop("rn", "_rn0", *[f"_g_{c}" for c in group_cols])
     )
 
 

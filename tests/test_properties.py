@@ -2672,3 +2672,35 @@ def test_capped_bucket_pairs_null_bucket_key_still_chains(spark):
         for x, y in zip(order, order[1:]):
             want.add((min(x, y), max(x, y)))
     assert got == want and len(got) > 0, (sorted(got), sorted(want))
+
+
+def test_grouped_row_number_null_group_matches_window(spark):
+    """r11 review: grouped_row_number must treat a NULL group key as ONE
+    group, exactly like the Window.partitionBy semantics it replaces —
+    the stats join back is null-safe, so null-group rows neither vanish
+    nor each form their own group. Compared against the classic window
+    form on a mixed null/non-null fixture."""
+    from pyspark.sql import Window as W
+
+    from opay_datalake_script_spark.operators.relational import (
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, None), (6, "b")],
+        "v long, g string",
+    )
+    got = {
+        (r["g"], r["v"], r["grn"], r["gn"])
+        for r in grouped_row_number(df, ["g"], ["v"]).collect()
+    }
+    w = W.partitionBy("g")
+    want = {
+        tuple(r)
+        for r in df.select(
+            "g", "v",
+            F.row_number().over(w.orderBy("v")).cast("long").alias("grn"),
+            F.count(F.lit(1)).over(w).cast("long").alias("gn"),
+        ).collect()
+    }
+    assert got == want, (sorted(got), sorted(want))
