@@ -884,3 +884,388 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("q_id", "vec_id", "label", "sim_e6", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means + SemDeDup-style cluster-scoped semantic dedup
+# ---------------------------------------------------------------------------
+#
+# Lloyd's algorithm with every nondeterminism pinned down so the WHOLE
+# iterative fit is oracle-checkable (most engines' KMeans — including
+# Spark ML's — keeps seeded random init inside the fitted model, which
+# forced k_ann_ivf to rows-only evidence):
+#   * init      = the KMEANS_K vectors with the smallest vec_id,
+#                 cluster id := seed vec_id (no rank computation),
+#   * iterate   = exactly KMEANS_ITERS Lloyd steps (no convergence test
+#                 — a data-dependent stopping rule would make the
+#                 round-trip plan depth data-dependent too),
+#   * assign    = argmin of the squared L2 distance with (d2, cid)
+#                 tie-break; the distance is a LEFT-ASSOCIATED 64-term
+#                 fold over doubles, so both engines produce the
+#                 bit-identical IEEE value (the _dot_chain_sql
+#                 technique) and the argmin can compare RAW doubles,
+#   * update    = round(avg, 6) per (cluster, dim) cell — the one
+#                 cross-engine rounding point (group sums associate in
+#                 engine order), the k_semantic_outlier precedent,
+#   * empty     = a cluster that loses every member KEEPS its previous
+#                 centroid (left join + coalesce on both engines).
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+# SemDeDup duplicate threshold (cosine within a cluster). Production
+# corpora run this at ~0.95+; the synthetic embeddings fixture has no
+# cosine above 0.513, so the graded constant sits where the fixture
+# exercises every branch (sf0.01: 118 within-cluster dup pairs, 92
+# dropped of 500; sf0.001: 88/76; sf0.1: 1223 pairs, 777 dropped).
+SEMDEDUP_TAU = 0.35
+
+
+def _sq_dist_chain_sql(v: str, c: str, dims: int = EMBEDDING_DIM) -> str:
+    """Left-associated squared-L2 chain — the distance twin of
+    _dot_chain_sql, bit-identical to Spark's sequential zip_with +
+    aggregate fold on the same operands."""
+    return (
+        "("
+        + " + ".join(f"({v}[{i}]-{c}[{i}])*({v}[{i}]-{c}[{i}])" for i in range(1, dims + 1))
+        + ")"
+    )
+
+
+def _fold_dot(a, b):
+    """Spark-side left-associated dot product fold (matches _dot_chain_sql)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _kmeans_assign(cents: DataFrame, earr: DataFrame) -> DataFrame:
+    """One MAP-ONLY Lloyd assignment pass: the K-row (cid, cvec) centroid
+    table is packed into a single row of K structs (SinglePartition
+    exchange + BNLJ build side both carry K = KMEANS_K rows — a
+    corpus-INDEPENDENT constant, the e_ntile scalar-broadcast
+    adjudication class) and every vector picks argmin (d2, cid) inside
+    one whole-stage-codegen projection. No shuffle touches the vectors.
+    array_sort on the (d2, cid) struct makes the argmin independent of
+    collect_list's packing order."""
+    packed = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+
+    def d2(cv):
+        return F.aggregate(
+            F.zip_with(F.col("v"), cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_sort(
+        F.transform(
+            F.col("cs"), lambda c: F.struct(d2(c["cvec"]).alias("d2"), c["cid"].alias("cid"))
+        )
+    )[0]
+    return earr.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "v", best["cid"].alias("cluster"), best["d2"].alias("d2")
+    )
+
+
+def _kmeans_update(cents: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Lloyd centroid update: posexplode -> partial-combining hash agg on
+    (cluster, pos) — K x 64 distinct keys, so the exchange moves one
+    partial sum per mapper per cell, never the vectors — re-assembled
+    into ordered arrays and LEFT-joined back onto the previous centroids
+    so an emptied cluster keeps its old centroid (coalesce), mirroring
+    the oracle's LEFT JOIN term-for-term. round(avg, 6) is the one
+    cross-engine rounding point (see the section comment)."""
+    cells = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+    new = cells.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("nvec")
+    )
+    return cents.join(new, cents["cid"] == new["cluster"], "left").select(
+        "cid", F.coalesce("nvec", "cvec").alias("cvec")
+    )
+
+
+def kmeans_fit(
+    earr: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd fit over any (vec_id, v: array<double>) frame:
+    (assigned, centroids) after exactly ``iters`` steps —
+    assigned(vec_id, v, cluster, d2) is the FINAL assignment against
+    the last centroids; centroids(cid, cvec) are those last centroids.
+    Frame-level so the empty-cluster branch (duplicate seeds) is
+    differentially testable on synthetic data."""
+    cents = (
+        earr.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+    )
+    for _ in range(iters):
+        cents = _kmeans_update(cents, _kmeans_assign(cents, earr))
+    return _kmeans_assign(cents, earr), cents
+
+
+def kmeans_assignments(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """kmeans_fit over the embeddings table. Shared by k_kmeans_clusters
+    and k_semdedup so the dedup op can never drift from the clustering
+    it claims to scope.
+
+    At 100 TB: each iteration is one map-only pass over the vectors
+    (K-struct broadcast) plus a K x dim-key partial-combining aggregate
+    — the textbook scalable Lloyd shape; iters+1 scans of the
+    embeddings table total, no driver materialization, centroid state
+    K x dim doubles."""
+    e = load(spark, sf_dir, "embeddings")
+    earr = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return kmeans_fit(earr, k, iters)
+
+
+def _kmeans_ctes(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dims: int = EMBEDDING_DIM
+) -> str:
+    """DuckDB CTE block unrolling the deterministic Lloyd fit —
+    ev(vec_id, v), c0 (seed centroids), a1..a{iters} (assignments),
+    c1..c{iters} (updated centroids), a{iters+1} (final assignment).
+    Mirrors kmeans_assignments term-for-term: left-associated distance
+    chains, (d2, cid) argmin, round(avg, 6) cells, LEFT JOIN + coalesce
+    empty-cluster keep. Shared by the k_kmeans_clusters and k_semdedup
+    oracles."""
+    parts = [
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+        SELECT vec_id AS cid, v AS cvec FROM ev
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        parts.append(f"""a{t} AS (
+        SELECT vec_id, v, cid, d2 FROM (
+            SELECT vec_id, v, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM (
+                SELECT ev.vec_id, ev.v, c.cid,
+                       {_sq_dist_chain_sql("ev.v", "c.cvec", dims)} AS d2
+                FROM ev CROSS JOIN {prev} c
+            )
+        ) WHERE rn = 1
+    )""")
+        if t <= iters:
+            parts.append(f"""u{t} AS (
+        SELECT cid, list(c ORDER BY pos) AS nvec FROM (
+            SELECT cid, i AS pos, round(avg(v[i]), 6) AS c
+            FROM a{t}, range(1, {dims + 1}) dd(i)
+            GROUP BY cid, i
+        ) GROUP BY cid
+    )""")
+            parts.append(f"""c{t} AS (
+        SELECT c.cid, coalesce(u.nvec, c.cvec) AS cvec
+        FROM {prev} c LEFT JOIN u{t} u USING (cid)
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "k_kmeans_clusters",
+    oracle=f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cid AS cluster, {sql_display_q6("d2")} AS dist2
+    FROM a{KMEANS_ITERS + 1}
+    """,
+)
+def k_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over the embeddings
+    table (K = 8 smallest-vec_id seeds, 3 iterations) — the clustering
+    primitive a curation pipeline runs before SemDeDup / per-cluster
+    sampling, with the entire ITERATIVE fit hash-checked against DuckDB
+    (see the section comment for how each nondeterminism is pinned).
+
+    Plan shape per iteration: map-only assignment (K-struct scalar
+    broadcast; the BNLJ/SinglePartition in the audit carry K rows, a
+    corpus-independent constant) + one partial-combining (cluster, dim)
+    aggregate whose exchange moves K x 64 partial sums per mapper.
+    At 100 TB this is iters+1 scans and nothing else — no all-pairs,
+    no driver traffic, centroid state K x 64 doubles."""
+    assigned, _ = kmeans_assignments(spark, sf_dir)
+    return assigned.select(
+        "vec_id", F.col("cluster"), display_q6(F.col("d2")).alias("dist2")
+    )
+
+
+def _semdedup_oracle(cap: int, chunk_rows: int) -> str:
+    """DuckDB twin of k_semdedup, cap/chunk-parameterized so the
+    forced-small-cap mirror test rebuilds the WHOLE oracle (the round-7
+    LSH lesson): fixture clusters (~60 wide) never reach the production
+    cap, so only a rebuilt cap=8 oracle proves the star+chain branch."""
+    from .dedup import chain_cte_sql
+
+    cos = "{dot} / (sqrt({na}) * sqrt({nb}))"
+    pair_cos = cos.format(
+        dot=_dot_chain_sql("x.v", "y.v"),
+        na=_dot_chain_sql("x.v", "x.v"),
+        nb=_dot_chain_sql("y.v", "y.v"),
+    )
+    cent_cos = cos.format(
+        dot=_dot_chain_sql("a.v", "c.cvec"),
+        na=_dot_chain_sql("a.v", "a.v"),
+        nb=_dot_chain_sql("c.cvec", "c.cvec"),
+    )
+    fin = f"a{KMEANS_ITERS + 1}"
+    return f"""
+    WITH {_kmeans_ctes()},
+    sd_b AS (SELECT vec_id AS doc_id, 0 AS band, cid AS bucket FROM {fin}),
+    sd_sized AS (
+        SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bsz,
+               min(doc_id) OVER (PARTITION BY band, bucket) AS hub
+        FROM sd_b
+    ),
+    sd_chain AS {chain_cte_sql("sd_sized", "bucket", cap, chunk_rows)},
+    sd_cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sd_sized a JOIN sd_sized b
+              ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            WHERE a.bsz <= {cap} OR a.doc_id = a.hub
+            UNION ALL
+            SELECT doc_a, doc_b FROM sd_chain
+        )
+    ),
+    sd_edges AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT c.doc_a, c.doc_b, {pair_cos} AS sim
+            FROM sd_cand c
+            JOIN ev x ON x.vec_id = c.doc_a
+            JOIN ev y ON y.vec_id = c.doc_b
+        ) WHERE sim >= {SEMDEDUP_TAU}
+    ),
+    sd_csim AS (
+        SELECT a.vec_id, a.cid AS cluster, {cent_cos} AS cs
+        FROM {fin} a JOIN c{KMEANS_ITERS} c ON a.cid = c.cid
+    ),
+    sd_bidir AS (
+        SELECT doc_a AS u, doc_b AS w FROM sd_edges
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS w FROM sd_edges
+    ),
+    sd_worse AS (
+        SELECT DISTINCT b.w AS vec_id
+        FROM sd_bidir b
+        JOIN sd_csim cu ON cu.vec_id = b.u
+        JOIN sd_csim cw ON cw.vec_id = b.w
+        WHERE cu.cs < cw.cs OR (cu.cs = cw.cs AND b.u < b.w)
+    )
+    SELECT s.vec_id, s.cluster, {sql_display_q6("s.cs")} AS cent_sim,
+           (w.vec_id IS NULL) AS kept
+    FROM sd_csim s LEFT JOIN sd_worse w USING (vec_id)
+    """
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket_size: int | None = None,
+    chain_chunk_rows: int | None = None,
+) -> DataFrame:
+    """Composable SemDeDup body — cap/chunk-parameterized for the
+    forced-small-cap mirror test; k_semdedup registers the defaults."""
+    from .dedup import CHAIN_CHUNK_ROWS, LSH_BUCKET_CAP, capped_bucket_pairs
+
+    cap = LSH_BUCKET_CAP if max_bucket_size is None else max_bucket_size
+    chunk = CHAIN_CHUNK_ROWS if chain_chunk_rows is None else chain_chunk_rows
+    assigned, cents = kmeans_assignments(spark, sf_dir)
+    # Both fit outputs are consumed by several downstream stages;
+    # checkpointing truncates the iterative lineage so the candidate,
+    # centroid-sim, and keeper stages don't each re-embed (and re-run)
+    # the whole Lloyd fit. cents is K rows — the checkpoint is a
+    # constant-size job.
+    assigned = assigned.localCheckpoint()
+    cents = cents.localCheckpoint()
+    buckets = assigned.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.col("cluster").alias("bucket"),
+    )
+    cand = capped_bucket_pairs(buckets, cap, chunk)
+    va = assigned.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("xa"))
+    vb = assigned.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("xb"))
+    sim = _fold_dot(F.col("xa"), F.col("xb")) / (
+        F.sqrt(_fold_dot(F.col("xa"), F.col("xa")))
+        * F.sqrt(_fold_dot(F.col("xb"), F.col("xb")))
+    )
+    edges = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .where(F.col("sim") >= F.lit(SEMDEDUP_TAU))
+        .select("doc_a", "doc_b")
+    )
+    cent_cos = _fold_dot(F.col("v"), F.col("cvec")) / (
+        F.sqrt(_fold_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_fold_dot(F.col("cvec"), F.col("cvec")))
+    )
+    csim = assigned.join(
+        F.broadcast(cents), assigned["cluster"] == cents["cid"]
+    ).select("vec_id", "cluster", cent_cos.alias("cs"))
+    bidir = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w")).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w"))
+    )
+    cu = csim.select(F.col("vec_id").alias("u"), F.col("cs").alias("cs_u"))
+    cw = csim.select(F.col("vec_id").alias("w"), F.col("cs").alias("cs_w"))
+    worse = (
+        bidir.join(cu, "u")
+        .join(cw, "w")
+        .where(
+            (F.col("cs_u") < F.col("cs_w"))
+            | ((F.col("cs_u") == F.col("cs_w")) & (F.col("u") < F.col("w")))
+        )
+        .select(F.col("w").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return csim.join(worse, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        display_q6(F.col("cs")).alias("cent_sim"),
+        F.col("dropped").isNull().alias("kept"),
+    )
+
+
+def _semdedup_default_oracle() -> str:
+    from .dedup import CHAIN_CHUNK_ROWS, LSH_BUCKET_CAP
+
+    return _semdedup_oracle(LSH_BUCKET_CAP, CHAIN_CHUNK_ROWS)
+
+
+@register("k_semdedup", oracle=_semdedup_default_oracle())
+def k_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    scoped to k-means clusters: cluster the embeddings (the
+    deterministic Lloyd fit of k_kmeans_clusters), generate candidate
+    pairs ONLY within a cluster, mark cosine >= SEMDEDUP_TAU pairs as
+    duplicates, and per duplicate pair KEEP the member with the LOWER
+    cosine to its cluster centroid (the paper's diversity-preserving
+    keeper; ties break to the smaller vec_id). Output one row per
+    vector: (vec_id, cluster, cent_sim, kept).
+
+    The clustering is what makes this survive 100 TB where
+    k_embed_near_dup's block-pair matmul is O(n^2/B): candidates are
+    cluster-local, and the within-cluster expansion rides the SAME
+    capped star+chunked-chain skew guard as every banding family
+    (capped_bucket_pairs with band = 0, bucket = cluster id), so a
+    degenerate mega-cluster emits O(B·salts) candidates from bounded
+    tasks instead of an all-pairs blow-up. Every double the comparison
+    logic touches (pair cosine, centroid cosine) is a left-associated
+    fold on operands both engines hold bit-identically, so the >= TAU
+    gate and the (cs, vec_id) keeper ordering cannot straddle a
+    rounding boundary; the one rounded quantity is the Lloyd centroid
+    average (see the section comment)."""
+    return semdedup(spark, sf_dir)

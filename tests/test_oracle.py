@@ -251,3 +251,97 @@ def test_winnow_cap_oracle_mirror_under_active_cap(spark):
         .collect()[0][0]
     )
     assert widest > 2, "fixture no longer exercises the capped branch"
+
+
+def test_semdedup_cap_oracle_mirror_under_active_cap(spark):
+    """SemDeDup twin of the LSH/winnow/ahash cap-mirror tests: fixture
+    k-means clusters are ~60 wide, so the default cap (1024) only
+    proves the all-pairs regime. Rebuild the WHOLE oracle at
+    cap=8 / chunk=16 via _semdedup_oracle(8, 16) (the builder is
+    cap/chunk-parameterized — no string surgery) and require exact
+    row-set equality, with the star+chain AND multi-chunk branches
+    both genuinely active."""
+    import duckdb
+
+    from opay_datalake_script_spark.llmdata.similarity import (
+        _semdedup_oracle,
+        kmeans_assignments,
+        semdedup,
+    )
+
+    df = semdedup(spark, SMOKE_SF_DIR, max_bucket_size=8, chain_chunk_rows=16)
+    got = {tuple(r) for r in df.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/embeddings.parquet')"
+    )
+    exp = set(map(tuple, con.execute(_semdedup_oracle(8, 16)).fetchall()))
+    con.close()
+    assert got == exp
+    # the forced cap was genuinely active: every cluster is wider than
+    # the forced cap (so star+chain replaced all-pairs) and wider than
+    # the forced chunk (so chains split into multiple chunks), and the
+    # truncated candidate set changes the keeper decisions vs default
+    assigned, _ = kmeans_assignments(spark, SMOKE_SF_DIR)
+    from pyspark.sql import functions as SF
+
+    narrowest = (
+        assigned.groupBy("cluster").count().agg(SF.min("count")).collect()[0][0]
+    )
+    assert narrowest > 16, "fixture clusters no longer exercise cap+chunk"
+    dflt = {tuple(r) for r in semdedup(spark, SMOKE_SF_DIR).collect()}
+    assert got != dflt, "forced cap did not change the result"
+
+
+def test_kmeans_empty_cluster_keeps_centroid_both_engines(spark):
+    """Duplicate seeds force a cluster to empty out after the first
+    Lloyd update (the (d2, cid) tie-break routes every tied vector to
+    the smaller cid): both engines must take the LEFT JOIN + coalesce
+    branch and keep the emptied cluster's previous centroid — which
+    can then RE-ACQUIRE members once other centroids move (vec 0/1
+    land back on the kept zero-centroid in iteration 2). The fixture
+    never empties a cluster, so this synthetic is the only coverage of
+    that branch; data goes in as float32 on both sides, mirroring the
+    embeddings table (r11 lesson: exact-double Spark literals vs a
+    FLOAT[] DuckDB table diverge in d2's low bits)."""
+    import duckdb
+
+    from pyspark.sql import functions as SF
+
+    from opay_datalake_script_spark.llmdata.similarity import (
+        _kmeans_ctes,
+        kmeans_fit,
+    )
+
+    data = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # seed 1 == seed 0 -> cluster 1 empties
+        (2, [10.0, 0.0, 0.0, 0.0]),
+        (3, [0.1, 0.0, 0.0, 0.0]),
+        (4, [9.9, 0.1, 0.0, 0.0]),
+        (5, [0.0, 0.2, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    earr = emb.select(
+        "vec_id", SF.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, cents = kmeans_fit(earr, k=3, iters=2)
+    got = sorted((r.vec_id, r.cluster, r.d2) for r in assigned.collect())
+    # cluster 1's centroid survived its empty iteration and re-acquired
+    # the origin vectors in iteration 2
+    kept = {r.cid: r.cvec for r in cents.collect()}
+    assert kept[1] == [0.0, 0.0, 0.0, 0.0]
+    assert {c for _, c, _ in got} == {0, 1, 2}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {v}::FLOAT[])" for i, v in data)
+        + ") t(vec_id, embedding)"
+    )
+    exp = con.execute(
+        f"WITH {_kmeans_ctes(3, 2, 4)} "
+        "SELECT vec_id, cid, d2 FROM a3 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    assert [tuple(r) for r in exp] == got

@@ -1206,6 +1206,8 @@ _HARD_BROADCAST_SITES = {
     ("llmdata/sampling.py", "k_temperature_mixture", "tot"): "scalar",
     ("llmdata/sampling.py", "k_temperature_mixture", "tw"): "scalar",
     ("llmdata/similarity.py", "_block_pair_scores", "a_map"): "cap",
+    ("llmdata/similarity.py", "_kmeans_assign", "packed"): "cap",
+    ("llmdata/similarity.py", "semdedup", "cents"): "cap",
     ("llmdata/similarity.py", "_block_pair_scores", "b_map"): "cap",
     ("llmdata/similarity.py", "k_ann_grid", "probes"): "cap",
     ("llmdata/similarity.py", "k_hard_negatives", "q"): "query",

@@ -2704,3 +2704,45 @@ def test_grouped_row_number_null_group_matches_window(spark):
         ).collect()
     }
     assert got == want, (sorted(got), sorted(want))
+
+
+def test_semdedup_keeper_invariants(spark):
+    """Pins the SemDeDup keeper semantics independent of the oracle:
+    (1) exactly one output row per input vector, (2) within every
+    cluster the member with the minimum (cent_sim, vec_id) — which by
+    construction has no 'better' duplicate partner — is ALWAYS kept
+    (the paper keeps the LOWEST-centroid-similarity member of a dup
+    pair), and (3) the fixture genuinely exercises drops (kept=False
+    rows exist; trivially-true kept columns would make the oracle
+    differential vacuous, the k_embed_near_dup >= 0.9 lesson)."""
+    from .conftest import SF_DIR
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+    from opay_datalake_script_spark.sources.io import load
+
+    load_all_queries()
+    out = QUERIES["k_semdedup"](spark, SF_DIR)
+    rows = out.collect()
+    n = load(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    assert any(not r.kept for r in rows), "fixture produced no drops"
+    best_per_cluster = {}
+    for r in rows:
+        key = (r.cent_sim, r.vec_id)
+        if r.cluster not in best_per_cluster or key < best_per_cluster[r.cluster][0]:
+            best_per_cluster[r.cluster] = (key, r.kept)
+    assert all(kept for _, kept in best_per_cluster.values())
+
+
+def test_kmeans_and_semdedup_plans_stay_distributed(spark):
+    """The iterative Lloyd fit must never plan a CartesianProduct (the
+    centroid fan-out is a K-row scalar-bounded BNLJ — the e_ntile
+    adjudication class) and the SemDeDup candidate stage must stay the
+    shared capped equi-join, not an all-pairs theta join."""
+    from .conftest import SF_DIR
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    for name in ("k_kmeans_clusters", "k_semdedup"):
+        plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
