@@ -45,6 +45,26 @@ def _dot_chain_sql(a: str, b: str, dims: int = 64) -> str:
     return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dims + 1)) + ")"
 
 
+def _fold_dot(a, b):
+    """Spark-side left-associated dot product fold — the ONE spelling of
+    the construct whose exact shape (zip_with product, 0.0 seed,
+    sequential acc + x) is load-bearing for cross-engine bit-identity
+    with _dot_chain_sql. Every dot/norm in this module routes through
+    here so the association order cannot silently fork (r11 review)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _fold_norm(v):
+    """sqrt of the self-dot fold: term order and association identical
+    to the historical `aggregate(v, 0.0, acc + x*x)` spelling (same
+    terms x_i*x_i summed left-to-right), so converting a site to this
+    helper is value-preserving bit-for-bit."""
+    return F.sqrt(_fold_dot(v, v))
+
+
+
 
 def _normalized_matrix(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """(ids, L2-normalized float64 matrix) from an embeddings pandas frame."""
@@ -239,11 +259,7 @@ def k_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(e, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    cos = dot / (norm(e) * norm(qd))
+    cos = _fold_dot(e, qd) / (_fold_norm(e) * _fold_norm(qd))
     sim = display_q6(cos)
     return (
         emb.crossJoin(F.broadcast(q))
@@ -297,9 +313,7 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
 
     emb = load(spark, sf_dir, "embeddings")
     arr64 = F.transform("embedding", lambda x: x.cast("double"))
-    l2 = F.sqrt(
-        F.aggregate(arr64, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    l2 = _fold_norm(arr64)
     # Guarded denominator: an all-zero embedding must stay zero, not NaN
     # (NaN features break KMeans.fit) — same guard the query side uses.
     unit = F.transform(arr64, lambda x: x / F.greatest(l2, F.lit(1e-12)))
@@ -369,12 +383,8 @@ def k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = q / (np.linalg.norm(q) or 1.0)
     cand = assigned.where(F.col("bucket").isin(probe) & (F.col("vec_id") != 0))
     arr = vector_to_array(F.col("fv"))
-    dot = F.aggregate(
-        F.zip_with(arr, F.lit(qn.tolist()), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    dot = _fold_dot(arr, F.lit(qn.tolist()))
+    norm = _fold_norm(arr)
     return (
         cand.select("vec_id", "label", "bucket", F.round(dot / norm, 6).alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
@@ -570,17 +580,9 @@ def k_semantic_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = e.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
-        F.aggregate(
-            F.zip_with(arr, F.col("cvec"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("dot"),
-        F.aggregate(
-            F.transform(arr, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        ).alias("nv"),
-        F.aggregate(
-            F.transform("cvec", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        ).alias("nc"),
+        _fold_dot(arr, F.col("cvec")).alias("dot"),
+        _fold_dot(arr, arr).alias("nv"),
+        _fold_dot("cvec", "cvec").alias("nc"),
     )
     sim = F.col("dot") / (F.sqrt("nv") * F.sqrt("nc"))
     return joined.select(
@@ -719,11 +721,7 @@ def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(e, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
-    cos = dot / (norm(e) * norm(qd))
+    cos = _fold_dot(e, qd) / (_fold_norm(e) * _fold_norm(qd))
     sim = display_q6(cos)
     scored = (
         emb.crossJoin(F.broadcast(q))
@@ -847,12 +845,11 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = lambda v: F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
     # norms are hoisted to one-per-row columns BEFORE the join (r7
     # review): the re-rank stage then does one dot product per candidate
     # instead of re-aggregating both full arrays per (candidate, probe)
     e = emb.select(
-        "vec_id", "label", "embedding", bucket.alias("bucket"), norm(ev).alias("nrm")
+        "vec_id", "label", "embedding", bucket.alias("bucket"), _fold_norm(ev).alias("nrm")
     )
     q = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
@@ -866,10 +863,7 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qbucket").bitwiseXOR(F.col("mask")).alias("bucket"),
     )
     qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(ev, qd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    sim = dot / (F.col("nrm") * F.col("qnrm"))
+    sim = _fold_dot(ev, qd) / (F.col("nrm") * F.col("qnrm"))
     cand = (
         e.join(F.broadcast(probes), "bucket")
         .where(F.col("vec_id") != F.col("q_id"))
@@ -904,9 +898,11 @@ def k_ann_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                 fold over doubles, so both engines produce the
 #                 bit-identical IEEE value (the _dot_chain_sql
 #                 technique) and the argmin can compare RAW doubles,
-#   * update    = round(avg, 6) per (cluster, dim) cell — the one
-#                 cross-engine rounding point (group sums associate in
-#                 engine order), the k_semantic_outlier precedent,
+#   * update    = floor-quantized avg (display_q6 form) per
+#                 (cluster, dim) cell — the one cross-engine rounding
+#                 point (group sums associate in engine order); floor
+#                 on the binary value avoids round()'s shortest-repr
+#                 split (functions/exact.py),
 #   * empty     = a cluster that loses every member KEEPS its previous
 #                 centroid (left join + coalesce on both engines).
 KMEANS_K = 8
@@ -928,13 +924,6 @@ def _sq_dist_chain_sql(v: str, c: str, dims: int = EMBEDDING_DIM) -> str:
         "("
         + " + ".join(f"({v}[{i}]-{c}[{i}])*({v}[{i}]-{c}[{i}])" for i in range(1, dims + 1))
         + ")"
-    )
-
-
-def _fold_dot(a, b):
-    """Spark-side left-associated dot product fold (matches _dot_chain_sql)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
@@ -972,12 +961,16 @@ def _kmeans_update(cents: DataFrame, assigned: DataFrame) -> DataFrame:
     partial sum per mapper per cell, never the vectors — re-assembled
     into ordered arrays and LEFT-joined back onto the previous centroids
     so an emptied cluster keeps its old centroid (coalesce), mirroring
-    the oracle's LEFT JOIN term-for-term. round(avg, 6) is the one
-    cross-engine rounding point (see the section comment)."""
+    the oracle's LEFT JOIN term-for-term. The floor-quantized average
+    (display_q6) is the one cross-engine rounding point — floor acts on
+    the BINARY double in both engines, avoiding round()'s
+    shortest-repr-vs-binary split (functions/exact.py; r11 review), so
+    only a last-ulp avg difference landing exactly on an x.5e-6
+    boundary could diverge."""
     cells = (
         assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
         .groupBy("cluster", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .agg(display_q6(F.avg("val")).alias("c"))
     )
     new = cells.groupBy("cluster").agg(
         F.transform(
@@ -998,6 +991,16 @@ def kmeans_fit(
     the last centroids; centroids(cid, cvec) are those last centroids.
     Frame-level so the empty-cluster branch (duplicate seeds) is
     differentially testable on synthetic data."""
+    cents = _kmeans_cents(earr, k, iters)
+    return _kmeans_assign(cents, earr), cents
+
+
+def _kmeans_cents(earr: DataFrame, k: int, iters: int) -> DataFrame:
+    """The fit WITHOUT the final assignment — split out so semdedup can
+    checkpoint the K-row centroid table once and derive the final
+    assignment from the checkpoint (checkpointing assigned and cents
+    independently would execute the whole iterative fit twice — the
+    two eager jobs share no cache; r11 review)."""
     cents = (
         earr.orderBy("vec_id")
         .limit(k)
@@ -1005,7 +1008,16 @@ def kmeans_fit(
     )
     for _ in range(iters):
         cents = _kmeans_update(cents, _kmeans_assign(cents, earr))
-    return _kmeans_assign(cents, earr), cents
+    return cents
+
+
+def _load_earr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>) projection of the embeddings table —
+    the one definition of the float->double cast both kmeans entry
+    points share."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
 
 
 def kmeans_assignments(
@@ -1020,11 +1032,7 @@ def kmeans_assignments(
     — the textbook scalable Lloyd shape; iters+1 scans of the
     embeddings table total, no driver materialization, centroid state
     K x dim doubles."""
-    e = load(spark, sf_dir, "embeddings")
-    earr = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    return kmeans_fit(earr, k, iters)
+    return kmeans_fit(_load_earr(spark, sf_dir), k, iters)
 
 
 def _kmeans_ctes(
@@ -1034,8 +1042,8 @@ def _kmeans_ctes(
     ev(vec_id, v), c0 (seed centroids), a1..a{iters} (assignments),
     c1..c{iters} (updated centroids), a{iters+1} (final assignment).
     Mirrors kmeans_assignments term-for-term: left-associated distance
-    chains, (d2, cid) argmin, round(avg, 6) cells, LEFT JOIN + coalesce
-    empty-cluster keep. Shared by the k_kmeans_clusters and k_semdedup
+    chains, (d2, cid) argmin, floor-quantized (display_q6) centroid
+    cells, LEFT JOIN + coalesce empty-cluster keep. Shared by the k_kmeans_clusters and k_semdedup
     oracles."""
     parts = [
         "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -1060,7 +1068,7 @@ def _kmeans_ctes(
         if t <= iters:
             parts.append(f"""u{t} AS (
         SELECT cid, list(c ORDER BY pos) AS nvec FROM (
-            SELECT cid, i AS pos, round(avg(v[i]), 6) AS c
+            SELECT cid, i AS pos, {sql_display_q6("avg(v[i])")} AS c
             FROM a{t}, range(1, {dims + 1}) dd(i)
             GROUP BY cid, i
         ) GROUP BY cid
@@ -1106,7 +1114,8 @@ def _semdedup_oracle(cap: int, chunk_rows: int) -> str:
     cap, so only a rebuilt cap=8 oracle proves the star+chain branch."""
     from .dedup import chain_cte_sql
 
-    cos = "{dot} / (sqrt({na}) * sqrt({nb}))"
+    # zero-norm guard mirrored from the engine side (see semdedup)
+    cos = "{dot} / (greatest(sqrt({na}), 1e-12) * greatest(sqrt({nb}), 1e-12))"
     pair_cos = cos.format(
         dot=_dot_chain_sql("x.v", "y.v"),
         na=_dot_chain_sql("x.v", "x.v"),
@@ -1181,14 +1190,16 @@ def semdedup(
 
     cap = LSH_BUCKET_CAP if max_bucket_size is None else max_bucket_size
     chunk = CHAIN_CHUNK_ROWS if chain_chunk_rows is None else chain_chunk_rows
-    assigned, cents = kmeans_assignments(spark, sf_dir)
-    # Both fit outputs are consumed by several downstream stages;
-    # checkpointing truncates the iterative lineage so the candidate,
-    # centroid-sim, and keeper stages don't each re-embed (and re-run)
-    # the whole Lloyd fit. cents is K rows — the checkpoint is a
-    # constant-size job.
-    assigned = assigned.localCheckpoint()
-    cents = cents.localCheckpoint()
+    # Checkpoint the fit ONCE: the K-row centroid checkpoint runs the
+    # iterative fit, then the final assignment derives from the
+    # checkpoint with one map-only pass (checkpointing assigned and
+    # cents independently would run the whole fit twice — two eager
+    # jobs share no cache; r11 review). Both checkpoints keep the
+    # candidate, centroid-sim, and keeper stages from re-embedding the
+    # Lloyd lineage.
+    earr = _load_earr(spark, sf_dir)
+    cents = _kmeans_cents(earr, KMEANS_K, KMEANS_ITERS).localCheckpoint()
+    assigned = _kmeans_assign(cents, earr).localCheckpoint()
     buckets = assigned.select(
         F.col("vec_id").alias("doc_id"),
         F.lit(0).alias("band"),
@@ -1197,9 +1208,15 @@ def semdedup(
     cand = capped_bucket_pairs(buckets, cap, chunk)
     va = assigned.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("xa"))
     vb = assigned.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("xb"))
+    # Guarded denominators: a zero-norm vector must yield sim 0, not a
+    # divide-by-zero — Spark's non-ANSI divide gives NULL there while
+    # DuckDB gives NaN (which sorts ABOVE the threshold under its
+    # total order), so an unguarded quotient diverges cross-engine on
+    # degenerate input (r11 review; the _ivf_assign precedent). The
+    # guard is mirrored in the oracle.
+    gnorm = lambda c: F.greatest(_fold_norm(c), F.lit(1e-12))  # noqa: E731
     sim = _fold_dot(F.col("xa"), F.col("xb")) / (
-        F.sqrt(_fold_dot(F.col("xa"), F.col("xa")))
-        * F.sqrt(_fold_dot(F.col("xb"), F.col("xb")))
+        gnorm(F.col("xa")) * gnorm(F.col("xb"))
     )
     edges = (
         cand.join(va, "doc_a")
@@ -1209,8 +1226,7 @@ def semdedup(
         .select("doc_a", "doc_b")
     )
     cent_cos = _fold_dot(F.col("v"), F.col("cvec")) / (
-        F.sqrt(_fold_dot(F.col("v"), F.col("v")))
-        * F.sqrt(_fold_dot(F.col("cvec"), F.col("cvec")))
+        gnorm(F.col("v")) * gnorm(F.col("cvec"))
     )
     csim = assigned.join(
         F.broadcast(cents), assigned["cluster"] == cents["cid"]

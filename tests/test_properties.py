@@ -2709,12 +2709,17 @@ def test_grouped_row_number_null_group_matches_window(spark):
 def test_semdedup_keeper_invariants(spark):
     """Pins the SemDeDup keeper semantics independent of the oracle:
     (1) exactly one output row per input vector, (2) within every
-    cluster the member with the minimum (cent_sim, vec_id) — which by
-    construction has no 'better' duplicate partner — is ALWAYS kept
-    (the paper keeps the LOWEST-centroid-similarity member of a dup
-    pair), and (3) the fixture genuinely exercises drops (kept=False
-    rows exist; trivially-true kept columns would make the oracle
-    differential vacuous, the k_embed_near_dup >= 0.9 lesson)."""
+    cluster whose minimum displayed cent_sim is UNIQUE, the member
+    with the minimum (cent_sim, vec_id) — which by construction has
+    no 'better' duplicate partner — is ALWAYS kept (the paper keeps
+    the LOWEST-centroid-similarity member of a dup pair; the
+    uniqueness restriction exists because the keeper rule compares
+    RAW cs while the output column is q6-quantized — two raw-distinct
+    values collapsing to one displayed value would make the displayed
+    min ambiguous, r11 review), and (3) the fixture genuinely
+    exercises drops (kept=False rows exist; trivially-true kept
+    columns would make the oracle differential vacuous, the
+    k_embed_near_dup >= 0.9 lesson)."""
     from .conftest import SF_DIR
     from opay_datalake_script_spark.registry import QUERIES, load_all_queries
     from opay_datalake_script_spark.sources.io import load
@@ -2726,19 +2731,34 @@ def test_semdedup_keeper_invariants(spark):
     assert len(rows) == n
     assert len({r.vec_id for r in rows}) == n
     assert any(not r.kept for r in rows), "fixture produced no drops"
-    best_per_cluster = {}
+    best_per_cluster: dict = {}
+    min_sim_count: dict = {}
     for r in rows:
         key = (r.cent_sim, r.vec_id)
         if r.cluster not in best_per_cluster or key < best_per_cluster[r.cluster][0]:
             best_per_cluster[r.cluster] = (key, r.kept)
-    assert all(kept for _, kept in best_per_cluster.values())
+    for r in rows:
+        if r.cent_sim == best_per_cluster[r.cluster][0][0]:
+            min_sim_count[r.cluster] = min_sim_count.get(r.cluster, 0) + 1
+    unambiguous = [
+        kept
+        for cl, (_, kept) in best_per_cluster.items()
+        if min_sim_count[cl] == 1
+    ]
+    assert unambiguous, "every cluster min collided at q6 — invariant untestable"
+    assert all(unambiguous)
 
 
 def test_kmeans_and_semdedup_plans_stay_distributed(spark):
     """The iterative Lloyd fit must never plan a CartesianProduct (the
     centroid fan-out is a K-row scalar-bounded BNLJ — the e_ntile
     adjudication class) and the SemDeDup candidate stage must stay the
-    shared capped equi-join, not an all-pairs theta join."""
+    shared capped equi-join, not an all-pairs theta join. Coverage
+    split (r11 review): k_kmeans_clusters' LAZY plan carries the whole
+    fit, so it is the check on the Lloyd stages; k_semdedup's
+    localCheckpoints truncate the fit out of its inspected plan, so
+    its assertion covers only the post-checkpoint candidate /
+    centroid-sim / keeper stages."""
     from .conftest import SF_DIR
     from opay_datalake_script_spark.registry import QUERIES, load_all_queries
 
