@@ -305,93 +305,6 @@ def k_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.withColumn("sim", F.round("sim", 6))
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str):
-    """Fit the IVF coarse quantizer (seeded 16-way spherical KMeans) and
-    return (model, assigned) where `assigned` adds a `bucket` column."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = load(spark, sf_dir, "embeddings")
-    arr64 = F.transform("embedding", lambda x: x.cast("double"))
-    l2 = _fold_norm(arr64)
-    # Guarded denominator: an all-zero embedding must stay zero, not NaN
-    # (NaN features break KMeans.fit) — same guard the query side uses.
-    unit = F.transform(arr64, lambda x: x / F.greatest(l2, F.lit(1e-12)))
-    vecs = emb.withColumn("fv", array_to_vector(unit))
-    km = KMeans(k=16, seed=42, featuresCol="fv", predictionCol="bucket")
-    model = km.fit(vecs)
-    return model, model.transform(vecs)
-
-
-@register("k_ann_ivf_stats")
-def k_ann_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(bucket, list_size) of the IVF inverted lists — the skew/health
-    diagnostic for the coarse quantizer (a hot bucket means KMeans
-    under-fit and probe cost balloons). Rows-only: bucket ids depend on
-    the fitted KMeans model, which is not SQL-expressible; row count is
-    bounded by n_clusters."""
-    _, assigned = _ivf_assign(spark, sf_dir)
-    return assigned.groupBy("bucket").agg(F.count("*").alias("list_size"))
-
-
-@register("k_ann_ivf")
-def k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate NN (rows-only: cluster assignment is
-    approximate by design).
-
-    Coarse quantizer: seeded KMeans over L2-NORMALIZED embeddings (on
-    the unit sphere, Euclidean NN == cosine NN, so the inverted lists
-    respect the cosine metric the query actually uses — clustering raw
-    vectors buckets by magnitude and craters recall); every vector is
-    assigned to its nearest centroid (inverted list). The query probes
-    the nearest lists (size-aware, see below) and scores only those
-    candidates — the candidate set shrinks by ~n_clusters/n_probe, which
-    is the whole point at 100 TB (per-bucket equi-join instead of cross
-    product). Recall vs the exact k-NN is pinned by
-    test_ivf_recall_against_exact_knn.
-    """
-    from pyspark.ml.functions import vector_to_array
-
-    model, assigned = _ivf_assign(spark, sf_dir)
-
-    # Query = vec_id 0. nprobe adapts to the MEASURED inverted-list
-    # sizes, not a row-count heuristic (round-4 verdict): probe nearest
-    # lists until the candidate pool holds >= 16x the requested top-k
-    # (floor of 4 lists), so tiny corpora where 16-way KMeans
-    # over-partitions keep probing deeper instead of hitting a recall
-    # cliff, while at 100 TB (huge lists) the probe count stays at the
-    # 4-list floor. The per-bucket size map is k rows (= n_clusters,
-    # fixed and small) — bounded driver traffic regardless of data size,
-    # unlike collecting vectors.
-    sizes = {
-        r["bucket"]: r["cnt"]
-        for r in assigned.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
-    }
-    centers = model.clusterCenters()
-    qrow = assigned.where(F.col("vec_id") == 0).select("fv").first()
-    if qrow is None:
-        return assigned.select("vec_id", "bucket").limit(0)
-    q = np.array(qrow["fv"].toArray())
-    dists = [float(np.linalg.norm(q - c)) for c in centers]
-    probe, pool = [], 0
-    for i in np.argsort(dists):
-        probe.append(int(i))
-        pool += sizes.get(int(i), 0)
-        if len(probe) >= 4 and pool >= 16 * 10:
-            break
-
-    qn = q / (np.linalg.norm(q) or 1.0)
-    cand = assigned.where(F.col("bucket").isin(probe) & (F.col("vec_id") != 0))
-    arr = vector_to_array(F.col("fv"))
-    dot = _fold_dot(arr, F.lit(qn.tolist()))
-    norm = _fold_norm(arr)
-    return (
-        cand.select("vec_id", "label", "bucket", F.round(dot / norm, 6).alias("sim"))
-        .orderBy(F.col("sim").desc(), "vec_id")
-        .limit(10)
-    )
-
-
 @register(
     "k_centroid_per_label",
     oracle="""
@@ -951,7 +864,7 @@ def _kmeans_assign(cents: DataFrame, earr: DataFrame) -> DataFrame:
         )
     )[0]
     return earr.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "v", best["cid"].alias("cluster"), best["d2"].alias("d2")
+        *earr.columns, best["cid"].alias("cluster"), best["d2"].alias("d2")
     )
 
 
@@ -1036,7 +949,10 @@ def kmeans_assignments(
 
 
 def _kmeans_ctes(
-    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dims: int = EMBEDDING_DIM
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dims: int = EMBEDDING_DIM,
+    ev_sql: str | None = None,
 ) -> str:
     """DuckDB CTE block unrolling the deterministic Lloyd fit —
     ev(vec_id, v), c0 (seed centroids), a1..a{iters} (assignments),
@@ -1046,7 +962,8 @@ def _kmeans_ctes(
     cells, LEFT JOIN + coalesce empty-cluster keep. Shared by the k_kmeans_clusters and k_semdedup
     oracles."""
     parts = [
-        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        ev_sql
+        or "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""c0 AS (
         SELECT vec_id AS cid, v AS cvec FROM ev
         WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
@@ -1285,3 +1202,174 @@ def k_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding boundary; the one rounded quantity is the Lloyd centroid
     average (see the section comment)."""
     return semdedup(spark, sf_dir)
+
+
+IVF_K = 16
+IVF_ITERS = 3
+_IVF_NPROBE_FLOOR = 4
+_IVF_POOL_TARGET = 160  # 16x the requested top-k
+
+
+def _unit_earr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, v) with v L2-NORMALIZED to the unit sphere
+    (guarded: an all-zero embedding stays zero instead of NaN). On the
+    unit sphere Euclidean NN == cosine NN, so Lloyd inverted lists
+    respect the cosine metric the ANN query scores by — clustering raw
+    vectors buckets by magnitude and craters recall (round-4 lesson).
+    Division is element-by-element on a left-associated norm, so the
+    unit vectors are bit-identical across engines."""
+    e = load(spark, sf_dir, "embeddings")
+    arr64 = F.transform("embedding", lambda x: x.cast("double"))
+    unit = F.transform(
+        arr64, lambda x: x / F.greatest(_fold_norm(arr64), F.lit(1e-12))
+    )
+    return e.select("vec_id", "label", unit.alias("v"))
+
+
+def _ivf_unit_ev_sql(dims: int = EMBEDDING_DIM) -> str:
+    """DuckDB twin of _unit_earr's normalization as the kmeans `ev` CTE."""
+    return f"""ev AS (
+        SELECT vec_id, list_transform(vraw, x -> x / g) AS v FROM (
+            SELECT vec_id, vraw,
+                   greatest(sqrt({_dot_chain_sql("vraw", "vraw", dims)}), 1e-12) AS g
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vraw
+                  FROM embeddings)
+        )
+    )"""
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Fit the IVF coarse quantizer — the deterministic spherical Lloyd
+    fit (kmeans_fit over unit vectors, IVF_K=16 lists, IVF_ITERS=3) —
+    and return (assigned, cents) where assigned carries a `bucket`
+    column (= the cluster's seed vec_id). Until round 11 this was
+    Spark ML's seeded KMeans, which keeps its init inside the fitted
+    JVM model and forced both IVF ops to rows-only evidence; the
+    deterministic fit makes the whole ANN path hash-checkable. Same
+    single-fit checkpoint discipline as semdedup."""
+    earr = _unit_earr(spark, sf_dir)
+    cents = _kmeans_cents(earr, IVF_K, IVF_ITERS).localCheckpoint()
+    assigned = (
+        _kmeans_assign(cents, earr)
+        .withColumnRenamed("cluster", "bucket")
+        .localCheckpoint()
+    )
+    return assigned, cents
+
+
+_IVF_STATS_ORACLE = f"""
+    WITH {_kmeans_ctes(IVF_K, IVF_ITERS, ev_sql=_ivf_unit_ev_sql())}
+    SELECT cid AS bucket, count(*) AS list_size
+    FROM a{IVF_ITERS + 1} GROUP BY cid
+    """
+
+
+@register("k_ann_ivf_stats", oracle=_IVF_STATS_ORACLE)
+def k_ann_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, list_size) of the IVF inverted lists — the skew/health
+    diagnostic for the coarse quantizer (a hot bucket means the fit
+    under-split and probe cost balloons). Hash-checked since the
+    quantizer became the deterministic Lloyd fit (r11); row count is
+    bounded by IVF_K."""
+    assigned, _ = _ivf_assign(spark, sf_dir)
+    return assigned.groupBy("bucket").agg(F.count("*").alias("list_size"))
+
+
+def _ivf_query_oracle() -> str:
+    fin = f"a{IVF_ITERS + 1}"
+    return f"""
+    WITH {_kmeans_ctes(IVF_K, IVF_ITERS, ev_sql=_ivf_unit_ev_sql())},
+    iv_sizes AS (SELECT cid, count(*) AS sz FROM {fin} GROUP BY cid),
+    iv_q AS (SELECT v AS qv FROM {fin} WHERE vec_id = 0),
+    iv_bd AS (
+        SELECT c.cid, {_sq_dist_chain_sql("c.cvec", "q.qv")} AS d
+        FROM c{IVF_ITERS} c CROSS JOIN iv_q q
+    ),
+    iv_br AS (
+        SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM iv_bd
+    ),
+    iv_bc AS (
+        SELECT br.cid, br.rn,
+               sum(coalesce(s.sz, 0)) OVER (ORDER BY br.rn) AS pool
+        FROM iv_br br LEFT JOIN iv_sizes s ON s.cid = br.cid
+    ),
+    iv_rsel AS (
+        SELECT coalesce(
+            min(rn) FILTER (WHERE rn >= {_IVF_NPROBE_FLOOR}
+                              AND pool >= {_IVF_POOL_TARGET}),
+            (SELECT max(rn) FROM iv_bc)
+        ) AS r FROM iv_bc
+    ),
+    iv_probes AS (SELECT cid FROM iv_bc, iv_rsel WHERE iv_bc.rn <= iv_rsel.r)
+    SELECT a.vec_id, e.label, a.cid AS bucket,
+           {sql_display_q6(_dot_chain_sql("a.v", "q.qv"))} AS sim
+    FROM {fin} a
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    CROSS JOIN iv_q q
+    WHERE a.cid IN (SELECT cid FROM iv_probes) AND a.vec_id != 0
+    ORDER BY sim DESC, a.vec_id
+    LIMIT 10
+    """
+
+
+@register("k_ann_ivf", oracle=_ivf_query_oracle())
+def k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN over the deterministic spherical Lloyd
+    quantizer — since r11 the ENTIRE path (fit, adaptive probe
+    selection, candidate scoring) is hash-checked against DuckDB; the
+    Spark ML model that forced rows-only evidence is gone.
+
+    Query = vec_id 0. nprobe adapts to the MEASURED inverted-list
+    sizes, not a row-count heuristic (round-4 verdict): probe nearest
+    lists (by centroid distance, (d, cid)-tie-broken) until the
+    candidate pool holds >= 16x the requested top-k with a floor of
+    _IVF_NPROBE_FLOOR lists, so tiny corpora where a 16-way fit
+    over-partitions keep probing deeper instead of hitting a recall
+    cliff, while at 100 TB (huge lists) the probe count stays at the
+    floor. Driver traffic is bounded regardless of corpus size: the
+    per-bucket size map (<= IVF_K rows), the centroid table (IVF_K
+    rows), and the single query row — the probe-selection arithmetic
+    runs in pure Python with LEFT-ASSOCIATED loops on exactly the
+    doubles both engines hold (quantized centroid cells, unit query
+    vector), so the selected bucket-id set is deterministic and the
+    oracle derives the identical set in SQL. Candidate scoring is a
+    map-side dot of unit vectors against the broadcast query row;
+    recall vs the exact k-NN is pinned by
+    test_ivf_recall_against_exact_knn."""
+    assigned, cents = _ivf_assign(spark, sf_dir)
+    sizes = {
+        r["bucket"]: r["cnt"]
+        for r in assigned.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    qrow = assigned.where(F.col("vec_id") == 0).select("v").first()
+    if qrow is None:
+        return assigned.select(
+            "vec_id", "label", "bucket", F.lit(0.0).alias("sim")
+        ).limit(0)
+    qv = list(qrow["v"])
+    dists = []
+    for r in cents.collect():  # IVF_K rows — bounded driver scalar
+        d = 0.0
+        for a, b in zip(r["cvec"], qv):
+            d = d + (a - b) * (a - b)  # left-associated, matches the SQL chain
+        dists.append((d, r["cid"]))
+    dists.sort()
+    probe, pool = [], 0
+    for d, cid in dists:
+        probe.append(cid)
+        pool += sizes.get(cid, 0)
+        if len(probe) >= _IVF_NPROBE_FLOOR and pool >= _IVF_POOL_TARGET:
+            break
+
+    q = assigned.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = assigned.where(
+        F.col("bucket").isin(probe) & (F.col("vec_id") != 0)
+    ).crossJoin(F.broadcast(q))
+    return (
+        cand.select(
+            "vec_id", "label", "bucket",
+            display_q6(_fold_dot(F.col("v"), F.col("qv"))).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )

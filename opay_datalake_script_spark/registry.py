@@ -107,6 +107,12 @@ _RECHECK = (
     # + keep-best's top-1-per-component window -> max_by + join back
     # (a mega dup-family component would pin one sort task)
     "k_dedup_keep_best",
+    # Session-2 wave: the IVF pair swapped Spark ML's seeded KMeans for
+    # the deterministic spherical Lloyd fit and BOTH became
+    # oracle-checked (rows-only -> hash evidence); changed code +
+    # brand-new oracles need post-change driver rows.
+    "k_ann_ivf",
+    "k_ann_ivf_stats",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately

@@ -1210,6 +1210,7 @@ _HARD_BROADCAST_SITES = {
     ("llmdata/similarity.py", "semdedup", "cents"): "cap",
     ("llmdata/similarity.py", "_block_pair_scores", "b_map"): "cap",
     ("llmdata/similarity.py", "k_ann_grid", "probes"): "cap",
+    ("llmdata/similarity.py", "k_ann_ivf", "q"): "query",
     ("llmdata/similarity.py", "k_hard_negatives", "q"): "query",
     ("llmdata/similarity.py", "k_knn_query", "q"): "query",
     ("llmdata/similarity.py", "k_semantic_outlier", "cent"): "cap",
