@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import quantize_e6
 from ..plans.hints import gated_hint
 from ..registry import register
 from ..sources.io import load
@@ -61,15 +62,40 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-@register("k_multimodal_pipeline")
+_MM_PIPELINE_ORACLE = (
+    """
+    SELECT doc_id,
+           'synthetic/text' AS mime,
+           CAST(n_chars AS BIGINT) AS content_length,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           concat_ws(',', """
+    + ", ".join(
+        "CAST(floor(((('0x' || substr(sha256(text), "
+        f"{2 * i + 1}, 2))::INT) / 255.0) * 1000000.0 + 0.5) AS BIGINT)::VARCHAR"
+        for i in range(8)
+    )
+    + """) AS features
+    FROM documents WHERE text IS NOT NULL
+    """
+)
+
+
+@register("k_multimodal_pipeline", oracle=_MM_PIPELINE_ORACLE)
 def k_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal plumbing (rows-only: features come from the
-    stubbed decoder): synthesize blob + metadata struct -> partition-
-    parallel feature extraction -> join features back to metadata.
-    The feature vector crosses the UDF boundary as array<double> but the
-    checked output joins it to one string (rounded to 6 dp) — array cells
-    crash the driver's canonicalizer even on rows-only checks."""
-    d = load(spark, sf_dir, "documents")
+    """End-to-end multimodal plumbing: synthesize blob + metadata struct
+    -> partition-parallel feature extraction (mapInPandas over Arrow
+    batches — the real deliverable is that boundary) -> join features
+    back to metadata. Hash-checked since r11: the stand-in features are
+    sha256-derived (DuckDB's sha256 agrees byte-for-byte with
+    hashlib's), and the feature string serializes the QUANTIZED-e6
+    integers rather than round()-formatted doubles, so no
+    double-to-string formatting can diverge cross-engine. The feature
+    vector crosses the UDF boundary as array<double> but the checked
+    output joins it to one string — array cells crash the driver's
+    canonicalizer even on rows-only checks. Null-text docs are excluded
+    on both sides (mirrored WHERE; encode(NULL) would crash the
+    worker's len() and sha256(NULL) is NULL — the winnow precedent)."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     media = d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("blob"),
@@ -92,7 +118,8 @@ def k_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.content_length").alias("content_length"),
             "n_bytes",
             F.concat_ws(
-                ",", F.transform("features", lambda x: F.round(x, 6).cast("string"))
+                ",",
+                F.transform("features", lambda x: quantize_e6(x).cast("string")),
             ).alias("features"),
         )
     )

@@ -113,6 +113,10 @@ _RECHECK = (
     # brand-new oracles need post-change driver rows.
     "k_ann_ivf",
     "k_ann_ivf_stats",
+    # + the multimodal pipeline's stand-in features serialize as
+    # quantized-e6 integers and gained a sha256-based DuckDB oracle
+    # (rows-only -> hash evidence, same session)
+    "k_multimodal_pipeline",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
