@@ -72,7 +72,7 @@ _MM_PIPELINE_ORACLE = (
     + ", ".join(
         "CAST(floor(((('0x' || substr(sha256(text), "
         f"{2 * i + 1}, 2))::INT) / 255.0) * 1000000.0 + 0.5) AS BIGINT)::VARCHAR"
-        for i in range(8)
+        for i in range(FEATURE_DIM)
     )
     + """) AS features
     FROM documents WHERE text IS NOT NULL

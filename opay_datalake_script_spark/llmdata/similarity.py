@@ -964,9 +964,13 @@ def _kmeans_ctes(
     parts = [
         ev_sql
         or "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        # seeds come FROM ev, not from the base table, so an ev_sql
+        # override that filters or re-keys rows keeps the seed set
+        # consistent with what the Spark side's earr actually contains
+        # (r11 review)
         f"""c0 AS (
         SELECT vec_id AS cid, v AS cvec FROM ev
-        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        WHERE vec_id IN (SELECT vec_id FROM ev ORDER BY vec_id LIMIT {k})
     )""",
     ]
     for t in range(1, iters + 2):
@@ -1217,13 +1221,31 @@ def _unit_earr(spark: SparkSession, sf_dir: str) -> DataFrame:
     respect the cosine metric the ANN query scores by — clustering raw
     vectors buckets by magnitude and craters recall (round-4 lesson).
     Division is element-by-element on a left-associated norm, so the
-    unit vectors are bit-identical across engines."""
+    unit vectors are bit-identical across engines.
+
+    The guarded norm is HOISTED into its own column (`vnorm`) and kept
+    in the output on purpose: higher-order-function lambdas are
+    evaluated per element, and CollapseProject re-inlines a
+    single-referenced alias straight back into the lambda body —
+    turning the normalization into an O(dims^2)-per-row re-computation
+    (probed on 4.1; r11 review). Emitting vnorm alongside v makes the
+    alias doubly-referenced, which blocks the inline and keeps the
+    norm at one evaluation per row. The oracle twin (_ivf_unit_ev_sql)
+    hoists `g` in a subquery the same way."""
     e = load(spark, sf_dir, "embeddings")
     arr64 = F.transform("embedding", lambda x: x.cast("double"))
-    unit = F.transform(
-        arr64, lambda x: x / F.greatest(_fold_norm(arr64), F.lit(1e-12))
+    staged = e.select(
+        "vec_id",
+        "label",
+        arr64.alias("vraw"),
+        F.greatest(_fold_norm(arr64), F.lit(1e-12)).alias("vnorm"),
     )
-    return e.select("vec_id", "label", unit.alias("v"))
+    return staged.select(
+        "vec_id",
+        "label",
+        "vnorm",
+        F.transform("vraw", lambda x: x / F.col("vnorm")).alias("v"),
+    )
 
 
 def _ivf_unit_ev_sql(dims: int = EMBEDDING_DIM) -> str:
@@ -1238,7 +1260,9 @@ def _ivf_unit_ev_sql(dims: int = EMBEDDING_DIM) -> str:
     )"""
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _ivf_assign(
+    spark: SparkSession, sf_dir: str, checkpoint_assigned: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Fit the IVF coarse quantizer — the deterministic spherical Lloyd
     fit (kmeans_fit over unit vectors, IVF_K=16 lists, IVF_ITERS=3) —
     and return (assigned, cents) where assigned carries a `bucket`
@@ -1249,11 +1273,12 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     single-fit checkpoint discipline as semdedup."""
     earr = _unit_earr(spark, sf_dir)
     cents = _kmeans_cents(earr, IVF_K, IVF_ITERS).localCheckpoint()
-    assigned = (
-        _kmeans_assign(cents, earr)
-        .withColumnRenamed("cluster", "bucket")
-        .localCheckpoint()
-    )
+    assigned = _kmeans_assign(cents, earr).withColumnRenamed("cluster", "bucket")
+    if checkpoint_assigned:
+    # k_ann_ivf consumes assigned four times (sizes, query row,
+    # candidates, scoring); single-pass consumers skip the
+    # corpus-sized materialization (r11 review)
+        assigned = assigned.localCheckpoint()
     return assigned, cents
 
 
@@ -1270,8 +1295,9 @@ def k_ann_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic for the coarse quantizer (a hot bucket means the fit
     under-split and probe cost balloons). Hash-checked since the
     quantizer became the deterministic Lloyd fit (r11); row count is
-    bounded by IVF_K."""
-    assigned, _ = _ivf_assign(spark, sf_dir)
+    bounded by IVF_K. Single-pass consumer: skips the corpus-sized
+    assigned checkpoint (only the K-row cents one runs)."""
+    assigned, _ = _ivf_assign(spark, sf_dir, checkpoint_assigned=False)
     return assigned.groupBy("bucket").agg(F.count("*").alias("list_size"))
 
 

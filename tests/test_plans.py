@@ -1386,3 +1386,23 @@ def test_kmv_and_percentile_disc_avoid_whole_group_windows(spark):
         # o_orderpriority in its (inline-printed) partition spec
     ]
     assert not offenders, offenders
+
+
+def test_ivf_unit_norm_is_hoisted_out_of_the_lambda(spark):
+    """The unit-normalization norm must be computed ONCE per row as its
+    own column, never inside the per-element transform lambda:
+    higher-order-function lambdas are evaluated per element and
+    CollapseProject re-inlines a single-referenced alias back into the
+    lambda body, turning normalization into O(dims^2) work per row
+    (probed on 4.1 — r11 review). _unit_earr blocks the inline by
+    double-referencing vnorm; this pin fails if anyone 'simplifies'
+    that away."""
+    from opay_datalake_script_spark.llmdata.similarity import _unit_earr
+
+    plan = (
+        _unit_earr(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "transform(vraw" in plan
+    seg = plan.split("transform(vraw", 1)[1]
+    seg = seg.split(" AS ", 1)[0]  # the transform expression only
+    assert "aggregate(" not in seg, "norm re-inlined into the division lambda"
