@@ -276,6 +276,50 @@ def h_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "h_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(TRY_CAST(props AS JSON) ->> '$.k' AS BIGINT)       AS k_big,
+           (TRY_CAST(props AS JSON) ->> '$.k')                     AS k_str,
+           CAST(TRY_CAST(props AS JSON) ->> '$.missing' AS BIGINT) AS k_missing,
+           (TRY_CAST(substr(props, 1, length(props) - 1) AS JSON) IS NULL)
+                                                                   AS truncated_is_null
+    FROM events
+    """,
+)
+def h_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT battery — the third member of the JSON trio
+    (h_json = path extraction, h_json_struct = from_json + schema,
+    h_variant = the open-schema VARIANT type): try_parse_json into a
+    VARIANT, typed try_variant_get extraction (bigint and string off
+    ONE parse — where get_json_object re-parses per path), a missing
+    path (NULL, not an error), and try_parse_json's malformed-input
+    contract (a truncated payload parses to NULL; both engines are
+    null-safe via try_parse_json / TRY_CAST, so a malformed props row
+    degrades identically instead of erroring one engine). The VARIANT
+    column itself never reaches the output — the driver canonicalizer
+    takes scalars only — so every extraction lands as bigint / string
+    / boolean.
+
+    At 100 TB: parse once per row, map-only, pruned (event_id, props)
+    scan; VARIANT's binary encoding makes repeated path access cheap
+    without declaring a schema up front (measured in the h_json
+    docstring: 62 ms vs 53 ms for one shallow key at sf0.1 — variant
+    pays off at several fields per payload)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_big"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        F.try_parse_json(F.expr("substr(props, 1, length(props) - 1)"))
+        .isNull()
+        .alias("truncated_is_null"),
+    )
+
+
+@register(
     "h_array",
     oracle="""
     SELECT doc_id,
