@@ -431,3 +431,75 @@ def s_sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@register(
+    "s_sql_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum_e4_2dp("l_quantity")} AS sum_qty,
+           {sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def s_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, `|>`) — the third text entry point
+    after HiveQL and ANSI: the Q1-teaser aggregation written as a
+    linear pipeline (FROM |> WHERE |> AGGREGATE ... GROUP BY). The
+    parser lowers pipes to the SAME logical plan as the clause form —
+    one pruned scan, map-side partial agg, 6-row shuffle — so the
+    oracle is ordinary SQL and the plan shape is identical to
+    t_q01_pricing_summary's. Money sums follow the e4 fixed-point rule
+    (decimal accumulator in exact ten-thousandths on both engines)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> AGGREGATE
+               {spark_sql_sum_e4_2dp("l_quantity")} AS sum_qty,
+               {spark_sql_sum_e4_2dp("l_extendedprice * (1 - l_discount)")}
+                   AS sum_disc_price,
+               count(*) AS cnt
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "s_sql_lateral_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1
+    ) o
+    """,
+)
+def s_sql_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (ANSI, Spark 3.4+/4.x) — top order
+    per customer written the way an analyst writes it, with the
+    per-row subquery carrying its own ORDER BY ... LIMIT 1 and a
+    unique o_orderkey tie-break (the LIMIT-oracle rule). Catalyst
+    DECORRELATES this into a join + per-key top-1 — the executed plan
+    is a broadcast/shuffle hash join feeding a WindowGroupLimit-style
+    rank, NOT a per-customer nested loop, so the text form inherits
+    the same celebrity-safe shape as e_topk_per_group. Customers with
+    no orders drop out (inner lateral) on both engines."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 1
+        ) o
+        """
+    )

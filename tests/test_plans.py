@@ -1406,3 +1406,20 @@ def test_ivf_unit_norm_is_hoisted_out_of_the_lambda(spark):
     seg = plan.split("transform(vraw", 1)[1]
     seg = seg.split(" AS ", 1)[0]  # the transform expression only
     assert "aggregate(" not in seg, "norm re-inlined into the division lambda"
+
+
+def test_lateral_subquery_decorrelates(spark):
+    """The correlated LATERAL top-1 (s_sql_lateral_subquery) must plan
+    as a decorrelated equi-join + per-key limit, never a per-customer
+    nested loop: no CartesianProduct and no BroadcastNestedLoopJoin
+    anywhere (Catalyst's DecorrelateInnerQuery handles the LIMIT), and
+    a hash join on the correlation key present."""
+    plan = (
+        QUERIES["s_sql_lateral_subquery"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
