@@ -279,9 +279,9 @@ def h_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "h_variant",
     oracle="""
     SELECT event_id,
-           CAST(TRY_CAST(props AS JSON) ->> '$.k' AS BIGINT)       AS k_big,
-           (TRY_CAST(props AS JSON) ->> '$.k')                     AS k_str,
-           CAST(TRY_CAST(props AS JSON) ->> '$.missing' AS BIGINT) AS k_missing,
+           TRY_CAST(TRY_CAST(props AS JSON) ->> '$.k' AS BIGINT)       AS k_big,
+           (TRY_CAST(props AS JSON) ->> '$.k')                         AS k_str,
+           TRY_CAST(TRY_CAST(props AS JSON) ->> '$.missing' AS BIGINT) AS k_missing,
            (TRY_CAST(substr(props, 1, length(props) - 1) AS JSON) IS NULL)
                                                                    AS truncated_is_null
     FROM events
@@ -295,8 +295,12 @@ def h_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE parse — where get_json_object re-parses per path), a missing
     path (NULL, not an error), and try_parse_json's malformed-input
     contract (a truncated payload parses to NULL; both engines are
-    null-safe via try_parse_json / TRY_CAST, so a malformed props row
-    degrades identically instead of erroring one engine). The VARIANT
+    null-safe end-to-end — try_parse_json / try_variant_get on Spark,
+    TRY_CAST at both the parse and the bigint cast on DuckDB — so a
+    malformed payload or a non-integer k degrades to NULL instead of
+    erroring one engine; note the ENGINES' lenient-coercion edge rules
+    for a non-integer k are their own and the fixture pins k to small
+    ints, so only the no-error contract is cross-engine normative). The VARIANT
     column itself never reaches the output — the driver canonicalizer
     takes scalars only — so every extraction lands as bigint / string
     / boolean.

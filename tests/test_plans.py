@@ -1413,7 +1413,9 @@ def test_lateral_subquery_decorrelates(spark):
     as a decorrelated equi-join + per-key limit, never a per-customer
     nested loop: no CartesianProduct and no BroadcastNestedLoopJoin
     anywhere (Catalyst's DecorrelateInnerQuery handles the LIMIT), and
-    a hash join on the correlation key present."""
+    SOME equi-join on the correlation key present — hash or sort-merge,
+    whichever the planner picks at the active SF/config (the invariant
+    is decorrelation, not the join strategy; r11 review)."""
     plan = (
         QUERIES["s_sql_lateral_subquery"](spark, SF_DIR)
         ._jdf.queryExecution()
@@ -1422,4 +1424,4 @@ def test_lateral_subquery_decorrelates(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "HashJoin" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
