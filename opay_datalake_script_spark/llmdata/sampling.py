@@ -535,3 +535,57 @@ def k_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logratio"),
         )
     )
+
+
+@register(
+    "k_hash_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('ss:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   / 4503599627370496.0 AS u,
+               CASE WHEN lang = 'en' THEN 0.2 ELSE 0.6 END AS frac
+        FROM documents
+    ) WHERE u < frac
+    """,
+)
+def k_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling as a PURE FUNCTION of the row key — the
+    reproducible twin of k_stratified_sample's seeded sampleBy (whose
+    sample depends on the physical partitioning, so a repartitioned
+    rerun keeps different rows): keep a doc iff its md5-derived
+    uniform u in [0,1) (13 hex chars / 2^52, exactly representable —
+    the k_rejection_sample_quality idiom, 'ss:'-prefixed so this op's
+    draw is independent of the rejection sampler's) falls under its
+    language's keep fraction (downsample the dominant 'en' to 0.2,
+    keep 0.6 of everything else — the rebalance-the-head mixing move).
+    Per-stratum realized fractions concentrate around the targets by
+    Chernoff; the sample is identical across reruns, engines, cluster
+    sizes, and partitionings, which is what a 100 TB curation pipeline
+    actually needs from a sampler (resumable, diffable, auditable).
+
+    The u < frac comparison runs on exact doubles in both engines
+    (single division of identical exact integers; frac literals are
+    exact), so the kept set is hash-checked — no rows-only escape.
+    Map-only: the draw happens inside the scan stage, zero shuffles,
+    no driver-side fraction map to collect (the CASE is the map), so
+    unlike sampleBy there is no stratum-cardinality ceiling."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ss:"), F.col("doc_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4503599627370496.0)
+    )
+    frac = F.when(F.col("lang") == "en", F.lit(0.2)).otherwise(F.lit(0.6))
+    return d.where(u < frac).select("doc_id", "lang")
