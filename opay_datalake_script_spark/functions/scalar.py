@@ -767,3 +767,81 @@ def h_encode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.decode(F.unbase64(b64), "UTF-8") == head24).alias("rt_ok"),
         F.hex(F.substring("text", 1, 16)).alias("hx"),
     )
+
+
+@register(
+    "h_collation",
+    oracle="""
+    SELECT lower(mixed) AS lang_ci, count(*) AS n
+    FROM (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS mixed
+        FROM documents
+    ) GROUP BY lower(mixed)
+    """,
+)
+def h_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4.0): a mixed-case language column
+    (every even doc_id upper-cased) grouped under UTF8_LCASE, so 'EN'
+    and 'en' land in ONE group with no lower() rewrite at the
+    grouping site — the collation IS the equality semantics, and
+    comparisons/joins/sorts on the collated column inherit it. The
+    displayed key is lower()-normalized (and cast back to the default
+    collation) because the collated GROUP BY keeps an arbitrary
+    representative casing — whichever member a partition saw first —
+    which would make the raw key partitioning-dependent; lower() is
+    casing-invariant across the equality class, so the output is
+    deterministic. Oracle groups by lower() — identical semantics on
+    this ASCII fixture (UTF8_LCASE and lower() diverge only on
+    locale-sensitive codepoints)."""
+    d = load(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(
+        F.col("lang")
+    )
+    return (
+        d.select(F.collate(mixed, "UTF8_LCASE").alias("ml"))
+        .groupBy("ml")
+        .agg(F.count("*").alias("n"))
+        .select(F.lower("ml").cast("string").alias("lang_ci"), "n")
+    )
+
+
+@register(
+    "h_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_custkey % 3) END          AS safe_div,
+           CASE WHEN o_orderkey = 0
+                THEN 9223372036854775807 ELSE NULL END           AS add_edge,
+           CASE WHEN o_orderkey BETWEEN 0 AND 1
+                THEN o_orderkey * 4611686018427387904
+                ELSE NULL END                                    AS mul_edge
+    FROM orders
+    """,
+)
+def h_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* arithmetic (try_divide / try_add / try_multiply)
+    — NULL instead of an error or a silent wrap, the spelling a
+    pipeline uses under spark.sql.ansi.enabled: division by a zero
+    modulus, int64 addition at the MaxValue edge (overflows — and
+    try_add nulls — for every o_orderkey > 0), and multiplication by
+    2^62 (overflows for any factor above 1). The oracle spells each
+    as an explicit CASE guard because DuckDB has no try-arithmetic —
+    which is the point of the demonstration: the try_* family IS that
+    guard, applied engine-side without enumerating failure conditions
+    by hand. The division result is one IEEE op on identical operands
+    (hash-exact); orderkeys are non-negative in the fixture, so the
+    overflow CASEs cover the whole key domain."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias(
+            "safe_div"
+        ),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"), F.col("o_orderkey")
+        ).alias("add_edge"),
+        F.try_multiply(
+            F.col("o_orderkey"), F.lit(4611686018427387904).cast("long")
+        ).alias("mul_edge"),
+    )

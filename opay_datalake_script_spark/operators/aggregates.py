@@ -1646,3 +1646,32 @@ def d_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@register(
+    "d_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native LISTAGG (Spark 4.0 / ISO 9075) with DISTINCT and WITHIN
+    GROUP ordering — the standard spelling of d_string_agg's
+    concat_ws(array_sort(collect_set)) composition, lowered by Catalyst
+    to the same collect-then-format aggregate. The WITHIN GROUP order
+    plus DISTINCT makes the string deterministic regardless of row
+    order; the value domain (order statuses per priority) is bounded
+    at 3, so the aggregated string can never grow with the corpus
+    (the collect_list discipline)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, ',') "
+            "WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count("*").alias("cnt"),
+    )
