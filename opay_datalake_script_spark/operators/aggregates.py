@@ -1675,3 +1675,152 @@ def d_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count("*").alias("cnt"),
     )
+
+
+@register(
+    "d_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM pairs
+            UNION ALL
+            SELECT v AS node FROM pairs
+        ) GROUP BY node
+    ),
+    ori AS (
+        SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+                    THEN p.u ELSE p.v END AS s,
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+                    THEN p.v ELSE p.u END AS t,
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+                    THEN dv.d ELSE du.d END AS td
+        FROM pairs p
+        JOIN deg du ON du.node = p.u
+        JOIN deg dv ON dv.node = p.v
+    ),
+    tri AS (
+        SELECT w.apex, w.lo, w.hi
+        FROM (
+            SELECT e1.s AS apex,
+                   CASE WHEN (e1.td < e2.td)
+                             OR (e1.td = e2.td AND e1.t < e2.t)
+                        THEN e1.t ELSE e2.t END AS lo,
+                   CASE WHEN (e1.td < e2.td)
+                             OR (e1.td = e2.td AND e1.t < e2.t)
+                        THEN e2.t ELSE e1.t END AS hi
+            FROM ori e1 JOIN ori e2
+              ON e1.s = e2.s AND e1.t < e2.t
+        ) w
+        JOIN ori e3 ON e3.s = w.lo AND e3.t = w.hi
+    )
+    SELECT part_id, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (
+        SELECT apex AS part_id FROM tri
+        UNION ALL SELECT lo FROM tri
+        UNION ALL SELECT hi FROM tri
+    ) GROUP BY part_id
+    """,
+)
+def d_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase graph (parts
+    co-ordered in one order), per-node participation counts — the graph
+    representative for clustering-coefficient / community-density
+    analytics next to d_pagerank_fixed_iters' iterative ranking.
+
+    The naive wedge join (every 2-path against the edge list) explodes
+    on hub nodes: a degree-D part generates D^2 wedges, and real
+    co-purchase graphs are heavy-tailed. The classic fix (node-iterator
+    with degree ordering, a.k.a. edge orientation) makes the whole job
+    O(|E|^1.5) REGARDLESS of skew: orient every undirected edge from
+    its lower (degree, id) endpoint to its higher one — out-degree is
+    then bounded by O(sqrt |E|) for EVERY node, hub or not — and only
+    pair OUT-neighbors. Each triangle {a,b,c} with rank a<b<c is found
+    exactly once, as the wedge (b,c) at apex a closed by the oriented
+    edge b->c; the wedge pair is re-ordered by the SAME (degree, id)
+    rank so the closing lookup is a plain equi-join on (s, t) — no
+    OR-of-orientations, no theta join.
+
+    Scale shape: the edge list is a per-order self-join (fan-out
+    bounded by order width, <= C(7,2) per TPC-H order construction),
+    then DISTINCT; degrees are one partial-combining aggregate; the
+    orientation is two equi-joins against the degree table (node-keyed
+    shuffles, AQE-splittable — the degree table grows with the corpus,
+    so it is NEVER hard-broadcast); the wedge self-join shuffles on the
+    apex and the closing join on the (lo, hi) pair — both uniform
+    equi-keys. Every stage is a join or aggregate: no windows, no
+    driver traffic, nothing whole-group.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    return triangle_participation(pairs).select(
+        F.col("node").alias("part_id"), "n_tri"
+    )
+
+
+def triangle_participation(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts for an undirected simple graph given as
+    DISTINCT (u, v) edge rows with u < v — the degree-ordered
+    orientation core of d_triangle_count, factored out so the property
+    test can pin its semantics against brute-force enumeration on
+    synthetic graphs (the DuckDB oracle mirrors the SAME algorithm, so
+    the differential check proves engine parity, not triangle-ness).
+    Returns (node, n_tri) for every node in at least one triangle."""
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
+        )
+    )
+    e1 = ori.alias("e1")
+    e2 = ori.alias("e2")
+    t1_first = (F.col("e1.td") < F.col("e2.td")) | (
+        (F.col("e1.td") == F.col("e2.td")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(
+        F.col("e1.s").alias("apex"),
+        F.when(t1_first, F.col("e1.t")).otherwise(F.col("e2.t")).alias("lo"),
+        F.when(t1_first, F.col("e2.t")).otherwise(F.col("e1.t")).alias("hi"),
+    )
+    closing = ori.select(F.col("s").alias("lo"), F.col("t").alias("hi"))
+    tri = wedges.join(closing, ["lo", "hi"])
+    return (
+        tri.select(F.col("apex").alias("node"))
+        .unionByName(tri.select(F.col("lo").alias("node")))
+        .unionByName(tri.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )

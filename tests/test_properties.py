@@ -2766,3 +2766,60 @@ def test_kmeans_and_semdedup_plans_stay_distributed(spark):
     for name in ("k_kmeans_clusters", "k_semdedup"):
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+# -- d_triangle_count: degree-ordered orientation vs brute force ------------
+#
+# The DuckDB oracle mirrors the SAME orientation algorithm, so the
+# differential check proves engine parity only. This pins the
+# triangle SEMANTICS: hypothesis-generated random simple graphs are
+# counted by brute-force 3-subset enumeration in Python and must agree
+# node-for-node with the distributed orientation pipeline — including
+# graphs with hubs (the degree-tie comparator path) and triangle-free
+# graphs (empty result).
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges_strategy)
+def test_triangle_participation_matches_brute_force(spark, raw):
+    from opay_datalake_script_spark.operators.aggregates import (
+        triangle_participation,
+    )
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw if u != v})
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected: dict[int, int] = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in nodes:
+                if c > b and c in adj[a] and c in adj[b]:
+                    for n in (a, b, c):
+                        expected[n] = expected.get(n, 0) + 1
+    if edges:
+        pairs = spark.createDataFrame(edges, "u long, v long")
+    else:
+        pairs = spark.createDataFrame([], "u long, v long")
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_participation(pairs).collect()
+    }
+    assert got == expected
