@@ -22,6 +22,7 @@ from ..functions.exact import (
     round_div_e4,
     sql_display_2dp,
     sql_round_div_e4,
+    sql_sum_e4,
     sql_sum_e4_2dp,
     sum_e4_2dp,
 )
@@ -1741,4 +1742,144 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         running.groupBy("user_id")
         .agg(F.max("concurrent").alias("peak_concurrent"))
         .where(F.col("peak_concurrent") >= 2)
+    )
+
+
+@register(
+    "e_interpolate_linear",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               {sql_sum_e4("value")} AS v
+        FROM events WHERE user_id < 40
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+        SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM spans
+    ),
+    j AS (
+        SELECT g.user_id, g.hr, h.v
+        FROM grid g LEFT JOIN hourly h
+          ON h.user_id = g.user_id AND h.hr = g.hr
+    ),
+    c AS (
+        SELECT user_id, hr, v,
+               last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER fwd AS p_hr,
+               last_value(v IGNORE NULLS) OVER fwd AS p_v,
+               first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER bwd AS n_hr,
+               first_value(v IGNORE NULLS) OVER bwd AS n_v
+        FROM j
+        WINDOW
+            fwd AS (PARTITION BY user_id ORDER BY hr
+                    ROWS UNBOUNDED PRECEDING),
+            bwd AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    i AS (
+        SELECT user_id, hr, v,
+               CASE WHEN v IS NOT NULL THEN v ELSE
+                   p_v + (
+                       ((n_v - p_v) * date_diff('hour', p_hr, hr))
+                       - (((((n_v - p_v) * date_diff('hour', p_hr, hr))
+                            % date_diff('hour', p_hr, n_hr))
+                           + date_diff('hour', p_hr, n_hr))
+                          % date_diff('hour', p_hr, n_hr))
+                   ) // date_diff('hour', p_hr, n_hr)
+               END AS vi
+        FROM c
+    )
+    SELECT user_id, hr,
+           {sql_display_2dp('vi')} AS v_interp,
+           v IS NULL AS is_gap
+    FROM i
+    """,
+)
+def e_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LINEAR interpolation — the sibling
+    of e_gap_fill_forward's carry fill for metrics where a silent hour
+    should ramp between the surrounding observations (sensor readings,
+    balance curves) instead of holding flat. Every user gets a complete
+    hourly grid between their first and last observed hour; missing
+    hours get v_prev + (v_next - v_prev) * elapsed/gap, observed hours
+    pass through unchanged (is_gap marks interpolated rows).
+
+    EXACT arithmetic end-to-end: hourly sums live in integer e4
+    ten-thousandths, the elapsed/gap fraction is a ratio of exact
+    whole-hour counts, and the interpolated value is computed with the
+    repo's floor-division identity (`(x - pmod(x, d)) div d` — exactly
+    divisible, so truncation == floor on BOTH engines, any sign). No
+    IEEE op anywhere until the final display division, so the oracle
+    hash-matches bit-for-bit with zero float-boundary risk.
+
+    Scale shape mirrors e_gap_fill_forward: one hourly pre-aggregation
+    (user-keyed shuffle), a per-user span aggregate, a map-side
+    `sequence()` explode for the grid, a (user, hour)-keyed left join
+    back, then the forward AND backward non-null carries — both through
+    the celebrity-immune chunked helper (the backward pass orders by a
+    negated-epoch timestamp, turning "first non-null after" into the
+    same last-non-null primitive). Grid rows are span-bounded, not
+    corpus-bounded. Interior-gap invariant: the grid starts and ends at
+    OBSERVED hours, so every gap row has both neighbors — the interp
+    branch never sees a NULL endpoint and gap > 0 strictly.
+    """
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(e4(F.col("value"))).cast("long").alias("v"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hr"
+        ),
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    fwd = with_chunked_last_nonnull(
+        joined,
+        "user_id",
+        "hr",
+        [],
+        {
+            "p_hr": F.when(F.col("v").isNotNull(), F.col("hr")),
+            "p_v": F.col("v"),
+        },
+    )
+    rev = fwd.withColumn(
+        "rev_hr", F.timestamp_micros(-F.unix_micros(F.col("hr")))
+    )
+    bwd = with_chunked_last_nonnull(
+        rev,
+        "user_id",
+        "rev_hr",
+        [],
+        {
+            "n_hr": F.when(F.col("v").isNotNull(), F.col("hr")),
+            "n_v": F.col("v"),
+        },
+    )
+    interp = (
+        bwd.withColumn("_ds", F.expr("timestampdiff(HOUR, p_hr, hr)"))
+        .withColumn("_dt", F.expr("timestampdiff(HOUR, p_hr, n_hr)"))
+        .withColumn("_num", (F.col("n_v") - F.col("p_v")) * F.col("_ds"))
+        .withColumn(
+            "vi",
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("p_v") + F.expr("(_num - pmod(_num, _dt)) div _dt")
+            ),
+        )
+    )
+    return interp.select(
+        "user_id",
+        "hr",
+        display_2dp(F.col("vi").cast("decimal(20,0)")).alias("v_interp"),
+        F.col("v").isNull().alias("is_gap"),
     )

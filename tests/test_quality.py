@@ -132,3 +132,52 @@ def test_wap_failed_audit_keeps_published_version(spark):
     with pytest.raises(AssertionError):
         run_gates(bad, [row_count(min_rows=1)]).raise_if_failed()
     assert spark.read.parquet(published).count() == n_before
+
+
+def test_interpolate_linear_semantics():
+    """The e_interpolate_linear oracle MIRRORS the engine's algorithm,
+    so the differential hash proves parity only. Pin the interpolation
+    SEMANTICS independently on sf0.001: per user, the grid starts and
+    ends at observed hours, observed rows pass through, gap rows exist
+    (branch exercised), each gap run ramps monotonically between its
+    observed endpoints, and the run's midpoint value sits within one
+    display cent of the true linear midpoint."""
+    from opay_datalake_script_spark.operators.windows import (
+        e_interpolate_linear,
+    )
+    from .conftest import SMOKE_SF_DIR
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    pdf = (
+        e_interpolate_linear(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "hr"])
+    )
+    assert pdf["is_gap"].sum() > 0
+    saw_interior_gap = False
+    for _uid, g in pdf.groupby("user_id"):
+        rows = list(g.itertuples())
+        assert not rows[0].is_gap and not rows[-1].is_gap
+        i = 0
+        while i < len(rows):
+            if not rows[i].is_gap:
+                i += 1
+                continue
+            j = i
+            while rows[j].is_gap:
+                j += 1
+            lo_v, hi_v = rows[i - 1].v_interp, rows[j].v_interp
+            run = [r.v_interp for r in rows[i - 1 : j + 1]]
+            if lo_v <= hi_v:
+                assert all(a <= b + 0.011 for a, b in zip(run, run[1:]))
+            else:
+                assert all(a >= b - 0.011 for a, b in zip(run, run[1:]))
+            if len(run) >= 3:
+                saw_interior_gap = True
+                mid = run[len(run) // 2]
+                frac = (len(run) // 2) / (len(run) - 1)
+                expect = lo_v + (hi_v - lo_v) * frac
+                assert abs(mid - expect) <= 0.02
+            i = j
+    assert saw_interior_gap
