@@ -1600,3 +1600,122 @@ def r_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ma - mb) / mb, 6).alias("rel_lift"),
         F.round((ma - mb) / F.sqrt(va + vb), 4).alias("z_stat"),
     )
+
+
+@register(
+    "r_association_rules",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    nv AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items),
+    isup AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY item
+    ),
+    psup AS (
+        SELECT a.item AS pa, b.item AS pb, CAST(count(*) AS BIGINT) AS sup_ab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    sized AS (
+        SELECT pa, pb, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b
+        FROM psup
+        JOIN isup sa ON sa.item = psup.pa
+        JOIN isup sb ON sb.item = psup.pb
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, sup_ab,
+               sup_a, sup_b FROM sized
+        UNION ALL
+        SELECT pb, pa, sup_ab, sup_b, sup_a FROM sized
+    )
+    SELECT antecedent, consequent, sup_ab,
+           {sql_round_div_e4("sup_ab", "sup_a", 4)} AS confidence,
+           {sql_round_div_e4("(sup_ab * (SELECT n FROM nv))",
+                             "(sup_a * sup_b)", 4)} AS lift
+    FROM rules
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 100
+    """,
+)
+def r_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    over co-ordered parts — the recommendation-report cousin of
+    r_copurchase_pairs: for each directional rule a -> b, confidence =
+    P(b|a) = sup_ab/sup_a and lift = N*sup_ab/(sup_a*sup_b), reported
+    as the top-100 rules by (lift, confidence) with the unique
+    (antecedent, consequent) pair as the final tie-break — both ratios
+    displayed through the exact integer HALF_UP identity
+    (round_div_e4), so the sort keys are bit-identical cross-engine
+    and the LIMIT boundary cannot flip.
+
+    Scale shape: basket items are one DISTINCT projection; pair
+    supports come from the per-order self-join (fan-out bounded by
+    order width, <= C(7,2) per TPC-H construction) plus a
+    partial-combining aggregate; item supports join back on the item
+    key (corpus-growing side, so NO hard broadcast — plain
+    AQE-splittable shuffles); the basket total N is one driver-side
+    scalar (the d_pagerank count precedent). The final top-100 is
+    TakeOrdered — per-partition partial top-k, no global sort
+    materialization. Numerators ride decimals: sup_ab * N can pass
+    int64 at warehouse scale and Spark's long would wrap silently.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = items.select("ok").distinct().count()
+    a = items.alias("a")
+    b = items.alias("b")
+    psup = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("pa"), F.col("b.item").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+    )
+    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("sup"))
+    sized = (
+        psup.join(isup.select(F.col("item").alias("pa"), F.col("sup").alias("sup_a")), "pa")
+        .join(isup.select(F.col("item").alias("pb"), F.col("sup").alias("sup_b")), "pb")
+        .select("pa", "pb", "sup_ab", "sup_a", "sup_b")
+    )
+    rules = sized.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "sup_ab",
+        "sup_a",
+        "sup_b",
+    ).unionByName(
+        sized.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "sup_ab",
+            F.col("sup_b").alias("sup_a"),
+            F.col("sup_a").alias("sup_b"),
+        )
+    )
+    dec = "decimal(38,0)"
+    out = rules.select(
+        "antecedent",
+        "consequent",
+        "sup_ab",
+        round_div_e4(
+            F.col("sup_ab").cast(dec), F.col("sup_a").cast(dec), 4
+        ).alias("confidence"),
+        round_div_e4(
+            (F.col("sup_ab") * F.lit(n_orders)).cast(dec),
+            (F.col("sup_a") * F.col("sup_b")).cast(dec),
+            4,
+        ).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("lift").desc(),
+        F.col("confidence").desc(),
+        "antecedent",
+        "consequent",
+    ).limit(100)
