@@ -1755,20 +1755,10 @@ def d_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-keys. Every stage is a join or aggregate: no windows, no
     driver traffic, nothing whole-group.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    from .reports import basket_items, co_order_part_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    pairs = co_order_part_pairs(basket_items(li)).select("u", "v").distinct()
     return triangle_participation(pairs).select(
         F.col("node").alias("part_id"), "n_tri"
     )

@@ -1185,6 +1185,27 @@ def r_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_items(li: DataFrame) -> DataFrame:
+    """Distinct (ok, item) basket rows from lineitem — multi-line
+    repeats of one part collapse to one basket membership."""
+    return li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+
+
+def co_order_part_pairs(items: DataFrame) -> DataFrame:
+    """One row per within-basket (u < v) part pair, from `basket_items`
+    rows — the shared basket self-join behind r_copurchase_pairs (pair
+    counts), r_association_rules (rule supports), and d_triangle_count
+    (the distinct co-purchase edge list). One definition so the basket
+    grain can never diverge between the three. Fan-out is keyed on the
+    order and bounded by (lines-per-order choose 2) — single-digit
+    squared per basket, never corpus-quadratic."""
+    a = items.select("ok", F.col("item").alias("u"))
+    b = items.select("ok", F.col("item").alias("v"))
+    return a.join(b, "ok").where(F.col("u") < F.col("v")).select("ok", "u", "v")
+
+
 @register(
     "r_copurchase_pairs",
     oracle="""
@@ -1214,13 +1235,9 @@ def r_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a-priori trick: it keeps the report the size of real signal.
     """
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
     return (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        co_order_part_pairs(basket_items(li))
+        .groupBy(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
         .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
@@ -1631,8 +1648,8 @@ def r_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT antecedent, consequent, sup_ab,
            {sql_round_div_e4("sup_ab", "sup_a", 4)} AS confidence,
-           {sql_round_div_e4("(sup_ab * (SELECT n FROM nv))",
-                             "(sup_a * sup_b)", 4)} AS lift
+           {sql_round_div_e4("(CAST(sup_ab AS HUGEINT) * (SELECT n FROM nv))",
+                             "(CAST(sup_a AS HUGEINT) * sup_b)", 4)} AS lift
     FROM rules
     ORDER BY lift DESC, confidence DESC, antecedent, consequent
     LIMIT 100
@@ -1661,21 +1678,14 @@ def r_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 at warehouse scale and Spark's long would wrap silently.
     """
     li = load(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # one materialization feeds the scalar count, both self-join sides,
+    # and the item supports (the d_triangle_count discipline — without
+    # it each consumer replays the scan + distinct)
+    items = basket_items(li).localCheckpoint()
     n_orders = items.select("ok").distinct().count()
-    a = items.alias("a")
-    b = items.alias("b")
     psup = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("pa"), F.col("b.item").alias("pb")
-        )
+        co_order_part_pairs(items)
+        .groupBy(F.col("u").alias("pa"), F.col("v").alias("pb"))
         .agg(F.count(F.lit(1)).alias("sup_ab"))
     )
     isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("sup"))
@@ -1707,9 +1717,12 @@ def r_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_div_e4(
             F.col("sup_ab").cast(dec), F.col("sup_a").cast(dec), 4
         ).alias("confidence"),
+        # cast each OPERAND before multiplying: long*long first would
+        # wrap (or throw under ANSI) at exactly the warehouse scale the
+        # decimal is there for
         round_div_e4(
-            (F.col("sup_ab") * F.lit(n_orders)).cast(dec),
-            (F.col("sup_a") * F.col("sup_b")).cast(dec),
+            F.col("sup_ab").cast(dec) * F.lit(n_orders).cast(dec),
+            F.col("sup_a").cast(dec) * F.col("sup_b").cast(dec),
             4,
         ).alias("lift"),
     )

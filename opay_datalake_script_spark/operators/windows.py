@@ -1842,7 +1842,11 @@ def e_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hr"
         ),
     )
-    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    # each chunked-carry pass forks its input into a within-chunk
+    # window and a chunk-last aggregate, so without materialization
+    # the grid explode + left join would replay up to 4x through the
+    # two stacked passes (the d_triangle_count lineage discipline)
+    joined = grid.join(hourly, ["user_id", "hr"], "left").localCheckpoint()
     fwd = with_chunked_last_nonnull(
         joined,
         "user_id",
@@ -1855,7 +1859,7 @@ def e_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = fwd.withColumn(
         "rev_hr", F.timestamp_micros(-F.unix_micros(F.col("hr")))
-    )
+    ).localCheckpoint()
     bwd = with_chunked_last_nonnull(
         rev,
         "user_id",

@@ -117,6 +117,12 @@ _RECHECK = (
     # quantized-e6 integers and gained a sha256-based DuckDB oracle
     # (rows-only -> hash evidence, same session)
     "k_multimodal_pipeline",
+    # Session-3 wave: the basket self-join consolidated into the shared
+    # basket_items/co_order_part_pairs helper (one definition for
+    # r_copurchase_pairs, r_association_rules, d_triangle_count) —
+    # hash-identical rewrite, but changed code needs a post-change row
+    # (the new ops are first-rows and need no recheck entry).
+    "r_copurchase_pairs",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately

@@ -134,7 +134,7 @@ def test_wap_failed_audit_keeps_published_version(spark):
     assert spark.read.parquet(published).count() == n_before
 
 
-def test_interpolate_linear_semantics():
+def test_interpolate_linear_semantics(spark):
     """The e_interpolate_linear oracle MIRRORS the engine's algorithm,
     so the differential hash proves parity only. Pin the interpolation
     SEMANTICS independently on sf0.001: per user, the grid starts and
@@ -146,9 +146,7 @@ def test_interpolate_linear_semantics():
         e_interpolate_linear,
     )
     from .conftest import SMOKE_SF_DIR
-    from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     pdf = (
         e_interpolate_linear(spark, SMOKE_SF_DIR)
         .toPandas()
