@@ -722,7 +722,10 @@ def h_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe (`try_`) arithmetic battery — the ANSI-mode survival
     kit for dirty feeds: try_cast of a non-numeric string -> NULL (not
     a job-killing cast error), try_divide by a zero denominator ->
-    NULL, try_element_at past the array end -> NULL. Under ANSI SQL
+    NULL, try_element_at past the array end -> NULL. (Sibling battery:
+    h_try_arithmetic covers the try_add/try_multiply OVERFLOW edges on
+    orders — the two IDs are distinct demonstrations, not a duplicate
+    registration.) Under ANSI SQL
     mode (Spark 4 default) the non-try forms THROW, so every dirty-feed
     projection at 100 TB uses these — one malformed row must not kill
     a 10k-task stage. Dialect seams: DuckDB double/0 is NULL for its
@@ -822,7 +825,10 @@ def h_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def h_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe try_* arithmetic (try_divide / try_add / try_multiply)
     — NULL instead of an error or a silent wrap, the spelling a
-    pipeline uses under spark.sql.ansi.enabled: division by a zero
+    pipeline uses under spark.sql.ansi.enabled. (Sibling battery:
+    h_try_arith covers try_cast/try_element_at on the events feed —
+    the two IDs are distinct demonstrations, not a duplicate
+    registration.) Covered edges: division by a zero
     modulus, int64 addition at the MaxValue edge (overflows — and
     try_add nulls — for every o_orderkey > 0), and multiplication by
     2^62 (overflows for any factor above 1). The oracle spells each
