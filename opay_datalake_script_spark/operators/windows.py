@@ -1887,3 +1887,71 @@ def e_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         display_2dp(F.col("vi").cast("decimal(20,0)")).alias("v_interp"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "e_session_window_native",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL '45 minutes'
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL '45 minutes' AS s_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_sum_e4_2dp("value")} AS v_sum
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def e_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE batch `session_window` aggregation — gap-merged
+    session windows as a first-class GROUP BY key, the same construct
+    the streaming jobs use (i_session) applied to a bounded frame.
+    Demonstration twin of e_sessionize_batch: THAT op is the
+    production path (chunked island arithmetic, celebrity-immune);
+    this one exercises the engine API a Spark user reaches for first,
+    with its exact native semantics pinned cross-engine — probed
+    before registering: a gap of EXACTLY 45 minutes between
+    consecutive events MERGES (the break is strictly greater-than;
+    the half-open [start, end) window only excludes events AT the end
+    bound from re-using it as a start), and session end = last event
+    + gap, not last event. The oracle spells those semantics with the
+    classic lag/cumsum island formula under a (ts, event_id) total
+    order — the tie-break cannot flip session assignment because
+    equal timestamps have zero gap and always merge.
+
+    Scale shape: one user-keyed shuffle; Spark expands each row with
+    its provisional [ts, ts+gap) window map-side and merges
+    overlapping windows inside the sort-based aggregation, so memory
+    is bounded by a session's row count, not the user's. A celebrity
+    user still sorts in one task (the documented window-demonstration
+    trade — e_sessionize_batch is the engineered-out form).
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "45 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_e4_2dp(F.col("value")).alias("v_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n_events",
+            "v_sum",
+        )
+    )
