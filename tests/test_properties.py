@@ -2823,3 +2823,32 @@ def test_triangle_participation_matches_brute_force(spark, raw):
         for r in triangle_participation(pairs).collect()
     }
     assert got == expected
+
+
+def test_session_window_native_boundary_semantics(spark):
+    """Pins the probed native session_window semantics the
+    e_session_window_native oracle mirrors: an exactly-gap-wide
+    interval MERGES (strictly-greater break), one second past the gap
+    SPLITS, and the session end is last event + gap. If a Spark
+    upgrade ever flips the boundary rule, this fails before the
+    differential suite starts mismatching wholesale."""
+    rows = [
+        (1, T0), (1, T0 + dt.timedelta(minutes=45)),
+        (2, T0), (2, T0 + dt.timedelta(minutes=45, seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["session_window"]["start"]): r
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "45 minutes")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # exactly 45 min apart -> ONE merged session ending at last + gap
+    merged = out[(1, T0)]
+    assert merged["n"] == 2
+    assert merged["session_window"]["end"] == T0 + dt.timedelta(minutes=90)
+    # 45 min 1 s apart -> TWO sessions
+    assert out[(2, T0)]["n"] == 1
+    assert (2, T0 + dt.timedelta(minutes=45, seconds=1)) in out
