@@ -526,3 +526,63 @@ def j_embedding_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(score_batches, out_schema)
+
+
+@register(
+    "j_grouped_map_arrow",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY CAST(round(c_acctbal * 10000, 0) AS BIGINT), c_custkey
+           ) AS BIGINT) AS rnk,
+           CAST(round(c_acctbal * 10000, 0) AS BIGINT)
+               - min(CAST(round(c_acctbal * 10000, 0) AS BIGINT)) OVER (
+                   PARTITION BY c_mktsegment
+               ) AS delta_e4
+    FROM customer
+    """,
+)
+def j_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE grouped map (Spark 4 `applyInArrow`): one
+    pyarrow.Table per group in, one out — the applyInPandas sibling
+    (j_grouped_map) minus the pandas conversion, for group logic that
+    is itself columnar or needs exact integer arithmetic that pandas'
+    float coercion would corrupt. Here each market segment is ranked
+    by (e4 balance, custkey) and measured as delta from the segment
+    minimum — ALL integer ops (the half-away-from-zero e4
+    quantization is numpy floor(x+0.5), never np.rint's banker's
+    rounding, matching round() in both engines' SQL), so the output
+    is bit-exact regardless of worker or batch layout.
+
+    Same whole-group-per-worker adjudication as j_grouped_map: the
+    grouped-map API ships each group to one Python worker BY CONTRACT
+    — that is its semantics, demonstrated over the 5 bounded market
+    segments; a corpus-keyed rank rides grouped_row_number or the
+    chunked window family instead."""
+    import numpy as np
+    import pyarrow as pa
+
+    def rank_delta(table: "pa.Table") -> "pa.Table":
+        bal = table.column("c_acctbal").to_numpy(zero_copy_only=False)
+        key = table.column("c_custkey").to_numpy(zero_copy_only=False)
+        e4b = np.where(
+            bal >= 0, np.floor(bal * 10000 + 0.5), np.ceil(bal * 10000 - 0.5)
+        ).astype("int64")
+        order = np.lexsort((key, e4b))
+        rnk = np.empty(len(key), dtype="int64")
+        rnk[order] = np.arange(1, len(key) + 1)
+        return pa.table(
+            {
+                "c_custkey": pa.array(key, type=pa.int64()),
+                "c_mktsegment": table.column("c_mktsegment"),
+                "rnk": pa.array(rnk, type=pa.int64()),
+                "delta_e4": pa.array(e4b - e4b.min(), type=pa.int64()),
+            }
+        )
+
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInArrow(
+        rank_delta,
+        schema="c_custkey long, c_mktsegment string, rnk long, delta_e4 long",
+    )
