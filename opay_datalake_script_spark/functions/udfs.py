@@ -25,6 +25,30 @@ from ..registry import register
 from ..sources.io import load
 
 
+def _np_half_away_int(x):
+    """Half-away-from-zero integer quantization of a PRE-SCALED float64
+    array (1D or 2D) — the numpy spelling of SQL round(): np.rint is
+    banker's (half-to-even) and would diverge from DuckDB/Spark at
+    every .5 boundary. ONE definition for every worker-side quantizer
+    in this module (the basket-pairs consolidation lesson: a rounding
+    fix applied to one of three hand-rolled copies silently diverges).
+    Loud on NaN: a null/NaN input would otherwise pass through
+    `x >= 0` as False, ceil(NaN) as NaN, and `.astype('int64')` as
+    platform-defined garbage (INT64_MIN on most) — an arbitrary value
+    shipped silently where the SQL oracle ranks NULL apart."""
+    import numpy as np
+
+    if np.isnan(x).any():
+        raise ValueError(
+            "NaN/null reached half-away-from-zero quantization — guard "
+            "or filter nulls before the worker, as the oracle's NULL "
+            "semantics cannot be reproduced by an int64 cast"
+        )
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        "int64"
+    )
+
+
 @F.pandas_udf(T.DoubleType())
 def _tiered_fee(total: pd.Series) -> pd.Series:
     """Tiered transaction fee: 1% below 10k, then 50 + 0.5%, capped 2k."""
@@ -96,9 +120,7 @@ def _weighted_mean(price: pd.Series, weight: pd.Series) -> float:
     import numpy as np
 
     p = price.to_numpy(dtype="float64")
-    v4 = np.where(p >= 0, np.floor(p * 10000 + 0.5), np.ceil(p * 10000 - 0.5)).astype(
-        "int64"
-    )
+    v4 = _np_half_away_int(p * 10000)
     w = weight.to_numpy(dtype="float64").astype("int64")
     prod = v4 * w
     chunk = 10_000_000
@@ -504,9 +526,7 @@ def j_embedding_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             # HALF-AWAY-FROM-ZERO, not np.rint: rint rounds half-to-even
             # (banker's), while DuckDB/Spark round() rounds half away from
             # zero — the recorded k_multimodal_decode gotcha, now in numpy.
-            e_int = np.where(xe >= 0, np.floor(xe + 0.5), np.ceil(xe - 0.5)).astype(
-                np.int64
-            )
+            e_int = _np_half_away_int(xe)
             s = e_int @ w_int  # exact int64 matvec
             # exact half-away 6-dp display from the INTEGER score:
             # round(s/1e9, 6) == sign(s)*((2|s|+1000)//2000)/1e6 — never
@@ -566,9 +586,7 @@ def j_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rank_delta(table: "pa.Table") -> "pa.Table":
         bal = table.column("c_acctbal").to_numpy(zero_copy_only=False)
         key = table.column("c_custkey").to_numpy(zero_copy_only=False)
-        e4b = np.where(
-            bal >= 0, np.floor(bal * 10000 + 0.5), np.ceil(bal * 10000 - 0.5)
-        ).astype("int64")
+        e4b = _np_half_away_int(bal * 10000)
         order = np.lexsort((key, e4b))
         rnk = np.empty(len(key), dtype="int64")
         rnk[order] = np.arange(1, len(key) + 1)

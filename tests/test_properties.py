@@ -2852,3 +2852,22 @@ def test_session_window_native_boundary_semantics(spark):
     # 45 min 1 s apart -> TWO sessions
     assert out[(2, T0)]["n"] == 1
     assert (2, T0 + dt.timedelta(minutes=45, seconds=1)) in out
+
+
+def test_np_half_away_int_guard_and_boundaries():
+    """The shared worker-side quantizer: half-AWAY rounding at exact .5
+    boundaries for both signs (np.rint would give half-to-even), 2D
+    arrays accepted (the embedding matvec site), and a LOUD failure on
+    NaN — the silent platform-defined int64 cast is the latent bug the
+    helper exists to prevent."""
+    import numpy as np
+    import pytest as _pytest
+
+    from opay_datalake_script_spark.functions.udfs import _np_half_away_int
+
+    x = np.array([2.5, 3.5, -2.5, -3.5, 0.0, 1.49999, -1.49999])
+    assert _np_half_away_int(x).tolist() == [3, 4, -3, -4, 0, 1, -1]
+    m = _np_half_away_int(np.array([[0.5, -0.5], [1.5, -1.5]]))
+    assert m.tolist() == [[1, -1], [2, -2]]
+    with _pytest.raises(ValueError, match="NaN"):
+        _np_half_away_int(np.array([1.0, float("nan")]))
