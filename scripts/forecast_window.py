@@ -40,6 +40,39 @@ def main() -> None:
         suffix = f"r{rnd}" if rnd is not None else "-"
         print(f"{rank:3d}  {tier:21s}  {name:32s}  {suffix}")
 
+    # Registration-budget line (VERDICT r11 item 6): every new first-row
+    # sorts into tier (2,0), AHEAD of the whole stale-refresh tier, so it
+    # displaces the LAST windowed stale slot. Make that cost explicit so
+    # a session sees it BEFORE registering, not in next round's verdict.
+    windowed = list(ordered)[:window]
+    stale_rounds = []
+    priority = 0
+    for name in windowed:
+        hit = history.get(name)
+        major, _minor, _tier = registry._evidence_tier(
+            name, hit, next_wave_active
+        )
+        if major < 3:
+            priority += 1
+        else:
+            stale_rounds.append(hit[0])
+    if stale_rounds:
+        oldest = min(stale_rounds)
+        budget_oldest = sum(1 for r in stale_rounds if r > oldest)
+        last_name = windowed[-1]
+        last_rnd = history[last_name][0]
+        print(
+            f"# budget: {priority} priority slots, {len(stale_rounds)} "
+            f"stale slots (oldest r{oldest}); next first-row displaces "
+            f"{last_name} (r{last_rnd}); {budget_oldest} first-row "
+            f"slots before an r{oldest} row defers"
+        )
+    else:
+        print(
+            f"# budget: {priority} priority slots fill the window; any "
+            "first-row registration defers another priority entry"
+        )
+
 
 if __name__ == "__main__":
     main()
