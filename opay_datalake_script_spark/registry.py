@@ -64,65 +64,20 @@ _QUERY_MODULES = (
 # lesson: the 13 round-7 re-proofs, all green in CORRECTNESS_r07, were
 # still sorting into tier 1 and would have displaced 7 of the 8 spilled
 # first-rows).
-_RECHECK_PROOF_ROUND = 11
+_RECHECK_PROOF_ROUND = 12
 _RECHECK = (
-    # Round-11 wave (VERDICT r10 item 1): capped_bucket_pairs — the
-    # star+salted-chain skew guard shared by ALL banding families —
-    # replaced its whole-bucket windows (count/min OVER + per-salt
-    # chain sort) with an AQE-splittable groupBy+join sizing and
-    # md5-prefix-CHUNKED chain ordering, so a degenerate mega-bucket
-    # can no longer pin one sort task (probed at 1M wide: max task
-    # 16.2s -> 1.4s). Outputs are bit-identical below 16384-wide
-    # buckets (fixtures never reach it), verified hash-green at
-    # sf0.01+sf0.001 with determinism double-runs — but every consumer
-    # of the rewritten helper needs a post-change driver row. (The r10
-    # wave — k_tokenize_to_ids — landed green in CORRECTNESS_r10 and
-    # is cleared.)
-    "k_jaccard_pairs",
-    "k_near_dedup_lsh",
-    "k_lsh_band_candidates",
-    "k_ngram_jaccard",
-    "k_containment_dedup",
-    "k_minhash_jaccard_estimate",
-    "k_edit_distance_pairs",
-    "k_winnow_candidates",
-    "k_image_ahash_dedup",
-    "k_incremental_dedup",
-    "k_corpus_build_pipeline",
-    # + the three exact-keeper windows converted to groupBy + null-safe
-    # join back (same degenerate-family rationale, same round)
-    "k_corpus_dedup_pipeline",
-    "k_quality_filter_pipeline",
-    # + the few-giant-groups rank windows: d_percentile_disc and the
-    # sampling mixtures now ride grouped_row_number (range-partitioned
-    # global rank, no whole-group sort task — WindowGroupLimit cannot
-    # bound a join-derived n_keep, and the interleave needs every
-    # row's rank); d_kmv_distinct_sketch's nd moved out of the rank
-    # window so WindowGroupLimit engages
-    "d_percentile_disc",
-    "d_kmv_distinct_sketch",
-    "k_domain_mixture",
-    "k_interleave_sources",
-    "k_temperature_mixture",
-    # + keep-best's top-1-per-component window -> max_by + join back
-    # (a mega dup-family component would pin one sort task)
-    "k_dedup_keep_best",
-    # Session-2 wave: the IVF pair swapped Spark ML's seeded KMeans for
-    # the deterministic spherical Lloyd fit and BOTH became
-    # oracle-checked (rows-only -> hash evidence); changed code +
-    # brand-new oracles need post-change driver rows.
-    "k_ann_ivf",
-    "k_ann_ivf_stats",
-    # + the multimodal pipeline's stand-in features serialize as
-    # quantized-e6 integers and gained a sha256-based DuckDB oracle
-    # (rows-only -> hash evidence, same session)
-    "k_multimodal_pipeline",
-    # Session-3 wave: the basket self-join consolidated into the shared
-    # basket_items/co_order_part_pairs helper (one definition for
-    # r_copurchase_pairs, r_association_rules, d_triangle_count) —
-    # hash-identical rewrite, but changed code needs a post-change row
-    # (the new ops are first-rows and need no recheck entry).
-    "r_copurchase_pairs",
+    # Round-12 wave (VERDICT r11 item 5): t_q02's per-part keeper — the
+    # LAST min-OVER-partition window — converted to groupBy-min +
+    # join-back after measuring that the synthetic fixtures violate the
+    # TPC-H 4-suppliers/part construction (max 52 at sf0.1, growing
+    # with SF). Catalyst folds the mn-equality into the join, so the
+    # keeper runs as a composite-key (s_acctbal, p_partkey) equi-join
+    # (pinned in test_plans under both broadcast regimes). Hash-green
+    # at sf0.01+sf0.001 with a determinism double-run. t_q02 was
+    # already in the r12 window (r4 stale slot), so this recheck
+    # displaces nothing. (The whole 25-ID r11 wave landed green in
+    # CORRECTNESS_r11 and is cleared — see git for the list.)
+    "t_q02_min_cost_supplier",
 )
 
 # New IDs registered THIS round whose first driver row is deliberately
@@ -130,15 +85,11 @@ _RECHECK = (
 # They order after every plain never-checked entry but before the
 # stale-evidence tier — deferral yields slots to OTHER first-rows and
 # to active rechecks, NOT to stale-refresh entries (tier (2,1) still
-# sorts before (3,*)). Round 11: the two-source corpus dedup pipeline
-# (MinHash bands ∪ winnow fingerprints -> Jaccard-or-containment
-# verify). With no other first-rows this round the defer is
-# ordering-neutral: the new ID takes the slot right after the 11
-# rechecks, leaving ~38 slots for the r3/r4 stale tail (see
-# scripts/forecast_window.py). The r10 defers (capped tokenizer +
-# winnow pair) all landed green first rows in CORRECTNESS_r10;
-# k_winnow_candidates re-enters via _RECHECK this round instead.
-_DEFER_FIRST_ROW = frozenset({"k_corpus_dedup_winnow"})
+# sorts before (3,*)). Empty in round 12: the r11 defer
+# (k_corpus_dedup_winnow) landed its green first row in
+# CORRECTNESS_r11, and r12 registers new IDs only within the ≤3
+# budget printed by scripts/forecast_window.py.
+_DEFER_FIRST_ROW: frozenset[str] = frozenset()
 
 # Deferred-recheck wave: IDs whose changed code is locally verified but
 # whose driver re-proof waits one round because a higher-priority wave

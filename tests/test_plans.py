@@ -1425,3 +1425,97 @@ def test_lateral_subquery_decorrelates(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q2_keeper_is_composite_key_join_not_window(spark):
+    """VERDICT r11 item 5 — the LAST keeper window is gone. t_q02's
+    per-part min-supplier selection ran as min(s_acctbal) OVER
+    (PARTITION BY p_partkey); real TPC-H bounds that partition at 4
+    suppliers/part, but the synthetic fixtures DON'T follow the
+    partsupp construction (measured max distinct suppliers/part: 10 at
+    sf0.001, 41 at sf0.01, 52 at sf0.1 — growing with SF), so the
+    window was the same few-giant-groups sort-task cliff the r11
+    keeper conversions removed elsewhere. The groupBy-min + join-back
+    rewrite lets Catalyst fold `s_acctbal = mn` INTO the join
+    condition, so the keeper executes as an equi-join keyed on
+    (normalized s_acctbal, p_partkey) — finer than the window's
+    p_partkey partitioning: a mega-part's suppliers spread across
+    tasks by balance. Pin, in BOTH broadcast regimes: no Window, no
+    cartesian/nested-loop, and the keeper join carries the composite
+    key."""
+    import re
+
+    def check(plan):
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        keeper = [
+            ln
+            for ln in plan.splitlines()
+            if re.search(r"(SortMergeJoin|BroadcastHashJoin) \[", ln)
+            and "s_acctbal" in ln
+            and "p_partkey" in ln
+        ]
+        assert keeper, f"no composite-key keeper join found:\n{plan}"
+
+    df = QUERIES["t_q02_min_cost_supplier"](spark, SF_DIR)
+    check(_plan_str(df))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        check(_plan_str(QUERIES["t_q02_min_cost_supplier"](spark, SF_DIR)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_weighted_median_window_input_is_value_grid(spark):
+    """VERDICT r11 item 5 — d_weighted_median's surviving window is
+    value-domain-bounded BY PLAN SHAPE, not by hope: the cumulative
+    window must consume the per-(group, value) pre-aggregate, never
+    the raw lineitem stream. In the executed-plan tree (children print
+    BELOW parents), every Window node must have a HashAggregate keyed
+    on (g, val) strictly below it, so the window input is at most
+    |value domain| rows per group no matter how many fact rows exist.
+    If someone 'simplifies' the pre-agg away, the window would sort
+    the full fact stream in |groups| tasks and this pin fails."""
+    plan = _plan_str(QUERIES["d_weighted_median"](spark, SF_DIR))
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert win_idx, plan
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[g#" in ln and "val#" in ln
+    ]
+    assert agg_idx, f"no (g, val) pre-aggregate in plan:\n{plan}"
+    assert all(any(a > w for a in agg_idx) for w in win_idx), (
+        f"window consumes a non-preaggregated input:\n{plan}"
+    )
+
+
+def test_ltv_cohort_window_input_is_age_grid(spark):
+    """VERDICT r11 item 5 — r_ltv_cohort's cumulative-revenue window
+    partitions on cohort_day ordered by day_age; its width bound is
+    the corpus day-span (the (cohort_day x day_age) grid), which only
+    holds while the window consumes the per-(cohort_day, day_age)
+    aggregate. Same tree-order pin as the weighted median: every
+    Window has a HashAggregate keyed on (cohort_day, day_age) strictly
+    below it — a million-user cohort still feeds the window at most
+    `horizon` rows."""
+    plan = _plan_str(QUERIES["r_ltv_cohort"](spark, SF_DIR))
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert win_idx, plan
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate(keys=[cohort_day#" in ln and "day_age#" in ln
+    ]
+    assert agg_idx, f"no (cohort_day, day_age) pre-aggregate:\n{plan}"
+    assert all(any(a > w for a in agg_idx) for w in win_idx), (
+        f"cumulative window consumes a non-preaggregated input:\n{plan}"
+    )

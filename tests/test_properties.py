@@ -2871,3 +2871,62 @@ def test_np_half_away_int_guard_and_boundaries():
     assert m.tolist() == [[1, -1], [2, -2]]
     with _pytest.raises(ValueError, match="NaN"):
         _np_half_away_int(np.array([1.0, float("nan")]))
+
+
+def test_attribution_degenerate_bot_user_window_grain(spark, tmp_path):
+    """VERDICT r11 item 5 — r_attribution_linear's surviving window
+    partitions on pid (purchase id); its width equals the purchase's
+    matched-click fan-in, which is bounded by ONE USER'S 24 h click
+    volume, not by any corpus property. Pin that adjudication on the
+    degenerate shape it's about: a bot user with one purchase and 500
+    clicks inside the trailing 24 h (plus controls outside the window
+    and on another user).
+
+    Invariants:
+    1. Output grain IS (purchase, click): the bot purchase yields
+       exactly its 500 in-window clicks, the stale click (>24 h
+       before) and the future click are excluded.
+    2. Money conserves per purchase under the degenerate fan-in: the
+       500 integer shares sum back to the purchase's exact e4 value,
+       remainder on the most recent touch.
+    3. The window partitions by pid in the plan (a per-user or
+       unpartitioned window would make the bot's OTHER activity, or
+       the corpus, the width bound instead).
+    """
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    base_us = 1_705_312_800_000_000  # 2024-01-15T10:00:00Z
+    hour_us = 3_600_000_000
+    rows = []
+    # bot: 500 clicks in the 24h before the purchase at base_us
+    for i in range(500):
+        rows.append((1000 + i, base_us - (i % 23 + 1) * hour_us - i, 1, "click"))
+    rows.append((1, base_us, 1, "purchase"))
+    # controls: a click 25h before (stale) and one after the purchase
+    rows.append((2000, base_us - 25 * hour_us, 1, "click"))
+    rows.append((2001, base_us + hour_us, 1, "click"))
+    # a second user: 1 purchase, 2 in-window clicks
+    rows.append((3000, base_us - hour_us, 2, "click"))
+    rows.append((3001, base_us - 2 * hour_us, 2, "click"))
+    rows.append((3, base_us, 2, "purchase"))
+    sf = tmp_path / "sf_attr"
+    sf.mkdir()
+    _write_interval_events(str(sf / "events.parquet"), rows)
+
+    df = QUERIES["r_attribution_linear"](spark, str(sf))
+    pdf = df.toPandas()
+    by_pid = pdf.groupby("purchase_event_id")
+    assert set(pdf["purchase_event_id"]) == {1, 3}
+    assert len(by_pid.get_group(1)) == 500
+    assert len(by_pid.get_group(3)) == 2
+    # exclusions: stale + future clicks never appear
+    assert not set(pdf["click_event_id"]) & {2000, 2001}
+    # conservation: integer shares sum to the exact e4 purchase value
+    for pid, grp in by_pid:
+        assert grp["attributed_e4"].sum() == 10000, (pid, grp)
+        assert (grp["n_touches"] == len(grp)).all()
+    # plan: the ranking window partitions by pid
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines and all("pid#" in ln for ln in win_lines), win_lines
