@@ -66,8 +66,8 @@ _QUERY_MODULES = (
 # first-rows).
 _RECHECK_PROOF_ROUND = 12
 _RECHECK = (
-    # Round-12 wave (VERDICT r11 item 5): t_q02's per-part keeper — the
-    # LAST min-OVER-partition window — converted to groupBy-min +
+    # Round-12 wave (VERDICT r11 item 5): t_q02's per-part keeper —
+    # the last UNBOUNDED-width keeper window — converted to groupBy-min +
     # join-back after measuring that the synthetic fixtures violate the
     # TPC-H 4-suppliers/part construction (max 52 at sf0.1, growing
     # with SF). Catalyst folds the mn-equality into the join, so the

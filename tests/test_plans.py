@@ -1432,7 +1432,10 @@ def _plan_str(df):
 
 
 def test_q2_keeper_is_composite_key_join_not_window(spark):
-    """VERDICT r11 item 5 — the LAST keeper window is gone. t_q02's
+    """VERDICT r11 item 5 — the last UNBOUNDED-width keeper window is
+    gone (q17/q21 keep theirs: their partition widths are per-part /
+    per-order line counts, measured FLAT across 100x SF — 48/49/53 and
+    12/13/17 at sf0.001/0.01/0.1 — where q2's supplier sets grew). t_q02's
     per-part min-supplier selection ran as min(s_acctbal) OVER
     (PARTITION BY p_partkey); real TPC-H bounds that partition at 4
     suppliers/part, but the synthetic fixtures DON'T follow the
