@@ -36,6 +36,12 @@ BENCH_QUERIES = [
     "t_q09_product_profit",
     "t_q18_large_volume_customer",
     "t_q21_last_shipper",
+    # data-dominated LLM-pipeline entry (BASELINE.md §2e, round 12):
+    # MinHash-LSH near-dedup over documents — the one headline query
+    # whose runtime moves with the banding/dedup plan work rather than
+    # Spark's fixed overheads (8 of the 15 entries above are sub-50 ms
+    # scheduler-floor readings at sf0.1; see §2d).
+    "k_near_dedup_lsh",
 ]
 
 RUNS = 5
