@@ -1522,3 +1522,34 @@ def test_ltv_cohort_window_input_is_age_grid(spark):
     assert all(any(a > w for a in agg_idx) for w in win_idx), (
         f"cumulative window consumes a non-preaggregated input:\n{plan}"
     )
+
+
+def test_fixture_width_bounds_canary(spark):
+    """Round-12 lesson, made a tripwire: q2's 'bounded by TPC-H
+    construction' adjudication was WRONG for the synthetic fixtures
+    (suppliers/part measured 52 at sf0.1, growing with SF), and only a
+    measurement caught it. The q17/q21 windows stay adjudicated on
+    measured-flat fixture widths (lineitems/part 48/49/53,
+    lineitems/order 12/13/17 across sf0.001/0.01/0.1). This canary
+    fails if a future fixture generation breaks those widths past the
+    adjudication margin — at which point q17/q21 need the q2 treatment
+    (conversion or re-adjudication), not silent trust."""
+    from pyspark.sql import functions as F
+
+    from opay_datalake_script_spark.sources.io import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    part_w = (
+        li.groupBy("l_partkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    order_w = (
+        li.groupBy("l_orderkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert part_w <= 96, (
+        f"lineitems/part max {part_w}: q17's per-part window adjudication"
+        " is void — convert it like t_q02 (r12)"
+    )
+    assert order_w <= 32, (
+        f"lineitems/order max {order_w}: q21's per-order window"
+        " adjudication is void — convert it like t_q02 (r12)"
+    )
