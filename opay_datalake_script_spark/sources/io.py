@@ -1344,3 +1344,65 @@ def a_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .load(out)
     )
+
+
+@register(
+    "a_scan_binaryfile",
+    oracle="""
+    SELECT 'd' || doc_id || '.bin' AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           md5(hex(encode(text))) AS content_md5
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def a_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — Spark's native ingest for per-asset file
+    trees (image/audio dirs), the scan half of the multimodal story
+    (k_multimodal_* process binary COLUMNS; this is how those columns
+    get INTO a DataFrame from a file layout in the first place).
+
+    The op is a self-contained round trip so the oracle needs no
+    filesystem paths: a bounded, deterministic asset tree (one .bin
+    file per document, doc_id < 100 — present at every fixture SF) is
+    materialized EXECUTOR-SIDE via mapInPandas (each partition writes
+    its own documents; no driver loop, no collect), then read back with
+    `spark.read.format("binaryFile")` + pathGlobFilter. The check
+    hashes the raw bytes end-to-end: md5(hex(content)) on the read-back
+    bytes must equal DuckDB's md5(hex(encode(text))) on the documents
+    view — both engines produce UPPERCASE hex, so the digests agree
+    bit-for-bit (probed before registration).
+
+    Scale notes: binaryFile parallelizes BY FILE (each file one row,
+    split across tasks up to maxPartitionBytes), pushes pathGlobFilter
+    and partition-dir pruning like any file source, and hard-caps
+    single files at 2 GiB (content is one row's column) — chunk bigger
+    assets upstream. The executor-side writer targets shared storage on
+    a real cluster (object store / DBFS); local scratch here. Cited
+    behavior: Spark SQL binary-file data source docs (public)."""
+    out = scratch_dir("binfiles", f"docs_{fixture_tag(sf_dir)}")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+
+    def write_assets(batches):
+        for pdf in batches:
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                tmp = os.path.join(out, f".d{did}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(txt.encode("utf-8"))
+                os.replace(tmp, os.path.join(out, f"d{did}.bin"))
+            yield pdf[["doc_id"]].iloc[0:0]
+
+    docs.mapInPandas(write_assets, "doc_id long").count()  # force writes
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length"),
+            F.md5(F.hex(F.col("content"))).alias("content_md5"),
+        )
+    )
