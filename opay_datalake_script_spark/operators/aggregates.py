@@ -756,6 +756,82 @@ def d_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WMEDIAN_BAND_E4 = 100_000  # $10 bands in exact ten-thousandths
+
+
+@register(
+    "d_weighted_median_banded",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice * 10000, 0) AS BIGINT)
+                   // {_WMEDIAN_BAND_E4} AS band,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT g, band, CAST(sum(wt) AS BIGINT) AS w FROM v GROUP BY g, band
+    ),
+    cum AS (
+        SELECT g, band, w,
+               CAST(sum(w) OVER (PARTITION BY g ORDER BY band) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+        FROM agg
+    )
+    SELECT g AS l_returnflag,
+           min(band) * {_WMEDIAN_BAND_E4} AS wmedian_band_lo_e4,
+           min(band) * {_WMEDIAN_BAND_E4} + {_WMEDIAN_BAND_E4} - 1
+               AS wmedian_band_hi_e4,
+           min(tw) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY g
+    """,
+)
+def d_weighted_median_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ESCAPE HATCH d_weighted_median's docstring promises:
+    when the value domain is unbounded (so the exact per-(group, value)
+    grid no longer bounds the cumulative window's input), band values
+    into fixed-width buckets FIRST — the k_doc_len_histogram bucket
+    rule — and run the identical cumulative-threshold argmin on the
+    bands. The window input is then at most |value range| / band-width
+    rows per group (here $10 bands over list prices: ~10k bands)
+    REGARDLESS of how many distinct values the corpus holds, and the
+    answer is the band [lo, hi] containing the true weighted median —
+    error bounded by the band width by construction, which the
+    property test pins against the exact op. All arithmetic is exact
+    integer e4 (values are non-negative so `div` == floor on both
+    engines); deterministic, hence oracle-checked rather than
+    rows-only."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.expr(
+            f"CAST(round(l_extendedprice * 10000, 0) AS BIGINT) div {_WMEDIAN_BAND_E4}"
+        ).alias("band"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    agg = v.groupBy("g", "band").agg(F.sum("wt").alias("w"))
+    wg = W.partitionBy("g")
+    cum = agg.select(
+        "g",
+        "band",
+        F.sum("w").over(wg.orderBy("band")).alias("cw"),
+        F.sum("w")
+        .over(wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("tw"),
+    )
+    lo = F.min("band") * _WMEDIAN_BAND_E4
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("g").alias("l_returnflag"))
+        .agg(
+            lo.alias("wmedian_band_lo_e4"),
+            (lo + (_WMEDIAN_BAND_E4 - 1)).alias("wmedian_band_hi_e4"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
 @register(
     "d_percentile_disc",
     oracle="""

@@ -2930,3 +2930,33 @@ def test_attribution_degenerate_bot_user_window_grain(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
     assert win_lines and all("pid#" in ln for ln in win_lines), win_lines
+
+
+def test_weighted_median_banded_contains_exact(spark):
+    """d_weighted_median_banded is the documented 100 TB escape hatch
+    for unbounded value domains; its guarantee is CONTAINMENT, not
+    approximation-by-luck: banded cumulative weight at band B equals
+    exact cumulative weight at B's last value, so the smallest band
+    crossing the half-threshold is exactly the band holding the true
+    weighted median. Pin that (plus identical total weights) against
+    the exact op on the real fixture."""
+    from opay_datalake_script_spark.registry import QUERIES, load_all_queries
+
+    from .conftest import SF_DIR
+
+    load_all_queries()
+    exact = {
+        r["l_returnflag"]: r
+        for r in QUERIES["d_weighted_median"](spark, SF_DIR).collect()
+    }
+    banded = {
+        r["l_returnflag"]: r
+        for r in QUERIES["d_weighted_median_banded"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(banded) and exact
+    for g, e in exact.items():
+        b = banded[g]
+        assert (
+            b["wmedian_band_lo_e4"] <= e["wmedian_e4"] <= b["wmedian_band_hi_e4"]
+        ), (g, e.asDict(), b.asDict())
+        assert e["total_weight"] == b["total_weight"], g
