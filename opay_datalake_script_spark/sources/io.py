@@ -14,6 +14,7 @@ Scratch output for round-trip queries goes under ``<repo>/.scratch``
 
 from __future__ import annotations
 
+import glob
 import os
 import uuid
 
@@ -1380,6 +1381,13 @@ def a_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real cluster (object store / DBFS); local scratch here. Cited
     behavior: Spark SQL binary-file data source docs (public)."""
     out = scratch_dir("binfiles", f"docs_{fixture_tag(sf_dir)}")
+    # Clear stale assets first: if the documents fixture is regenerated so
+    # a doc_id < 100 disappears, a surviving d*.bin would re-enter via the
+    # glob read-back and fail the oracle diff as a confusing extra row
+    # (ADVICE r12). Driver-side unlink is fine — the landing dir is the
+    # job's own scratch, and this runs before any executor write starts.
+    for stale in glob.glob(os.path.join(out, "*.bin")):
+        os.unlink(stale)
     docs = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 100)
@@ -1387,9 +1395,19 @@ def a_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def write_assets(batches):
+        # Temp name includes the task ATTEMPT id: a speculative or retried
+        # attempt of the same partition must not open the same tmp path
+        # concurrently ('wb' would interleave, and os.replace would then
+        # publish a corrupt file). Each attempt writes its own tmp; the
+        # atomic rename makes last-publisher-wins safe because every
+        # attempt writes identical bytes (ADVICE r12).
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         for pdf in batches:
             for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                tmp = os.path.join(out, f".d{did}.tmp")
+                tmp = os.path.join(out, f".d{did}.{attempt}.tmp")
                 with open(tmp, "wb") as fh:
                     fh.write(txt.encode("utf-8"))
                 os.replace(tmp, os.path.join(out, f"d{did}.bin"))

@@ -336,3 +336,25 @@ def test_register_rejects_duplicate_ids():
     # idempotent path: re-decorating the registered function itself
     fn = QUERIES[existing]
     assert register(existing)(fn) is fn
+
+
+def test_every_registered_id_has_bounded_staleness():
+    """Freshness guardrail (VERDICT r12 item 6): every registered ID must
+    either already hold a driver row in the cumulative CORRECTNESS
+    record, or — for a registration made THIS round, which cannot have
+    one yet — sort inside the next driver window so it is guaranteed to
+    get its first row at end of round. An ID satisfying neither would
+    be registered-but-never-verifiable: invisible to the driver forever.
+    The judge previously computed this by hand each round."""
+    ordered = list(registry.load_all_queries())
+    history, _ = registry._driver_history()
+    window = 50  # the driver's per-round verification window
+    orphans = [
+        name
+        for rank, name in enumerate(ordered)
+        if name not in history and rank >= window
+    ]
+    assert not orphans, (
+        f"registered IDs with no driver evidence that also sort OUTSIDE "
+        f"the next {window}-slot driver window: {orphans}"
+    )
