@@ -48,17 +48,25 @@ FAMILIES = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--family", choices=sorted(FAMILIES))
+    ap.add_argument(
+        "--family", choices=sorted(FAMILIES) + ["all"],
+        help="'all' = every registered ID with an oracle, registry order",
+    )
+    ap.add_argument("--start", type=int, default=0,
+                    help="slice start into the --family all list (tranches)")
+    ap.add_argument("--stop", type=int, default=None)
     ap.add_argument("ids", nargs="*")
     args = ap.parse_args()
+    ordered = load_all_queries()
     ids = list(args.ids)
-    if args.family:
+    if args.family == "all":
+        ids = [n for n in ordered if n in ORACLES][args.start:args.stop] + ids
+    elif args.family:
         ids = FAMILIES[args.family] + ids
     if not ids:
         ap.error("no IDs given (use --family or positional IDs)")
 
     spark = get_spark(app_name="diff-sf-family")
-    load_all_queries()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
