@@ -353,10 +353,21 @@ def sessionize(
             F.count("*").alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e")
         )
     div = 86_400_000_000 * chunk_days
+    # Explicit null-key filter (optimization round 13, guide §2.4): the
+    # final stitch joins `lsess` with `cg` on (user_id, chunk), and both
+    # relations recompute this events subtree. Catalyst pushes the
+    # join's inferred isnotnull(chunk) below the (user_id, chunk)
+    # windows on the lsess branch but NOT below cg's user_id-grain
+    # window (chunk is not a partition key there), so the two
+    # otherwise-identical window exchanges canonicalize differently and
+    # AQE stage reuse cannot dedupe them — the events scan+shuffle ran
+    # twice. Pinning the filter here makes the branches canonically
+    # equal (one reused exchange). Result-identical: a null user_id/ts
+    # row can never survive the inner join on (user_id, chunk) anyway.
     ch = ev.select(
         "user_id", "ts", "event_id", um.alias("um"),
         _chunk_id("ts", div).alias("chunk"),
-    )
+    ).where(F.col("user_id").isNotNull() & F.col("chunk").isNotNull())
     wloc = W.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     gap = F.col("um") - F.lag("um").over(wloc)
     lsess = (
