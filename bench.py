@@ -56,6 +56,15 @@ RUNS = 5
 BUILD_INCLUSIVE_QUERIES = [
     "k_kmeans_clusters",
     "d_triangle_count",
+    # r13 (optimization round): the headline timing's repeats reuse the
+    # materialized shuffle stages of the warm run (Spark core keeps
+    # shuffle outputs alive for the DataFrame's lifetime), so for this
+    # multi-exchange query the headline number times mostly the RESULT
+    # stage (final distinct + exact-Jaccard verify + Arrow collect).
+    # A fresh DataFrame per iteration re-executes everything; tracking
+    # it here makes regressions in the candidate-generation stages
+    # visible (measured r13: ~18 s fresh vs ~4 s headline at sf0.1).
+    "k_near_dedup_lsh",
 ]
 BUILD_RUNS = 3
 

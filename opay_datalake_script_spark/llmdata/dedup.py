@@ -242,7 +242,9 @@ def exact_jaccard_scores(toks: DataFrame, cand: DataFrame, set_col: str) -> Data
     """Score candidate (doc_a, doc_b) pairs with exact set Jaccard by
     joining each side to the per-doc sets — two equi-joins keyed on
     doc_id (uniform), never an all-pairs comparison. ``toks`` must have
-    (doc_id, lang, <set_col>); output adds lang_a/lang_b/jaccard.
+    (doc_id, lang, <set_col>) where <set_col> holds DISTINCT elements
+    (set semantics — the union size is computed as |a|+|b|-|a∩b|);
+    output adds lang_a/lang_b/jaccard.
 
     Join strategy: the token-set side goes through the SIZE-GATED
     broadcast hint (plans/hints.py) — one row per DISTINCT document,
@@ -260,6 +262,7 @@ def exact_jaccard_scores(toks: DataFrame, cand: DataFrame, set_col: str) -> Data
             F.col("doc_id").alias("doc_a"),
             F.col("lang").alias("lang_a"),
             F.col(set_col).alias("_sa"),
+            F.size(set_col).alias("_na"),
         )
     )
     b = hint(
@@ -267,12 +270,20 @@ def exact_jaccard_scores(toks: DataFrame, cand: DataFrame, set_col: str) -> Data
             F.col("doc_id").alias("doc_b"),
             F.col("lang").alias("lang_b"),
             F.col(set_col).alias("_sb"),
+            F.size(set_col).alias("_nb"),
         )
     )
-    jac = (
-        F.size(F.array_intersect("_sa", "_sb")).cast("double")
-        / F.size(F.array_union("_sa", "_sb"))
-    )
+    # |a ∪ b| = |a| + |b| - |a ∩ b| exactly, because every caller passes
+    # DISTINCT-element arrays (array_distinct / distinct shingles) — so
+    # the union's hash-set build over both arrays is replaced by two
+    # per-doc set sizes computed once on the (tiny) doc side instead of
+    # once per candidate pair (optimization round 13, guide §1.2 "per-
+    # task work": array_intersect+array_union were the two dominant
+    # per-row costs of the verify stage, evaluated over millions of
+    # candidates; this halves them). Same integers -> bit-identical
+    # jaccard doubles -> identical output under the oracle hash.
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
     return (
         cand.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b", "lang_a", "lang_b", jac.alias("jaccard"))
@@ -520,8 +531,22 @@ def k_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """k=16 md5-derived MinHash signature for (doc_id, text) rows —
-    the reusable Spark-side twin of the `mh_sig` oracle CTE."""
-    toks = docs.select(
+    the reusable Spark-side twin of the `mh_sig` oracle CTE.
+
+    The pinned isnotnull(doc_id) filter is a canonical-plan anchor
+    (optimization round 13, guide §2.4/§7.2): the capped banding
+    expansion consumes this subtree from several join branches, and
+    Catalyst pushes the star join's INFERRED isnotnull(doc_id) below
+    the signature aggregation on some branches but not others (the
+    chain branch is null-safe and infers nothing) — so two otherwise
+    identical signature exchanges canonicalized differently and the
+    token explode + 16-way md5 hash pass (the one full-corpus map pass
+    of the whole dedup path) executed TWICE per run even under AQE
+    stage reuse. Filtering here makes every branch identical: one
+    ReusedExchange, one token-hash pass. Result-identical — a null
+    doc_id can never appear in a candidate pair (doc_a < doc_b and
+    least/greatest both reject nulls), and no fixture has one."""
+    toks = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(normalized_text(), " "))).alias("tok"),
     )

@@ -111,6 +111,30 @@ def test_asof_and_sessionize_chunked_shapes(spark):
     assert "windowspecdefinition(user_id" in plan and "chunk" in plan
 
 
+def test_lsh_single_token_hash_pass(spark):
+    """Optimization r13: the MinHash token-explode + 16-way md5 pass —
+    the one full-corpus map pass of the banded dedup path — must run
+    exactly ONCE per execution. Before the isnotnull(doc_id) pin in
+    minhash_signatures, the star join's inferred filter pushed below
+    one copy of the signature exchange but not below the null-safe
+    chain branch's copy, the exchanges canonicalized differently, and
+    the token-hash pass executed twice even under AQE stage reuse.
+    Pin the property on the EXECUTED (final) plan: one normalized-text
+    explode, and the signature exchange reused by the other branches."""
+    from .conftest import SMOKE_SF_DIR
+
+    df = QUERIES["k_near_dedup_lsh"](spark, SMOKE_SF_DIR)
+    df.collect()  # the final AQE plan exists only after execution
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the signature subtree's token explode is the only explode over the
+    # NORMALIZED text (the verify side splits raw text)
+    assert plan.count("explode(array_distinct(split(regexp_replace(lower(") == 1, plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_lsh_recall_against_exact_jaccard(spark):
     """SURVEY §7.4 risk 5: the banded-LSH near-dup op must cover >= 95%
     of the exact Jaccard >= 0.6 pairs. Ground truth is the UNREGISTERED
