@@ -29,12 +29,17 @@ def _mh_expr_sql(i: int) -> str:
     return f"('0x' || substr(md5({i} || ':' || tok), 1, 15))::BIGINT"
 
 
+# The WHERE doc_id IS NOT NULL below (and in _band_cand_ctes' mh_toks)
+# mirrors the canonical-plan filter pin in minhash_signatures exactly, so
+# the oracle stays a term-for-term twin even on a corpus WITH null doc_ids
+# (ADVICE r13: the fixtures have none, but a latent divergence is a trap).
 _MINHASH_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id,
                unnest(list_distinct(string_split(
                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
         FROM documents
+        WHERE doc_id IS NOT NULL
     )
     SELECT doc_id,
            {", ".join(f"min({_mh_expr_sql(i)}) AS mh{i}" for i in range(_MINHASH_K))}
@@ -163,6 +168,7 @@ def _band_cand_ctes(
                unnest(list_distinct(string_split(
                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
         FROM {src}
+        WHERE doc_id IS NOT NULL
     ),
     mh_sig AS (
         SELECT doc_id,
@@ -238,13 +244,34 @@ def k_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def exact_jaccard_scores(toks: DataFrame, cand: DataFrame, set_col: str) -> DataFrame:
+def exact_jaccard_scores(
+    toks: DataFrame,
+    cand: DataFrame,
+    set_col: str,
+    min_jaccard: float | None = None,
+    same_lang: bool = False,
+) -> DataFrame:
     """Score candidate (doc_a, doc_b) pairs with exact set Jaccard by
     joining each side to the per-doc sets — two equi-joins keyed on
     doc_id (uniform), never an all-pairs comparison. ``toks`` must have
     (doc_id, lang, <set_col>) where <set_col> holds DISTINCT elements
     (set semantics — the union size is computed as |a|+|b|-|a∩b|);
     output adds lang_a/lang_b/jaccard.
+
+    ``min_jaccard`` applies the caller's threshold INSIDE the helper,
+    behind an evaluation barrier (optimization r14, guide §4.4): a
+    threshold applied by the caller on the ``jaccard`` alias gets pushed
+    below the projection by alias substitution — Catalyst folded it into
+    the fetch join's condition, where the condition names the
+    intersection twice and the output projection twice more, so every
+    surviving candidate paid up to 4 array-hash-set intersections. With
+    the barrier the intersection is computed exactly once per candidate
+    and the threshold compares cheap integer arithmetic on that column.
+    ``same_lang`` pre-filters cross-language pairs BELOW the barrier
+    (where the predicate can still reach the join), replacing the
+    caller-side lang_a = lang_b filter that the barrier would otherwise
+    strand above the projection. Results are identical either way —
+    filters are conjunctive and deterministic.
 
     Join strategy: the token-set side goes through the SIZE-GATED
     broadcast hint (plans/hints.py) — one row per DISTINCT document,
@@ -282,10 +309,33 @@ def exact_jaccard_scores(toks: DataFrame, cand: DataFrame, set_col: str) -> Data
     # per-row costs of the verify stage, evaluated over millions of
     # candidates; this halves them). Same integers -> bit-identical
     # jaccard doubles -> identical output under the oracle hash.
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    if same_lang:
+        # below the barrier projection, so Catalyst can still fold the
+        # equality into the fetch joins / evaluate it before the
+        # intersection is ever computed
+        joined = joined.where(F.col("lang_a") == F.col("lang_b"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+    if min_jaccard is None:
+        jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+        return joined.select(
+            "doc_a", "doc_b", "lang_a", "lang_b", jac.alias("jaccard")
+        )
+    # threshold path: intersection behind an eval_once barrier in its own
+    # projection; the threshold and the jaccard arithmetic reference the
+    # _inter COLUMN (cheap), so the expensive set intersection runs
+    # exactly once per candidate pair (guide §4.4 — see docstring)
+    from ..plans.hints import eval_once
+
+    with_inter = joined.select(
+        "doc_a", "doc_b", "lang_a", "lang_b", "_na", "_nb",
+        eval_once(inter).alias("_inter"),
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    )
     return (
-        cand.join(a, "doc_a").join(b, "doc_b")
+        with_inter.where(jac >= F.lit(min_jaccard))
         .select("doc_a", "doc_b", "lang_a", "lang_b", jac.alias("jaccard"))
     )
 
@@ -356,13 +406,10 @@ def k_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
-    scored = exact_jaccard_scores(toks, band_candidate_pairs(d), "tset")
-    return (
-        scored.where(
-            (F.col("lang_a") == F.col("lang_b")) & (F.col("jaccard") >= 0.6)
-        )
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    scored = exact_jaccard_scores(
+        toks, band_candidate_pairs(d), "tset", min_jaccard=0.6, same_lang=True
     )
+    return scored.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def lsh_candidate_pairs(
@@ -455,8 +502,10 @@ def k_near_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("lang"),  # unblocked: cross-language dups count
         F.array_distinct(F.split("text", " ")).alias("tset"),
     )
-    scored = exact_jaccard_scores(toks, band_candidate_pairs(d), "tset")
-    return scored.where(F.col("jaccard") >= 0.6).select(
+    scored = exact_jaccard_scores(
+        toks, band_candidate_pairs(d), "tset", min_jaccard=0.6
+    )
+    return scored.select(
         "doc_a", "doc_b", F.round(1 - F.col("jaccard"), 6).alias("jaccard_dist")
     )
 
@@ -835,13 +884,10 @@ def k_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = d.where(F.size(t) >= 2).select("doc_id", "lang", shingles.alias("g"))
-    scored = exact_jaccard_scores(sh, band_candidate_pairs(d), "g")
-    return (
-        scored.where(
-            (F.col("lang_a") == F.col("lang_b")) & (F.col("jaccard") >= 0.3)
-        )
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    scored = exact_jaccard_scores(
+        sh, band_candidate_pairs(d), "g", min_jaccard=0.3, same_lang=True
     )
+    return scored.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @register(
@@ -1077,17 +1123,35 @@ def k_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.repartition(64, F.col("doc_a"))
     hint = gated_hint(toks)
     a = hint(
-        toks.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("_sa"))
+        toks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("tset").alias("_sa"),
+            F.size("tset").alias("_na"),
+        )
     )
     b = hint(
-        toks.select(F.col("doc_id").alias("doc_b"), F.col("tset").alias("_sb"))
+        toks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("tset").alias("_sb"),
+            F.size("tset").alias("_nb"),
+        )
     )
+    # The >= 0.95 gate referenced _ca/_cb aliases, which Catalyst pushed
+    # below the projection by substitution — the intersection evaluated
+    # once in the pushed filter and again per surviving output column.
+    # eval_once (guide §4.4) pins it to exactly one evaluation per
+    # candidate; the per-doc set sizes ride the (tiny) doc sides like the
+    # Jaccard scorer's (optimization r14). Same integer ratios ->
+    # identical output.
+    from ..plans.hints import eval_once
+
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    cont_a = inter / F.size("_sa")
-    cont_b = inter / F.size("_sb")
+    cont_a = F.col("_inter") / F.col("_na")
+    cont_b = F.col("_inter") / F.col("_nb")
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        .select("doc_a", "doc_b", "_na", "_nb", eval_once(inter).alias("_inter"))
         .withColumn("_ca", cont_a)
         .withColumn("_cb", cont_b)
         .where(F.greatest("_ca", "_cb") >= 0.95)

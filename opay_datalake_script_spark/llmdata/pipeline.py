@@ -332,27 +332,16 @@ def k_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .repartition(64, F.col("doc_a"))
     )
-    hint = gated_hint(toks)
-    a = hint(toks.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("tset").alias("ta"),
-    ))
-    b = hint(toks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("tset").alias("tb"),
-    ))
-    jac = (
-        F.size(F.array_intersect("ta", "tb")).cast("double")
-        / F.size(F.array_union("ta", "tb"))
-    )
-    pairs = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where((F.col("lang_a") == F.col("lang_b")) & (jac >= 0.6))
-        .select("doc_a", "doc_b")
-    )
+    # Exact verify via the shared scorer (optimization r14): same joins and
+    # gated hints as the old inline form, but the intersection runs behind
+    # the §4.4 eval_once barrier (exactly once per candidate) and the union
+    # size is the |a|+|b|-|a∩b| arithmetic (tset is array_distinct output,
+    # so the ratios — and therefore the >= 0.6 edge set — are identical).
+    from .dedup import exact_jaccard_scores
+
+    pairs = exact_jaccard_scores(
+        toks, cand, "tset", min_jaccard=0.6, same_lang=True
+    ).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # Edges are re-joined every propagation round: pin their partitioning
     # on the join key so each round's join runs wide, not on the
@@ -491,26 +480,15 @@ def k_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = surv.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
-    a = toks.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("tset").alias("ta"),
-    )
-    b = toks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("tset").alias("tb"),
-    )
-    jac = (
-        F.size(F.array_intersect("ta", "tb")).cast("double")
-        / F.size(F.array_union("ta", "tb"))
-    )
-    pairs = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .where((F.col("lang_a") == F.col("lang_b")) & (jac >= 0.6))
-        .select("doc_a", "doc_b")
-    )
+    # shared exact scorer (optimization r14): same equi-joins, plus the
+    # size-gated broadcast hint, the |a|+|b|-|a∩b| union arithmetic and
+    # the §4.4 eval_once barrier the other verify stages already carry
+    # (tset is array_distinct output, so the ratios are identical)
+    from .dedup import exact_jaccard_scores
+
+    pairs = exact_jaccard_scores(
+        toks, cand, "tset", min_jaccard=0.6, same_lang=True
+    ).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1087,15 +1065,29 @@ def k_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(F.split(normalized_text(), " ")).alias("t")
     )
     hint = gated_hint(tsets)
-    a = hint(tsets.select(F.col("doc_id").alias("new_id"), F.col("t").alias("ta")))
-    b = hint(tsets.select(F.col("doc_id").alias("old_id"), F.col("t").alias("tb")))
-    jac = (
-        F.size(F.array_intersect("ta", "tb")).cast("double")
-        / F.size(F.array_union("ta", "tb"))
+    a = hint(tsets.select(F.col("doc_id").alias("new_id"),
+                          F.col("t").alias("ta"),
+                          F.size("t").alias("_na")))
+    b = hint(tsets.select(F.col("doc_id").alias("old_id"),
+                          F.col("t").alias("tb"),
+                          F.size("t").alias("_nb")))
+    # |a ∪ b| as |a|+|b|-|a∩b| (t is array_distinct output — exact), with
+    # the sizes computed once per doc on the tiny fetch sides, and the
+    # intersection behind the §4.4 eval_once barrier so the threshold
+    # predicate (which names it twice: numerator and denominator) costs
+    # ONE array-hash-set build per candidate, not two (optimization r14,
+    # same shape as exact_jaccard_scores).
+    from ..plans.hints import eval_once
+
+    inter = F.size(F.array_intersect("ta", "tb"))
+    scored = cross.join(a, "new_id").join(b, "old_id").select(
+        "new_id", "_na", "_nb", eval_once(inter).alias("_inter")
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
     )
     near_dup = (
-        cross.join(a, "new_id").join(b, "old_id")
-        .where(jac >= 0.6)
+        scored.where(jac >= 0.6)
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
@@ -1258,22 +1250,14 @@ def k_corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = surv.select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("tset")
     )
-    hint = gated_hint(tsets)
-    a = hint(tsets.select(F.col("doc_id").alias("doc_a"),
-                          F.col("lang").alias("lang_a"),
-                          F.col("tset").alias("ta")))
-    b = hint(tsets.select(F.col("doc_id").alias("doc_b"),
-                          F.col("lang").alias("lang_b"),
-                          F.col("tset").alias("tb")))
-    jac = (
-        F.size(F.array_intersect("ta", "tb")).cast("double")
-        / F.size(F.array_union("ta", "tb"))
-    )
-    pairs = (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .where((F.col("lang_a") == F.col("lang_b")) & (jac >= 0.6))
-        .select("doc_a", "doc_b")
-    )
+    # shared exact scorer (optimization r14): identical joins and gated
+    # hint, plus the union arithmetic + §4.4 barrier — see
+    # k_corpus_dedup_pipeline's note; tset is array_distinct output
+    from .dedup import exact_jaccard_scores
+
+    pairs = exact_jaccard_scores(
+        tsets, cand, "tset", min_jaccard=0.6, same_lang=True
+    ).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1660,28 +1644,43 @@ def k_corpus_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_a"),
         F.col("tset").alias("ta"),
         F.col("sset").alias("sa"),
+        F.size("tset").alias("_na"),
+        F.size("sset").alias("_nsa"),
     ))
     b = hint(toks.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("tset").alias("tb"),
         F.col("sset").alias("sb"),
+        F.size("tset").alias("_nb"),
+        F.size("sset").alias("_nsb"),
     ))
-    jac = (
-        F.size(F.array_intersect("ta", "tb")).cast("double")
-        / F.size(F.array_union("ta", "tb"))
-    )
-    cont = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.least(F.size("sa"), F.size("sb"))
-    )
-    pairs = (
+    # Both set intersections behind the §4.4 eval_once barrier, sizes from
+    # the per-doc fetch sides, |a ∪ b| as |a|+|b|-|a∩b| (tset/sset are
+    # array_distinct output — exact): the OR-of-thresholds predicate then
+    # compares integer arithmetic, paying exactly one token-intersect and
+    # one shingle-intersect per candidate instead of token-intersect +
+    # token-union + shingle-intersect (optimization r14).
+    from ..plans.hints import eval_once
+
+    jint = F.size(F.array_intersect("ta", "tb"))
+    cint = F.size(F.array_intersect("sa", "sb"))
+    scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .where(
-            (F.col("lang_a") == F.col("lang_b"))
-            & ((jac >= 0.6) | (cont >= 0.5))
+        .where(F.col("lang_a") == F.col("lang_b"))
+        .select(
+            "doc_a", "doc_b", "_na", "_nb", "_nsa", "_nsb",
+            eval_once(jint).alias("_jint"),
+            eval_once(cint).alias("_cint"),
         )
+    )
+    jac = F.col("_jint").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_jint")
+    )
+    cont = F.col("_cint").cast("double") / F.least("_nsa", "_nsb")
+    pairs = (
+        scored.where((jac >= 0.6) | (cont >= 0.5))
         .select("doc_a", "doc_b")
     )
     edges = (

@@ -44,8 +44,9 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = QUERIES[name](spark, sf_dir)
-            conftest.assert_matches_oracle(df, con, ORACLES[name], name)
-            n = df.count()
+            # row count comes back from the comparison itself — a second
+            # df.count() would re-execute the whole query (ADVICE r13)
+            n = conftest.assert_matches_oracle(df, con, ORACLES[name], name)
             print(f"{name}: HASH-OK {n} rows ({time.perf_counter()-t0:.1f}s)")
         except Exception as ex:
             failed.append(name)

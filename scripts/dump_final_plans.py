@@ -43,9 +43,15 @@ def main() -> None:
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
+        # exact scan count: each scan's numbered details header "(N) Scan
+        # parquet" appears exactly once per operator (the old halved raw
+        # count floored odd totals — ADVICE r13)
+        import re
+
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         print(
             f"wrote {path} (ReusedExchange x{plan.count('ReusedExchange')}, "
-            f"scans x{plan.count('Scan parquet') // 2 or plan.count('Scan parquet')})"
+            f"scans x{n_scans})"
         )
 
 

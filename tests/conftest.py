@@ -44,6 +44,18 @@ def oracle_con():
     con.close()
 
 
+@pytest.fixture(scope="session")
+def smoke_oracle_con():
+    """DuckDB oracle over the sf0.001 smoke fixture — the fast default
+    tier's differential sweep runs every op here (seconds per op), while
+    the sf0.01 battery is the opt-in slow tier (pytest.ini)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SMOKE_SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
 def _norm_cell(v):
     """Normalize one cell for order-insensitive set comparison."""
     import datetime
@@ -115,7 +127,9 @@ def _dtype_bucket(dtype):
 
 
 def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
-    """Differential check: Spark result vs DuckDB result, exact values."""
+    """Differential check: Spark result vs DuckDB result, exact values.
+    Returns the matched row count so callers (scripts/diff_ops.py) can
+    report it without re-executing the query (ADVICE r13)."""
     assert_no_nonscalar_columns(spark_df, name)
     got = spark_df.toPandas()
     want = oracle_con.sql(sql).df()
@@ -138,3 +152,4 @@ def assert_matches_oracle(spark_df, oracle_con, sql, name=""):
     g, w = normalized_rows(got), normalized_rows(want)
     mismatches = [(a, b) for a, b in zip(g, w) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+    return len(got)

@@ -24,14 +24,36 @@ ORACLE_IDS = sorted(ORACLES)
 ROWS_ONLY_IDS = sorted(set(QUERIES) - set(ORACLES))
 
 
+# Fast default tier: the FULL differential sweep at sf0.001 — every
+# registered op against its DuckDB twin, seconds per op. The sf0.01
+# battery below is the same sweep at 10x the data (minutes per op for
+# the iterative pipelines) and runs as the opt-in slow tier; the driver
+# re-checks at sf0.01 itself, so default-tier green + slow-tier green at
+# round end predicts driver green (pytest.ini has the tier contract).
 @pytest.mark.parametrize("name", ORACLE_IDS)
-def test_oracle_match(spark, oracle_con, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert_matches_oracle(df, oracle_con, ORACLES[name], name=name)
+def test_oracle_match(spark, smoke_oracle_con, name):
+    df = QUERIES[name](spark, SMOKE_SF_DIR)
+    assert_matches_oracle(df, smoke_oracle_con, ORACLES[name], name=name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_IDS)
 def test_rows_only_runs(spark, name):
+    df = QUERIES[name](spark, SMOKE_SF_DIR)
+    assert_no_nonscalar_columns(df, name)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLE_IDS)
+def test_oracle_match_sf01(spark, oracle_con, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle_con, ORACLES[name], name=name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ROWS_ONLY_IDS)
+def test_rows_only_runs_sf01(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert_no_nonscalar_columns(df, name)
     assert df.count() >= 0
